@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+
+/** Similarity metric dispatch — Spark analog of the reference's
+  * `similarity_scores` (index.py:32-46): route on a metric name, unknown
+  * names rejected. Each metric produces a score `Column` ("higher is more
+  * similar") from two `ARRAY<DOUBLE>` columns.
+  *
+  * `scorePrenormalized` is the pairwise-loop form: for Cosine it assumes
+  * both inputs were already L2-normalized once per row (so the O(dim) norm
+  * is not re-done per pair); for Dot/Euclidean it equals `score`.
+  */
+sealed trait Metric {
+  def name: String
+
+  /** Score from raw (un-normalized) vectors. */
+  def score(a: Column, b: Column): Column
+
+  /** Score given inputs already prepared by [[prepare]]. */
+  def scorePrenormalized(a: Column, b: Column): Column
+
+  /** Per-row preparation applied to each side before pairwise scoring. */
+  def prepare(v: Column): Column
+}
+
+object Metric {
+  case object Cosine extends Metric {
+    val name = "cosine"
+    def score(a: Column, b: Column): Column = VectorFunctions.cosine(a, b)
+    def scorePrenormalized(a: Column, b: Column): Column =
+      VectorFunctions.dot(a, b)
+    def prepare(v: Column): Column = VectorFunctions.l2Normalize(v)
+  }
+
+  case object Dot extends Metric {
+    val name = "dot"
+    def score(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
+    def scorePrenormalized(a: Column, b: Column): Column =
+      VectorFunctions.dot(a, b)
+    def prepare(v: Column): Column = v
+  }
+
+  case object Euclidean extends Metric {
+    val name = "euclidean"
+    def score(a: Column, b: Column): Column =
+      VectorFunctions.euclideanSimilarity(a, b)
+    def scorePrenormalized(a: Column, b: Column): Column =
+      VectorFunctions.euclideanSimilarity(a, b)
+    def prepare(v: Column): Column = v
+  }
+
+  val all: Seq[Metric] = Seq(Cosine, Dot, Euclidean)
+
+  /** Unknown metric → IllegalArgumentException (reference index.py:45-46). */
+  def fromName(name: String): Metric =
+    all.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"Unknown metric: $name"))
+}

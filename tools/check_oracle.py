@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local pre-check of the driver's DuckDB oracle gate (BASELINE.md).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
+matching oracle SQL from oracle_sql.json in DuckDB with views over the same
+sf parquet tables, and compares: schema (column names, sorted), row count,
+and values (exact for non-floats; bit-exact for floats by default,
+reporting max abs diff when not equal).
+"""
+import json, sys, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(rows, cols):
+    # sort columns by name, then rows by their string repr for order-insensitive compare
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(r[i] for i in idx) for r in rows]
+    return sorted(out, key=repr), [cols[i] for i in idx]
+
+def values_equal(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        return (a == b) or (math.isnan(a) and math.isnan(b))
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
+    return a == b
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            g_rows, g_cols = got.fetchall(), [d[0] for d in got.description]
+            exp = con.sql(sql)
+            e_rows, e_cols = exp.fetchall(), [d[0] for d in exp.description]
+        except Exception as ex:
+            print(f"FAIL {name}: exception {ex}")
+            n_fail += 1
+            continue
+        g_rows, g_cols = canon(g_rows, g_cols)
+        e_rows, e_cols = canon(e_rows, e_cols)
+        if g_cols != e_cols:
+            print(f"FAIL {name}: columns spark={g_cols} oracle={e_cols}")
+            n_fail += 1
+            continue
+        if len(g_rows) != len(e_rows):
+            print(f"FAIL {name}: rows spark={len(g_rows)} oracle={len(e_rows)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (gr, er) in enumerate(zip(g_rows, e_rows)):
+            if not values_equal(list(gr), list(er)):
+                bad = (i, gr, er)
+                break
+        if bad:
+            i, gr, er = bad
+            print(f"FAIL {name}: first mismatch row {i}:\n  spark : {gr}\n  oracle: {er}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(g_rows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
