@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Metric, VectorFunctions => VF}
+import graft.operators.VectorSearch
+
+/** Collection-level config, persisted next to the data (the Spark analog
+  * of the reference's pickled `{dim, metric, use_ann, embeddings_class}`
+  * header, api.py:179-186; `use_ann` has no batch meaning and is dropped
+  * per BASELINE.json). */
+final case class VectorTableConfig(
+    dim: Int,
+    metric: String,
+    idCol: String = "vec_id",
+    vecCol: String = "embedding")
+
+/** The engine facade — Spark analog of the reference's `VectorDB`
+  * (api.py:21-205): a `DataFrame` of `(id, embedding, …metadata columns)`
+  * plus collection config. All operations are lazy plans; nothing
+  * collects to the driver.
+  *
+  * Persistence (O20/O21, api.py:174-205) is Parquet + a JSON config
+  * sidecar written through the Hadoop `FileSystem` API, so the same code
+  * path works on local disk, HDFS, or object storage on a real cluster.
+  */
+final class VectorTable(val df: DataFrame, val config: VectorTableConfig) {
+
+  def metric: Metric = Metric.fromName(config.metric)
+
+  /** O1 insert (vector): batch append with a per-row dimension guard —
+    * the reference's `vector.shape[-1] != dim → ValueError`
+    * (storage.py:15-16), enforced inside the plan via a conditional
+    * `raise_error` so no extra validation pass over the data is needed. */
+  def insert(rows: DataFrame): VectorTable =
+    new VectorTable(df.unionByName(withDimCheck(rows)), config)
+
+  /** O2 insert (text): embed a text column deterministically
+    * (SURVEY §2.4.3 replacement for DummyEmbeddings) and append. The
+    * text rides along as its own column — the engine's form of the
+    * reference's `metadata["text"] = text` rule (api.py:160-161). */
+  def insertText(rows: DataFrame, textCol: String): VectorTable = {
+    val embedded = rows.withColumn(
+      config.vecCol, VF.arithmeticEmbedding(col(textCol), config.dim))
+    insert(embedded)
+  }
+
+  private def withDimCheck(rows: DataFrame): DataFrame =
+    rows.withColumn(config.vecCol,
+      when(size(col(config.vecCol)) === config.dim, col(config.vecCol))
+        .otherwise(raise_error(concat(
+          lit(s"Vector dimension mismatch: expected ${config.dim}, got "),
+          size(col(config.vecCol)).cast("string")))))
+
+  /** O22 items projection (`GET /items`, server.py:108-122): every column
+    * except the vector — the scan never reads the embedding bytes
+    * (column pruning reaches the Parquet footer). */
+  def items: DataFrame = df.drop(config.vecCol)
+
+  /** O9 search: top-k rows most similar to the 1-row query frame. */
+  def search(query: DataFrame, queryVecCol: String, k: Int): DataFrame =
+    VectorSearch.topK(df, config.vecCol, config.idCol, query, queryVecCol, metric, k)
+
+  /** O10 text query (api.py:164-168): embed the query text, then search. */
+  def searchText(spark: SparkSession, text: String, k: Int): DataFrame = {
+    val q = spark.range(1)
+      .select(VF.arithmeticEmbedding(lit(text), config.dim).as("__qvec"))
+    search(q, "__qvec", k)
+  }
+
+  /** O20 persist: Parquet data + JSON config sidecar (api.py:174-189). */
+  def save(path: String): Unit = {
+    df.write.mode("overwrite").parquet(s"$path/data")
+    val spark = df.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(path, VectorTable.ConfigFile), true)
+    try out.write(VectorTable.configJson(config).getBytes("UTF-8"))
+    finally out.close()
+  }
+}
+
+object VectorTable {
+  val ConfigFile = "_graft_config.json"
+
+  def apply(df: DataFrame, config: VectorTableConfig): VectorTable =
+    new VectorTable(df, config)
+
+  /** O21 load: Parquet + sidecar, with the reference's defaults for
+    * absent fields (`metric="cosine"`, api.py:199-201). */
+  def load(spark: SparkSession, path: String): VectorTable = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cfgPath = new Path(path, ConfigFile)
+    val config =
+      if (fs.exists(cfgPath)) {
+        val in = fs.open(cfgPath)
+        val raw =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        parseConfig(raw)
+      } else VectorTableConfig(dim = 0, metric = "cosine")
+    new VectorTable(spark.read.parquet(s"$path/data"), config)
+  }
+
+  private[graft] def configJson(c: VectorTableConfig): String =
+    s"""{"dim": ${c.dim}, "metric": "${c.metric}", "idCol": "${c.idCol}", "vecCol": "${c.vecCol}"}"""
+
+  /** Minimal fixed-shape JSON parse (sidecar is engine-written, flat, no
+    * escapes) — avoids dragging a JSON library into the engine. */
+  private[graft] def parseConfig(raw: String): VectorTableConfig = {
+    def str(key: String, default: String): String =
+      s""""$key"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(raw).map(_.group(1)).getOrElse(default)
+    def int(key: String, default: Int): Int =
+      s""""$key"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toInt).getOrElse(default)
+    VectorTableConfig(
+      dim = int("dim", 0),
+      metric = str("metric", "cosine"),
+      idCol = str("idCol", "vec_id"),
+      vecCol = str("vecCol", "embedding"))
+  }
+}

@@ -1,0 +1,261 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftglue.ColumnGlue
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native codegen vector kernels over `ARRAY<DOUBLE>` columns.
+  *
+  * Why these exist: the HOF formulation (`transform`/`zip_with`/`aggregate`)
+  * is interpreted (`CodegenFallback`) and — worse — Catalyst's
+  * `CollapseProject` inlines a precomputed norm column back into the
+  * `transform` lambda, re-evaluating the O(dim) norm once PER ELEMENT
+  * (O(dim²) per row; the round-1 verdict measured ~2.7× on cosine vs
+  * euclidean at dim=64). Each expression here evaluates its norm exactly
+  * once per row inside a single generated loop, participates in
+  * whole-stage codegen, and cannot be torn apart by the optimizer.
+  *
+  * Float semantics are bit-identical to the HOF forms (and to the DuckDB
+  * oracle SQL in [[graft.Oracle]]): left-to-right folds seeded with 0.0,
+  * `1e-12` eps added to the L2 norm before dividing (reference
+  * index.py:4-8), cosine = normalize-both-then-dot (reference
+  * index.py:11-16), NOT `dot/(na*nb)` which rounds differently.
+  *
+  * Null contract: null input array → null result (`nullIntolerant`);
+  * array elements are assumed non-null doubles (enforced by the fixture
+  * schema and `VectorTable`'s dim check).
+  */
+object VectorExpressions {
+  val Eps = 1e-12
+
+  /** Accept ARRAY<DOUBLE> regardless of element nullability flag.
+    * (`ExpectsInputTypes` is not implementable outside the sql package in
+    * Spark 4 — `AbstractDataType` is `private[sql]` — so the check is
+    * hand-rolled.) */
+  private def checkArrayDouble(name: String, types: Seq[DataType]): TypeCheckResult =
+    if (types.forall {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name expects ARRAY<DOUBLE> inputs, got ${types.mkString(", ")}")
+
+  /** Dot product `Σ a[i]*b[i]`, left fold from 0.0. */
+  case class VecDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayDouble(prettyName, Seq(left.dataType, right.dataType))
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vec_dot"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $x.getDouble($i) * $y.getDouble($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Eps-guarded L2 normalize `v / (sqrt(Σ v[i]²) + 1e-12)` — the norm is
+    * computed once per row inside the kernel (reference index.py:4-8). */
+  case class VecL2Normalize(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayDouble(prettyName, Seq(child.dataType))
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vec_l2_normalize"
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      var ss = 0.0
+      var i = 0
+      while (i < n) { val v = x.getDouble(i); ss += v * v; i += 1 }
+      val nrm = math.sqrt(ss) + Eps
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) { out(i) = x.getDouble(i) / nrm; i += 1 }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val ss = ctx.freshName("ss")
+        val nrm = ctx.freshName("nrm")
+        val out = ctx.freshName("out")
+        val v = ctx.freshName("v")
+        s"""
+           |int $n = $x.numElements();
+           |double $ss = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $v = $x.getDouble($i);
+           |  $ss += $v * $v;
+           |}
+           |double $nrm = java.lang.Math.sqrt($ss) + ${Eps}D;
+           |double[] $out = new double[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = $x.getDouble($i) / $nrm;
+           |}
+           |${ev.value} =
+           |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Cosine similarity: both norms computed once, then the left fold of
+    * `(a[i]/na) * (b[i]/nb)` — bit-identical to normalizing both arrays
+    * first and dotting them (reference index.py:11-16). */
+  case class VecCosine(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayDouble(prettyName, Seq(left.dataType, right.dataType))
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vec_cosine"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var ssx = 0.0
+      var ssy = 0.0
+      var i = 0
+      while (i < n) {
+        val vx = x.getDouble(i); ssx += vx * vx
+        val vy = y.getDouble(i); ssy += vy * vy
+        i += 1
+      }
+      val nx = math.sqrt(ssx) + Eps
+      val ny = math.sqrt(ssy) + Eps
+      var acc = 0.0
+      i = 0
+      while (i < n) { acc += (x.getDouble(i) / nx) * (y.getDouble(i) / ny); i += 1 }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val ssx = ctx.freshName("ssx")
+        val ssy = ctx.freshName("ssy")
+        val nx = ctx.freshName("nx")
+        val ny = ctx.freshName("ny")
+        val acc = ctx.freshName("acc")
+        val vx = ctx.freshName("vx")
+        val vy = ctx.freshName("vy")
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |double $ssx = 0.0; double $ssy = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $vx = $x.getDouble($i); $ssx += $vx * $vx;
+           |  double $vy = $y.getDouble($i); $ssy += $vy * $vy;
+           |}
+           |double $nx = java.lang.Math.sqrt($ssx) + ${Eps}D;
+           |double $ny = java.lang.Math.sqrt($ssy) + ${Eps}D;
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += ($x.getDouble($i) / $nx) * ($y.getDouble($i) / $ny);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Euclidean distance `sqrt(Σ (a[i]-b[i])²)` (reference index.py:25-29). */
+  case class VecEuclideanDistance(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayDouble(prettyName, Seq(left.dataType, right.dataType))
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vec_euclidean_distance"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x.getDouble(i) - y.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+      math.sqrt(acc)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = $x.getDouble($i) - $y.getDouble($i);
+           |  $acc += $d * $d;
+           |}
+           |${ev.value} = java.lang.Math.sqrt($acc);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  // ------------------------------------------------------ Column surface ---
+
+  def dot(a: Column, b: Column): Column =
+    ColumnGlue.column(VecDot(ColumnGlue.expression(a), ColumnGlue.expression(b)))
+
+  def l2Normalize(v: Column): Column =
+    ColumnGlue.column(VecL2Normalize(ColumnGlue.expression(v)))
+
+  def cosine(a: Column, b: Column): Column =
+    ColumnGlue.column(VecCosine(ColumnGlue.expression(a), ColumnGlue.expression(b)))
+
+  def euclideanDistance(a: Column, b: Column): Column =
+    ColumnGlue.column(
+      VecEuclideanDistance(ColumnGlue.expression(a), ColumnGlue.expression(b)))
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface: chunking
+  * (reference rag.py:17-24), token counting, per-language stats, and
+  * exact deduplication.
+  *
+  * Scale design: everything here is a narrow per-row projection or a
+  * hash-partitioned `groupBy` — the aggregations are partial
+  * (map-side combine) and shuffle only the grouped keys, never the text
+  * itself unless it is the key.
+  */
+object TextOps {
+
+  /** Fixed character-window chunks of `text` (reference `_chunk_text`,
+    * rag.py:17-24), preserving the empty-text → one-empty-chunk rule
+    * (rag.py:22-23). Result: `ARRAY<STRING>` in document order. */
+  def chunk(text: Column, chunkSize: Int): Column = {
+    val nChunks = greatest(ceil(length(text) / lit(chunkSize.toDouble)).cast("int"), lit(1))
+    transform(sequence(lit(0), nChunks - 1),
+      i => text.substr(i * chunkSize + 1, lit(chunkSize)))
+  }
+
+  /** Explode a document table into `(idCol, chunk_index BIGINT,
+    * chunk_text STRING)` — the ingest half of the reference's
+    * `build_rag_index` (rag.py:27-52): `chunk_index` is the reference's
+    * per-document `chunk_index`, `idCol` plays `doc_index`. */
+  def chunkDocuments(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int): DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(chunk(col(textCol), chunkSize)).as(Seq("chunk_index", "chunk_text")))
+      .withColumn("chunk_index", col("chunk_index").cast("long"))
+
+  /** Whitespace token count. Texts are trimmed first so leading/trailing
+    * blanks don't mint empty tokens; empty text counts 1 (the single
+    * empty token both Spark `split` and DuckDB `string_split_regex`
+    * produce). */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), " +")).cast("long")
+
+  /** Per-language corpus statistics (north-star text analysis): doc
+    * count, char and token sums and means. Means are computed as
+    * `sum::double / count` (exact integer sums, then one division) so
+    * they are bit-reproducible across engines — never engine `avg`,
+    * whose accumulation order varies. */
+  def textStats(docs: DataFrame, langCol: String, nCharsCol: String, textCol: String): DataFrame = {
+    val n = count(lit(1))
+    docs
+      .select(col(langCol), col(nCharsCol), tokenCount(col(textCol)).as("__tok"))
+      .groupBy(langCol)
+      .agg(
+        n.as("n_docs"),
+        sum(nCharsCol).as("sum_chars"),
+        (sum(nCharsCol).cast("double") / n).as("avg_chars"),
+        sum("__tok").as("sum_tokens"),
+        (sum("__tok").cast("double") / n).as("avg_tokens"))
+      .orderBy(langCol)
+  }
+
+  /** Exact-duplicate groups by content hash (north-star dedup): one row
+    * per distinct `textCol` value with the group size and the smallest
+    * id as the canonical keeper. MD5 of the UTF-8 bytes is the group
+    * key — at 100 TB the shuffle carries 32-byte hashes, not documents,
+    * and the aggregation is partial map-side. */
+  def dedupExactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(idCol).as("keeper_id"))
+      .orderBy("text_hash")
+
+  /** Keep one row per distinct `textCol` (the keeper = min id): the
+    * apply-side of [[dedupExactGroups]]. */
+  def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepers = dedupExactGroups(docs, idCol, textCol)
+      .select(col("keeper_id").as(idCol))
+    docs.join(keepers, idCol)
+  }
+}

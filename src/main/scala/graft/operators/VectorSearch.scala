@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Metric, VectorFunctions => VF}
+import graft.expressions.VectorExpressions
+import graft.functions.Metric
 
 /** Similarity search operators — the Spark-native form of the reference's
   * `search_vector` / `search_text` (api.py:105-168) and the batch
@@ -15,17 +16,19 @@ import graft.functions.{Metric, VectorFunctions => VF}
   *    local top-k, the driver merges k·numPartitions rows — no full sort,
   *    no full shuffle. This is the distributed analog of the reference's
   *    `np.argsort(-scores)[:k]` (api.py:139).
-  *  - [[knnJoin]] normalizes each side ONCE per row (O(N·dim)) before the
-  *    pairwise stage (O(N·M·dim)) — the norm never recomputes inside the
-  *    pair loop. The small side is broadcast, so the only shuffle is the
-  *    per-query-id window.
-  *  - [[bucketedKnnJoin]] is the 100 TB path: deterministic sign-LSH
-  *    (random-hyperplane) bucketing turns the all-pairs cross join into a
-  *    per-bucket join, trading exactness for a ~2^bits reduction in pairs.
-  *    Hyperplanes are arithmetic (no RNG) so the DuckDB oracle can replay
-  *    them exactly.
+  *  - All score kernels are codegen Catalyst expressions
+  *    ([[graft.expressions.VectorExpressions]]); for cosine each side is
+  *    L2-normalized ONCE per row (O(N·dim)) before the pairwise stage
+  *    (O(N·M·dim)) — the norm never recomputes inside the pair loop, and
+  *    the single-expression kernel cannot be torn apart by
+  *    `CollapseProject` (the round-1 O(dim²) defect).
+  *  - [[knnJoin]] does NOT broadcast by default: at 100 TB the data side
+  *    does not fit an executor. Pass `broadcastData = true` only when the
+  *    data side is a known-small dimension table; otherwise use
+  *    [[bucketedKnnJoin]], which shuffles both sides by a deterministic
+  *    LSH bucket id — per-bucket equi-join instead of all-pairs.
   *
-  * Determinism: every ordering ties-breaks on the id column
+  * Determinism: every ordering tie-breaks on the id column
   * (SURVEY §2.4.2) — argsort on equal scores is arbitrary in the
   * reference too.
   */
@@ -51,14 +54,12 @@ object VectorSearch {
       .drop(queryVecCol)
   }
 
-  /** Replace `vecCol` with its metric-prepared form, computing the norm as
-    * its own column so it evaluates once per row, not once per element. */
+  /** Replace `vecCol` with its metric-prepared form. For cosine this is the
+    * codegen [[VectorExpressions.VecL2Normalize]] kernel — one expression,
+    * norm evaluated once per row, immune to projection collapsing. */
   private def prepareColumn(df: DataFrame, vecCol: String, metric: Metric): DataFrame =
     metric match {
-      case Metric.Cosine =>
-        df.withColumn("__nrm", VF.l2Norm(col(vecCol)) + lit(VF.Eps))
-          .withColumn(vecCol, VF.scaleBy(col(vecCol), col("__nrm")))
-          .drop("__nrm")
+      case Metric.Cosine => df.withColumn(vecCol, metric.prepare(col(vecCol)))
       case _ => df
     }
 
@@ -80,12 +81,15 @@ object VectorSearch {
 
   /** Batch knn: for every row of `queries`, its top-k neighbors in `data`
     * (the at-scale form of per-query search; replaces the reference's HNSW
-    * serving path). Output: one row per (query, neighbor) with `rank`.
+    * serving path ann.py:67-102). Output: one row per (query, neighbor)
+    * with `rank` (BIGINT, 1-based).
     *
-    * `data` is broadcast when small (dimension-table pattern); the
-    * per-query top-k is a `row_number` window partitioned by the query id —
-    * uniform key distribution, no salting needed. Self-matches
-    * (same id on both sides) are excluded when `excludeSelf`.
+    * Scale: `broadcastData = true` turns the pair stage into a
+    * broadcast-nested-loop with NO shuffle of the (large) query side —
+    * right when data is a small dimension table. Default is false: Spark
+    * plans a shuffling cartesian and AQE decides; at real scale prefer
+    * [[bucketedKnnJoin]]. The per-query top-k is a `row_number` window
+    * partitioned by query id — shuffles once on a uniform key.
     */
   def knnJoin(
       queries: DataFrame,
@@ -95,7 +99,7 @@ object VectorSearch {
       metric: Metric,
       k: Int,
       excludeSelf: Boolean = true,
-      broadcastData: Boolean = true): DataFrame = {
+      broadcastData: Boolean = false): DataFrame = {
     val q = prepareColumn(queries, vecCol, metric)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
     val d = prepareColumn(data, vecCol, metric)
@@ -103,41 +107,52 @@ object VectorSearch {
     val dSide = if (broadcastData) broadcast(d) else d
     val pairs = q.crossJoin(dSide)
       .withColumn("score", metric.scorePrenormalized(col("__qvec"), col("__dvec")))
+    rankTopK(pairs, k, excludeSelf)
+  }
+
+  /** Shared tail of the knn joins: optional self-exclusion, per-query
+    * `row_number` window, rank filter, scalar projection. */
+  private def rankTopK(pairs: DataFrame, k: Int, excludeSelf: Boolean): DataFrame = {
     val filtered =
       if (excludeSelf) pairs.filter(col("query_id") =!= col("neighbor_id"))
       else pairs
     val w = Window.partitionBy("query_id")
       .orderBy(desc("score"), asc("neighbor_id"))
     filtered
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
-  /** Deterministic sign-LSH bucket id over `bits` arithmetic hyperplanes.
-    *
-    * Hyperplane j (0-based), component i (0-based):
-    * `h[j][i] = (((i+1) * (j+1) * 7919) mod 193) / 193.0 - 0.5`
-    * — fixed pseudo-random-looking weights computable identically in any
-    * SQL engine (no RNG, SURVEY §2.4). Bucket = Σ_j 2^j · [v·h_j > 0].
-    */
-  def lshBucket(vecCol: Column, dim: Int, bits: Int): Column = {
-    val bitTerms: Seq[Column] = (0 until bits).map { j =>
-      val proj: Column = (0 until dim).map { i =>
-        val w = (((i + 1).toLong * (j + 1) * 7919L) % 193L).toDouble / 193.0 - 0.5
-        element_at(vecCol, i + 1) * lit(w)
-      }.reduce(_ + _)
-      when(proj > lit(0.0), lit(1L << j)).otherwise(lit(0L))
-    }
-    bitTerms.reduce(_ + _).as("bucket")
-  }
+  /** Deterministic hyperplane `j` (0-based) of width `dim`, as an array
+    * literal: `h[j][i] = (((i+1)·(j+1)·7919) mod 193) / 193.0 − 0.5`.
+    * Fixed pseudo-random-looking weights computable identically in any
+    * SQL engine (no RNG, SURVEY §2.4) — so an oracle can replay the
+    * bucketing exactly. */
+  def hyperplane(j: Int, dim: Int): Column =
+    array((0 until dim).map { i =>
+      lit((((i + 1).toLong * (j + 1) * 7919L) % 193L).toDouble / 193.0 - 0.5)
+    }: _*)
 
-  /** Approximate knn join: pairs are only scored within the same LSH
-    * bucket, turning O(N·M) pairs into O(N·M / 2^bits) expected — the
-    * bucket equi-join shuffles both sides by bucket id instead of
-    * broadcasting a cross product. Deterministic (arithmetic hyperplanes),
-    * so exact-match verifiable against a SQL oracle replaying the same
-    * bucketing. */
+  /** Deterministic sign-LSH bucket id over `bits` arithmetic hyperplanes:
+    * `bucket = Σ_j 2^j · [v·h_j > 0]`. Each projection is one codegen
+    * dot kernel against a foldable array literal — O(bits·dim) per row,
+    * constant-size expression tree (the round-1 form expanded dim·bits
+    * `element_at` nodes, which blew up analysis and codegen). */
+  def lshBucket(vecCol: Column, dim: Int, bits: Int): Column =
+    (0 until bits).map { j =>
+      val proj = VectorExpressions.dot(vecCol, hyperplane(j, dim))
+      when(proj > lit(0.0), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate knn join — the 100 TB path: pairs are only scored within
+    * the same LSH bucket, turning O(N·M) pairs into O(N·M / 2^bits)
+    * expected. The bucket equi-join shuffles both sides by bucket id
+    * instead of materializing a cross product; no broadcast needed on
+    * either side. Deterministic (arithmetic hyperplanes), so
+    * exact-match verifiable against a SQL oracle replaying the same
+    * bucketing. Single-probe: recall < 1 by design — verify with a
+    * recall assertion vs [[knnJoin]] (see LshSpec). */
   def bucketedKnnJoin(
       queries: DataFrame,
       data: DataFrame,
@@ -156,14 +171,6 @@ object VectorSearch {
         lshBucket(col(vecCol), dim, bits).as("bucket"))
     val pairs = q.join(d, Seq("bucket"))
       .withColumn("score", metric.scorePrenormalized(col("__qvec"), col("__dvec")))
-    val filtered =
-      if (excludeSelf) pairs.filter(col("query_id") =!= col("neighbor_id"))
-      else pairs
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("score"), asc("neighbor_id"))
-    filtered
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "score", "rank")
+    rankTopK(pairs, k, excludeSelf)
   }
 }

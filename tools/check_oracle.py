@@ -44,6 +44,18 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: exception {ex}")
             n_fail += 1
             continue
+        # The real driver canonicalizes with pandas sort_values + hash, which
+        # CRASHES on array-typed result columns (round-1 q_normalize:
+        # "unhashable type: numpy.ndarray"). Mirror that: any list-valued
+        # column is a hard FAIL here even though our tuple compare could
+        # handle it — local PASS must imply driver PASS.
+        arrayish = [c for c, v in zip(g_cols, g_rows[0] if g_rows else [])
+                    if isinstance(v, (list, tuple))]
+        if arrayish:
+            print(f"FAIL {name}: array-typed result columns {arrayish} "
+                  f"(driver's pandas compare cannot hash these — emit scalars)")
+            n_fail += 1
+            continue
         g_rows, g_cols = canon(g_rows, g_cols)
         e_rows, e_cols = canon(e_rows, e_cols)
         if g_cols != e_cols:
