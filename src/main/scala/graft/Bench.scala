@@ -1,23 +1,67 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main — prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Methodology (fixes the round-1 flaws called out in VERDICT.md):
+  *  - force FULL evaluation of every output column by iterating the
+  *    executed plan's rows (`queryExecution.toRdd.foreach`) — `.count()`
+  *    let Catalyst prune projection-only queries down to a parquet row
+  *    count (q_normalize benched 0.74s counted vs 12.5s computed);
+  *  - one untimed warmup pass over every query first, so JVM/Spark/codegen
+  *    startup is not billed to whichever query runs first (round 1 charged
+  *    23.5s of warmup to q_knn_dot);
+  *  - report the MEDIAN of 3 timed runs per query.
+  */
 object Bench {
+
+  /** Evaluate every output column of every row, returning nothing to the
+    * driver. */
+  private def force(df: DataFrame): Unit =
+    df.queryExecution.toRdd.foreach(_ => ())
+
+  private def timeOnce(fn: => Unit): Double = {
+    val t0 = System.nanoTime()
+    fn
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // untimed warmup: plan + execute each query once
+    queries.foreach { case (name, fn) =>
+      try force(fn(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = queries.map { case (name, fn) =>
+      val times = (1 to runs).map { _ =>
+        try timeOnce(force(fn(spark, sfDir)))
+        catch { case _: Throwable => -1.0 }
+      }.sorted
+      val median = times(times.length / 2)
+      name -> median
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.SparkException
+import org.apache.spark.sql.functions._
+
+/** VectorTable facade: save/load roundtrip (reference
+  * test_v2_features.py:11-48), per-row dim enforcement
+  * (storage.py:15-16), items projection (server.py:108-122), and the
+  * text insert/search path. */
+class VectorTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "vt_test_").toString
+
+  private lazy val base = VectorTable(
+    Tables.embeddings(spark, Sf0001),
+    VectorTableConfig(dim = Tables.EmbeddingDim, metric = "cosine"))
+
+  test("save/load roundtrip preserves rows and config") {
+    val path = tmpDir()
+    base.save(path)
+    val loaded = VectorTable.load(spark, path)
+    assert(loaded.config == base.config)
+    assert(loaded.df.count() == base.df.count())
+    val idSum = loaded.df.agg(sum("vec_id")).collect()(0).getLong(0)
+    val origSum = base.df.agg(sum("vec_id")).collect()(0).getLong(0)
+    assert(idSum == origSum)
+  }
+
+  test("load without sidecar falls back to defaults (metric=cosine, api.py:199-201)") {
+    val path = tmpDir()
+    base.save(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, VectorTable.ConfigFile), false)
+    val loaded = VectorTable.load(spark, path)
+    assert(loaded.config.metric == "cosine")
+  }
+
+  test("insert enforces vector dimension per row (storage.py:15-16)") {
+    val bad = Seq((9999L, Seq(1.0, 2.0), 0)).toDF("vec_id", "embedding", "label")
+    val ex = intercept[Exception] {
+      base.insert(bad).df.filter(col("vec_id") === 9999L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(_.contains("dimension mismatch")),
+      s"unexpected error: ${ex.getMessage}")
+  }
+
+  test("insert of correct-dim rows appends") {
+    val row = Tables.embeddings(spark, Sf0001).limit(1)
+      .select(lit(100000L).as("vec_id"), col("embedding"), lit(0).as("label"))
+    assert(base.insert(row).df.count() == base.df.count() + 1)
+  }
+
+  test("items drops the vector column only (server.py:108-122)") {
+    assert(base.items.columns.toSeq == Seq("vec_id", "label"))
+  }
+
+  test("searchText returns k rows with score column (api.py:164-168)") {
+    val out = base.searchText(spark, "hello graft", 7)
+    assert(out.columns.contains("score"))
+    assert(out.count() == 7)
+  }
+}
