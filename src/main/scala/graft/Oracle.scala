@@ -55,4 +55,18 @@ object Oracle {
   /** CTE of L2-normalized embeddings: `n(vec_id, label, nemb)`. */
   val normalizedCte: String =
     s"n AS (SELECT vec_id, label, ${l2Normalize("emb")} AS nemb FROM e)"
+
+  /** Deterministic sign-LSH bucket id — mirror of
+    * `VectorSearch.lshBucket`/`hyperplane`: hyperplane j, component i
+    * (1-based here): `w = ((i·(j+1)·7919) mod 193)/193.0 − 0.5`;
+    * `bucket = Σ_j 2^j·[v·h_j > 0]`. Integer modulo then one division —
+    * bit-identical to the Scala-side literal weights. */
+  def lshBucket(v: String, dim: Int, bits: Int): String = {
+    val terms = (0 until bits).map { j =>
+      val w = s"(CAST((li * ${j + 1} * 7919) % 193 AS DOUBLE) / 193.0 - 0.5)"
+      val proj = foldSum(s"list_transform(range(1, ${dim + 1}), li -> $v[li] * $w)")
+      s"(CASE WHEN $proj > 0.0 THEN ${1L << j} ELSE 0 END)"
+    }
+    terms.mkString("(", " + ", ")")
+  }
 }

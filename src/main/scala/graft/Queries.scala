@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Metric, VectorFunctions => VF}
-import graft.operators.{Rag, TextOps, VectorSearch}
+import graft.operators.{Rag, Sketches, TextOps, VectorSearch}
 
 /** One declared, oracle-checked query. `oracle` is ANSI-ish SQL DuckDB runs
   * on the same parquet tables; None → driver records a weaker rows-only
@@ -350,6 +350,177 @@ object Queries {
        |SELECT source, doc_id, score FROM r WHERE rn = 1 ORDER BY source""".stripMargin
   }
 
+  /** Approximate batch knn via deterministic sign-LSH bucketing — the
+    * 100 TB path: candidates only within a bucket, both sides shuffled
+    * by bucket id, no broadcast, no all-pairs. The arithmetic hyperplanes
+    * make the bucketing replayable in the oracle. */
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    VectorSearch.bucketedKnnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim, bits = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  private val qAnnLshSql: String = {
+    val score = Oracle.dot("a.nemb", "b.nemb", EmbeddingDim)
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |nb AS (SELECT vec_id, nemb, ${Oracle.lshBucket("nemb", EmbeddingDim, 8)} AS bucket FROM n),
+       |p AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $score AS score
+       |  FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM p)
+       |SELECT query_id, neighbor_id, score, rank
+       |FROM r WHERE rank <= $KnnJoinK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ------------------------------------------------------------ sketches ---
+
+  private val ShingleK = 8
+  private val MinhashM = 16
+  private val MinhashBands = 4
+
+  /** Oracle CTE `mh(doc_id, mh_0..mh_15)` mirroring
+    * [[Sketches.minhashSignature]]. */
+  private val minhashCte: String = {
+    val mins = (0 until MinhashM)
+      .map(j => s"min(md5('$j:' || shingle)) AS mh_$j").mkString(", ")
+    s"""sh AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_transform(
+       |           range(1, greatest(length(text) - ${ShingleK - 1}, 1) + 1),
+       |           si -> substr(text, CAST(si AS INTEGER), $ShingleK)))) AS shingle
+       |  FROM documents),
+       |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  /** North-star MinHash: per-doc signature digest (pins the whole
+    * shingle→minhash pipeline through one scalar per doc). */
+  private def qMinhashSig(s: SparkSession, dir: String): DataFrame = {
+    val sig = Sketches.minhashSignature(
+      Tables.documents(s, dir), "doc_id", "text", ShingleK, MinhashM)
+    val sigCols = (0 until MinhashM).map(j => col(s"mh_$j"))
+    sig.select(col("doc_id"), md5(concat_ws(",", sigCols: _*)).as("sig"))
+      .orderBy("doc_id")
+  }
+
+  private val qMinhashSigSql: String = {
+    val cols = (0 until MinhashM).map(j => s"mh_$j").mkString(", ")
+    s"""WITH $minhashCte
+       |SELECT doc_id, md5(concat_ws(',', $cols)) AS sig
+       |FROM mh ORDER BY doc_id""".stripMargin
+  }
+
+  /** North-star MinHash-LSH near-dup candidates: doc pairs sharing ≥1 of
+    * 4 banded signature keys, with the shared-band count. */
+  private def qNearDupMinhash(s: SparkSession, dir: String): DataFrame =
+    Sketches.minhashCandidates(Tables.documents(s, dir), "doc_id", "text",
+      k = ShingleK, m = MinhashM, bands = MinhashBands)
+      .orderBy("a_id", "b_id")
+
+  private val qNearDupMinhashSql: String = {
+    val rows = MinhashM / MinhashBands
+    val bandSelects = (0 until MinhashBands).map { b =>
+      val cols = (0 until rows).map(r => s"mh_${b * rows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS band_key FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $minhashCte,
+       |bands AS (
+       |  $bandSelects)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS n_bands
+       |FROM bands a
+       |JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** North-star SimHash: 32-bit token-level sketch per doc (near-dups
+    * differ in few bits; compare with bit_count(xor)). */
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    Sketches.simhash(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val qSimhashSql: String = {
+    val high = "('8','9','a','b','c','d','e','f')"
+    val sums = (0 until 32)
+      .map(b => s"sum(CASE WHEN substr(h, ${b + 1}, 1) IN $high THEN 1 ELSE -1 END) AS s_$b")
+      .mkString(", ")
+    val bits = (0 until 32)
+      .map(b => s"(CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, md5(unnest(string_split_regex(trim(text), ' +'))) AS h
+       |  FROM documents),
+       |s AS (SELECT doc_id, $sums FROM tk GROUP BY doc_id)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** North-star quality scoring: per-doc token/char heuristics + keep
+    * flag. */
+  private def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityMetrics(Tables.documents(s, dir), "doc_id", "text", "n_chars")
+      .orderBy("doc_id")
+
+  private val qTextQualitySql: String = {
+    val stops = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, n_chars,
+       |         string_split_regex(trim(text), ' +') AS toks
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(length(toks) AS BIGINT) AS n_tokens,
+       |       CAST(length(regexp_extract_all(text, '${TextOps.BpeTokenPattern}')) AS BIGINT) AS bpe_tokens,
+       |       CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) / length(toks) AS mean_token_len,
+       |       CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / n_chars AS alpha_ratio,
+       |       CAST(length(list_filter(toks, tk -> tk IN ($stops))) AS DOUBLE) / length(toks) AS stop_ratio,
+       |       CAST(CASE WHEN length(toks) BETWEEN 5 AND 2000
+       |                  AND (CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) / length(toks)) BETWEEN 2.0 AND 12.0
+       |                  AND (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / n_chars) >= 0.6
+       |                  AND (CAST(length(list_filter(toks, tk -> tk IN ($stops))) AS DOUBLE) / length(toks)) <= 0.5
+       |             THEN 1 ELSE 0 END AS INTEGER) AS quality_ok
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** North-star language-ID heuristic: marker-word scores per candidate
+    * language, argmax per doc, reported as a (lang, predicted, n)
+    * confusion matrix against the fixture's lang column. */
+  private def qLangId(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pred = TextOps.langId(docs, "doc_id", "text")
+    docs.select("doc_id", "lang").join(pred, "doc_id")
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  private val qLangIdSql: String = {
+    val hitCols = TextOps.LangMarkers.map { case (lang, markers) =>
+      val set = markers.map(w => s"'$w'").mkString(", ")
+      s"CAST(length(list_filter(string_split_regex(trim(text), ' +'), tk -> tk IN ($set))) AS BIGINT) AS h_$lang"
+    }.mkString(",\n         ")
+    val unions = TextOps.LangMarkers.map { case (lang, _) =>
+      s"SELECT doc_id, lang, '$lang' AS cand, h_$lang AS hits FROM h"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH h AS (
+       |  SELECT doc_id, lang,
+       |         $hitCols
+       |  FROM documents),
+       |sc AS (
+       |  $unions),
+       |p AS (
+       |  SELECT doc_id, lang, cand,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand ASC) AS rn
+       |  FROM sc)
+       |SELECT lang, cand AS predicted, CAST(count(*) AS BIGINT) AS n
+       |FROM p WHERE rn = 1
+       |GROUP BY lang, cand ORDER BY lang, predicted""".stripMargin
+  }
+
   // -------------------------------------------------------- persistence ---
 
   /** O20/O21 roundtrip: save embeddings as a VectorTable (parquet + config
@@ -396,6 +567,12 @@ object Queries {
     GraftQuery("q_text_stats", qTextStats, Some(qTextStatsSql)),
     GraftQuery("q_multimodal", qMultimodal, Some(qMultimodalSql)),
     GraftQuery("q_save_load", qSaveLoad, Some(qSaveLoadSql)),
+    GraftQuery("q_ann_lsh", qAnnLsh, Some(qAnnLshSql)),
+    GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
+    GraftQuery("q_neardup_minhash", qNearDupMinhash, Some(qNearDupMinhashSql)),
+    GraftQuery("q_simhash", qSimhash, Some(qSimhashSql)),
+    GraftQuery("q_text_quality", qTextQuality, Some(qTextQualitySql)),
+    GraftQuery("q_lang_id", qLangId, Some(qLangIdSql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document sketches for near-duplicate detection at scale — the
+  * LLM-data-pipeline dedup toolkit (north star; no reference analog —
+  * the reference's only similarity machinery is vector-based).
+  *
+  * Every sketch is built from MD5, the one cryptographic hash both the
+  * engine and any SQL oracle compute identically over UTF-8 bytes — so
+  * the whole pipeline (shingle → minhash → band → bucket-join) is
+  * replayable bit-for-bit in DuckDB for the correctness gate. MD5 hex
+  * strings compare lexicographically == numerically (fixed 32 chars), so
+  * `min(md5(...))` is a valid uniform min-hash.
+  *
+  * Scale design: signatures are per-row aggregations (map-side partial
+  * min/sum); the candidate join shuffles band keys (16-byte hashes), not
+  * documents; the final pair set is a tiny fraction of N².
+  */
+object Sketches {
+
+  /** Distinct character k-shingles of `text` in first-occurrence order.
+    * Texts shorter than k yield the whole text as the single shingle. */
+  def shingles(text: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => text.substr(i, lit(k))))
+
+  /** Explode to one row per (id, shingle). The doc side is spread first:
+    * the O(chars·m) hashing below parallelizes over input partitions, and
+    * a single-file table would otherwise run it on one task. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    Partitioning.spread(docs)
+      .select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
+
+  /** MinHash signature: for each of `m` hash families j, the minimum of
+    * `md5("<j>:" + shingle)` over the document's shingle set. Returns one
+    * row per id with columns `mh_0 … mh_{m-1}` (hex strings). */
+  def minhashSignature(
+      docs: DataFrame, idCol: String, textCol: String, k: Int, m: Int): DataFrame = {
+    val mins = (0 until m).map { j =>
+      min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"mh_$j")
+    }
+    shingleRows(docs, idCol, textCol, k)
+      .groupBy(idCol)
+      .agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding of a minhash signature: `bands` bands of `rowsPerBand`
+    * hashes, each compressed to one md5 band key. Output: one row per
+    * (id, band, band_key) — the join key space for candidate pairs. */
+  def minhashBands(
+      signature: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("band_key"))
+    }
+    signature
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** Candidate near-dup pairs: ids sharing ≥1 minhash band, with the
+    * number of shared bands. The equi-join on (band, band_key) is the
+    * scale path — only hash keys shuffle, and the pair set is bounded by
+    * actual collisions, never N². */
+  def minhashCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, m: Int = 16, bands: Int = 4): DataFrame = {
+    val sig = minhashSignature(docs, idCol, textCol, k, m)
+    val bk = minhashBands(sig, idCol, bands, m / bands)
+    val a = bk.select(col(idCol).as("a_id"), col("band"), col("band_key"))
+    val b = bk.select(col(idCol).as("b_id"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** SimHash (32-bit) over whitespace tokens: bit b of the sketch is the
+    * sign of Σ_tokens (bit b of md5(token) ? +1 : −1). Bit b of the hash
+    * is read as "hex digit b of the md5 is ≥ 8" — the high bit of that
+    * nibble — which any SQL engine can evaluate with substr + IN.
+    * Near-dup docs differ in few bits (compare with
+    * `bit_count(a ^ b)`). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Partitioning.spread(docs).select(col(idCol),
+      explode(split(trim(col(textCol)), " +")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val sums = (0 until 32).map { b =>
+      sum(when(substring(col("h"), b + 1, 1).isInCollection(highHex), 1)
+        .otherwise(-1)).as(s"s_$b")
+    }
+    val agg = toks.groupBy(idCol).agg(sums.head, sums.tail: _*)
+    val hash = (0 until 32).map { b =>
+      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col(idCol), hash.as("simhash"))
+  }
+}

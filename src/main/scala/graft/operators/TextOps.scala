@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the LLM-data-pipeline surface: chunking
@@ -82,5 +83,77 @@ object TextOps {
     val keepers = dedupExactGroups(docs, idCol, textCol)
       .select(col("keeper_id").as(idCol))
     docs.join(keepers, idCol)
+  }
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), " +")
+
+  /** English stopwords used by the quality score. */
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "is")
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+    * marks — the usual coarse proxy for subword token counts when no
+    * tokenizer model is available. Identical regex semantics in Java
+    * regex (Spark) and RE2 (DuckDB). */
+  val BpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** North-star quality scoring — per-document heuristics in the style
+    * of large-corpus filtering pipelines (length, token shape, alphabetic
+    * and stopword ratios) plus a combined keep/drop flag. All ratios are
+    * exact-integer-count divisions, so they reproduce bit-for-bit in any
+    * engine. One narrow projection per row: no shuffle at all. */
+  def qualityMetrics(
+      docs: DataFrame, idCol: String, textCol: String, nCharsCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nTokens = size(toks).cast("long")
+    val meanTokenLen =
+      length(regexp_replace(text, " ", "")).cast("double") / nTokens
+    val alphaRatio =
+      length(regexp_replace(text, "[^a-z]", "")).cast("double") / col(nCharsCol)
+    val stopRatio =
+      size(filter(toks, t => t.isInCollection(EnStopwords))).cast("double") / nTokens
+    val bpeTokens = size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
+    // regex-heavy per-row projection: spread a single-file input first
+    Partitioning.spread(docs).select(
+      col(idCol),
+      nTokens.as("n_tokens"),
+      bpeTokens.as("bpe_tokens"),
+      meanTokenLen.as("mean_token_len"),
+      alphaRatio.as("alpha_ratio"),
+      stopRatio.as("stop_ratio"))
+      .withColumn("quality_ok",
+        (col("n_tokens").between(5, 2000) &&
+          col("mean_token_len").between(2.0, 12.0) &&
+          col("alpha_ratio") >= 0.6 &&
+          col("stop_ratio") <= 0.5).cast("int"))
+  }
+
+  /** Marker-word profiles for the n-gram/stopword language-ID heuristic
+    * (north star). Candidates scored by marker occurrences; ties break
+    * alphabetically. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Predicted language per document: the candidate with the most marker
+    * hits (tie → alphabetically first). Output: (idCol, predicted). */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val candidates = LangMarkers.map { case (lang, markers) =>
+      struct(lit(lang).as("cand"),
+        size(filter(toks, t => t.isInCollection(markers))).cast("long").as("hits"))
+    }
+    val scored = Partitioning.spread(docs)
+      .select(col(idCol), explode(array(candidates: _*)).as("c"))
+      .select(col(idCol), col("c.cand").as("cand"), col("c.hits").as("hits"))
+    val w = Window.partitionBy(idCol).orderBy(desc("hits"), asc("cand"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("cand").as("predicted"))
   }
 }

@@ -103,12 +103,8 @@ object VectorSearch {
       spreadQueries: Boolean = true): DataFrame = {
     // The O(N·M) pair work parallelizes over the streamed (query) side's
     // partitions; a small/single-file query table would otherwise pin the
-    // whole join to a handful of tasks. The round-robin shuffle is O(N)
-    // rows — noise next to the O(N·M) pair stage it unlocks.
-    val spread =
-      if (spreadQueries)
-        queries.repartition(queries.sparkSession.sparkContext.defaultParallelism)
-      else queries
+    // whole join to a handful of tasks.
+    val spread = if (spreadQueries) Partitioning.spread(queries) else queries
     val q = prepareColumn(spread, vecCol, metric)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
     val d = prepareColumn(data, vecCol, metric)
