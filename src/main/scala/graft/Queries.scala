@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Metric, VectorFunctions => VF}
-import graft.operators.{Rag, Sketches, TextOps, VectorSearch}
+import graft.operators.{Multimodal, Rag, Sketches, TextOps, VectorSearch}
+import graft.streaming.Streaming
 
 /** One declared, oracle-checked query. `oracle` is ANSI-ish SQL DuckDB runs
   * on the same parquet tables; None → driver records a weaker rows-only
@@ -521,6 +522,143 @@ object Queries {
        |GROUP BY lang, cand ORDER BY lang, predicted""".stripMargin
   }
 
+  /** North-star n-gram Jaccard: exact shingle-set Jaccard for the
+    * MinHash candidate pairs (the verify stage of an LSH dedup pipeline:
+    * cheap candidates first, exact set intersection only on survivors). */
+  private def qJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cand = Sketches.minhashCandidates(docs, "doc_id", "text",
+      k = ShingleK, m = MinhashM, bands = MinhashBands)
+      .select("a_id", "b_id")
+    val sh = Sketches.shingleRows(docs, "doc_id", "text", ShingleK)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")))
+          .as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val qJaccardPairsSql: String = {
+    val rows = MinhashM / MinhashBands
+    val bandSelects = (0 until MinhashBands).map { b =>
+      val cols = (0 until rows).map(r => s"mh_${b * rows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS band_key FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $minhashCte,
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a
+       |  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.a_id, c.b_id, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a_id
+       |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2)
+       |SELECT i.a_id, i.b_id,
+       |       CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) AS jaccard
+       |FROM inter i
+       |JOIN sizes na ON na.doc_id = i.a_id
+       |JOIN sizes nb ON nb.doc_id = i.b_id
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------- multimodal ---
+
+  /** North-star multimodal plumbing: opaque binary payloads + typed
+    * metadata through the batched (stub) decode → feature-extract stage
+    * ([[Multimodal.extractFeatures]]); scalar projection of the result. */
+  private def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.assetsFromDocuments(Tables.documents(s, dir))
+    Multimodal.extractFeatures(assets, EmbeddingDim)
+      .select("asset_id", "kind", "byte_len", "digest", "feat_sum")
+      .orderBy("asset_id")
+  }
+
+  private val qMediaFeaturesSql: String = {
+    val hexVal =
+      "CAST(strpos('0123456789abcdef', substr(md5(text), CAST((fi - 1) % 32 + 1 AS INTEGER), 1)) - 1 AS DOUBLE) / 15.0"
+    val featSum = Oracle.foldSum(
+      s"list_transform(range(1, ${EmbeddingDim + 1}), fi -> $hexVal)")
+    s"""SELECT doc_id AS asset_id,
+       |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |            WHEN doc_id % 3 = 1 THEN 'audio'
+       |            ELSE 'text' END AS kind,
+       |       CAST(strlen(text) AS BIGINT) AS byte_len,
+       |       md5(text) AS digest,
+       |       $featSum AS feat_sum
+       |FROM documents ORDER BY asset_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------- events ---
+
+  /** Streaming-shaped batch query: tumbling 10-minute windows per event
+    * type with exact integer milli-sums ([[Streaming.windowedCounts]] —
+    * the same plan runs under readStream, see StreamingSpec). */
+  private def qEventsWindow(s: SparkSession, dir: String): DataFrame =
+    Streaming.windowedCounts(Tables.events(s, dir))
+      .orderBy("window_start_epoch", "event_type")
+
+  private val qEventsWindowSql: String =
+    """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start_epoch,
+      |       event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli_sum
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Per-user sessionization (30-minute max gap) via native
+    * `session_window`; oracle replays it with gaps-and-islands over
+    * exact microsecond epochs. */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    Streaming.sessionize(Tables.events(s, dir))
+      .orderBy("user_id", "session_start_epoch")
+
+  private val qSessionizeSql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, epoch_us(ts) AS us,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, us,
+      |         CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM o),
+      |g AS (
+      |  SELECT user_id, us,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM f)
+      |SELECT user_id,
+      |       CAST(min(us) // 1000000 AS BIGINT) AS session_start_epoch,
+      |       CAST(count(*) AS BIGINT) AS n_events
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_epoch""".stripMargin
+
+  /** JSON property extraction (`props` is a JSON string column):
+    * per-event-type sum of the numeric `k` field. */
+  private def qEventProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("k_sum"))
+      .orderBy("event_type")
+
+  private val qEventPropsSql: String =
+    """SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // -------------------------------------------------------- persistence ---
 
   /** O20/O21 roundtrip: save embeddings as a VectorTable (parquet + config
@@ -573,6 +711,11 @@ object Queries {
     GraftQuery("q_simhash", qSimhash, Some(qSimhashSql)),
     GraftQuery("q_text_quality", qTextQuality, Some(qTextQualitySql)),
     GraftQuery("q_lang_id", qLangId, Some(qLangIdSql)),
+    GraftQuery("q_jaccard_pairs", qJaccardPairs, Some(qJaccardPairsSql)),
+    GraftQuery("q_media_features", qMediaFeatures, Some(qMediaFeaturesSql)),
+    GraftQuery("q_events_window", qEventsWindow, Some(qEventsWindowSql)),
+    GraftQuery("q_sessionize", qSessionize, Some(qSessionizeSql)),
+    GraftQuery("q_event_props", qEventProps, Some(qEventPropsSql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -36,8 +36,17 @@ object Tables {
     read(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame =
+  /** The fixture stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
+    * refuses to read as a timestamp (PARQUET_TYPE_ILLEGAL). Read nanos
+    * as raw longs and convert with integer division (`div` keeps the
+    * full 64 bits — a double roundtrip would lose precision above 2^53),
+    * truncating toward negative infinity exactly like DuckDB's ns→µs
+    * cast. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Embedding fixture width (FIXTURES.md §2). */
   val EmbeddingDim = 64

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table (an extension —
+  * the reference is fully synchronous request/response, SURVEY §2.2).
+  * Every transform below is batch/stream agnostic: the same function
+  * builds the batch plan (used by the oracle-checked queries) and the
+  * streaming plan (used with `readStream` + a trigger).
+  *
+  * Scale/streaming design: tumbling windows + watermark bound state;
+  * session windows use Spark's native `session_window` (state merges
+  * per user key); sums are integer-exact (milli-units) so results are
+  * reproducible regardless of partition/arrival order.
+  */
+object Streaming {
+
+  /** events fixture schema (TESTDATA.md) — needed by `readStream`. `ts`
+    * is declared LONG because the fixture stores TIMESTAMP(NANOS), which
+    * Spark 4 only reads via the nanos-as-long legacy path (see
+    * [[graft.Tables.events]]); [[eventsStream]] converts it. */
+  val EventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling-window counts + exact milli-sums per event type. Output is
+    * scalar (epoch seconds), deterministic across engines and across
+    * batch/streaming execution. */
+  def windowedCounts(
+      events: DataFrame,
+      windowDur: String = "10 minutes",
+      watermark: Option[String] = None): DataFrame = {
+    val base = watermark.fold(events)(w => events.withWatermark("ts", w))
+    base
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1000).cast("long")).as("value_milli_sum"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start_epoch"),
+        col("event_type"), col("n_events"), col("value_milli_sum"))
+  }
+
+  /** Per-user sessionization with a max-gap window (session ends after
+    * `gap` of silence). Output: user_id, session start (epoch s), event
+    * count. */
+  def sessionize(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: Option[String] = None): DataFrame = {
+    val base = watermark.fold(events)(w => events.withWatermark("ts", w))
+    base
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("sw.start")).as("session_start_epoch"),
+        col("n_events"))
+  }
+
+  /** An events file stream over a DIRECTORY of parquet files — the real
+    * streaming ingest shape (files arrive in a landing dir; each
+    * micro-batch picks up new ones; `Trigger.AvailableNow` drains the
+    * backlog like a batch). Spark's `FileStreamSource` cannot stream a
+    * single bare file, so callers stage fixture files into a directory
+    * first. nanos→µs conversion mirrors [[graft.Tables.events]]. */
+  def eventsStream(spark: SparkSession, landingDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(EventsSchema)
+      .parquet(landingDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

