@@ -659,6 +659,120 @@ object Queries {
       |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------- relational ---
+  // Classic warehouse shapes over the TPC-H-ish tables — exercises the
+  // §2.2 categories (multi-way joins, broadcast dims, grouped aggregation,
+  // top-n) that the vector/text surface doesn't. Money is aggregated in
+  // exact integer cents (floor(x*100)) — double sums across partitions
+  // are order-dependent and would break the hash gate.
+
+  /** Revenue per row in exact cents, discount applied (per-row IEEE
+    * arithmetic is identical in both engines; the SUM is then integer). */
+  private def revenueCents =
+    floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long")
+
+  /** TPC-H Q1-style pricing summary: filtered scan → grouped aggregates.
+    * The shipdate predicate pushes to the parquet scan. */
+  private def qPricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"), // quantities are integral: exact
+        sum(floor(col("l_extendedprice") * 100).cast("long")).as("base_cents"),
+        sum(revenueCents).as("disc_cents"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val qPricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       sum(l_quantity) AS sum_qty,
+      |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS base_cents,
+      |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS disc_cents,
+      |       CAST(count(*) AS BIGINT) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q5-style: lineitem ⋈ orders ⋈ customer ⋈ nation, revenue per
+    * nation. The nation dim is broadcast explicitly; customer is small
+    * enough that AQE broadcasts it too — the only real shuffle left is
+    * the lineitem⋈orders key exchange + the final group-by. */
+  private def qRevenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), revenueCents.as("cents"))
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val nat = broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum("cents").as("revenue_cents"), count(lit(1)).as("n_lineitems"))
+      .orderBy(desc("revenue_cents"), asc("n_name"))
+  }
+
+  private val qRevenueByNationSql: String =
+    """SELECT n.n_name,
+      |       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |       CAST(count(*) AS BIGINT) AS n_lineitems
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name
+      |ORDER BY revenue_cents DESC, n_name ASC""".stripMargin
+
+  /** Top-10 customers by revenue: grouped agg → `TakeOrderedAndProject`
+    * → broadcast join of the 10 survivors against the customer dim (the
+    * name lookup joins AFTER the top-n, so only 10 rows hit the dim). */
+  private def qTopCustomers(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), revenueCents.as("cents"))
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val top = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum("cents").as("revenue_cents"))
+      .orderBy(desc("revenue_cents"), asc("o_custkey"))
+      .limit(10)
+    top.join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_name")),
+      col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey").as("custkey"), col("c_name"), col("revenue_cents"))
+      .orderBy(desc("revenue_cents"), asc("custkey"))
+  }
+
+  private val qTopCustomersSql: String =
+    """WITH rev AS (
+      |  SELECT o.o_custkey,
+      |         CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY o.o_custkey
+      |  ORDER BY revenue_cents DESC, o_custkey ASC LIMIT 10)
+      |SELECT r.o_custkey AS custkey, c.c_name, r.revenue_cents
+      |FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+      |ORDER BY revenue_cents DESC, custkey ASC""".stripMargin
+
+  /** O1/O2 insert path as a declared query: append one arithmetically
+    * embedded row through the VectorTable dim check, report checksums. */
+  private def qInsert(s: SparkSession, dir: String): DataFrame = {
+    val vt = VectorTable(
+      Tables.embeddings(s, dir),
+      VectorTableConfig(dim = EmbeddingDim, metric = "cosine"))
+    val newRow = s.range(1).select(
+      lit(1000000L).as("vec_id"),
+      VF.arithmeticEmbedding(lit("brand new doc"), EmbeddingDim).as("embedding"),
+      lit(99).as("label"))
+    vt.insert(newRow).df.agg(
+      count(lit(1)).as("n_rows"),
+      sum("vec_id").as("id_sum"),
+      sum("label").as("label_sum"))
+  }
+
+  private val qInsertSql: String =
+    """SELECT CAST(count(*) + 1 AS BIGINT) AS n_rows,
+      |       CAST(sum(vec_id) + 1000000 AS BIGINT) AS id_sum,
+      |       CAST(sum(label) + 99 AS BIGINT) AS label_sum
+      |FROM embeddings""".stripMargin
+
   // -------------------------------------------------------- persistence ---
 
   /** O20/O21 roundtrip: save embeddings as a VectorTable (parquet + config
@@ -716,6 +830,10 @@ object Queries {
     GraftQuery("q_events_window", qEventsWindow, Some(qEventsWindowSql)),
     GraftQuery("q_sessionize", qSessionize, Some(qSessionizeSql)),
     GraftQuery("q_event_props", qEventProps, Some(qEventPropsSql)),
+    GraftQuery("q_pricing_summary", qPricingSummary, Some(qPricingSummarySql)),
+    GraftQuery("q_revenue_by_nation", qRevenueByNation, Some(qRevenueByNationSql)),
+    GraftQuery("q_top_customers", qTopCustomers, Some(qTopCustomersSql)),
+    GraftQuery("q_insert", qInsert, Some(qInsertSql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
