@@ -380,6 +380,47 @@ object Queries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Approximate batch knn via IVF (the second ANN scale path): 16
+    * deterministic coarse centroids, per-row argmin assignment with no
+    * shuffle, 2-probe queries, bucket equi-join. */
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    VectorSearch.ivfKnnJoin(emb, emb, "embedding", "vec_id", Metric.Cosine,
+      k = KnnJoinK, c = 16, nProbes = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  private val qAnnIvfSql: String = {
+    val assign = Oracle.dot("v.nemb", "c.cvec", EmbeddingDim)
+    val score = Oracle.dot("q.nemb", "d.nemb", EmbeddingDim)
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |c AS (SELECT vec_id AS cid, nemb AS cvec FROM n ORDER BY vec_id LIMIT 16),
+       |da AS (
+       |  SELECT vec_id, nemb, cid FROM (
+       |    SELECT v.vec_id, v.nemb, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |                              ORDER BY $assign DESC, c.cid ASC) AS rn
+       |    FROM n v CROSS JOIN c) WHERE rn = 1),
+       |qa AS (
+       |  SELECT vec_id, nemb, cid FROM (
+       |    SELECT v.vec_id, v.nemb, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |                              ORDER BY $assign DESC, c.cid ASC) AS rn
+       |    FROM n v CROSS JOIN c) WHERE rn <= 2),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, $score AS score
+       |  FROM qa q JOIN da d ON q.cid = d.cid AND q.vec_id <> d.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM p)
+       |SELECT query_id, neighbor_id, score, rank
+       |FROM r WHERE rank <= $KnnJoinK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ------------------------------------------------------------ sketches ---
 
   private val ShingleK = 8
@@ -820,6 +861,7 @@ object Queries {
     GraftQuery("q_multimodal", qMultimodal, Some(qMultimodalSql)),
     GraftQuery("q_save_load", qSaveLoad, Some(qSaveLoadSql)),
     GraftQuery("q_ann_lsh", qAnnLsh, Some(qAnnLshSql)),
+    GraftQuery("q_ann_ivf", qAnnIvf, Some(qAnnIvfSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_neardup_minhash", qNearDupMinhash, Some(qNearDupMinhashSql)),
     GraftQuery("q_simhash", qSimhash, Some(qSimhashSql)),

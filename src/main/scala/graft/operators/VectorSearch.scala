@@ -150,6 +150,80 @@ object VectorSearch {
       when(proj > lit(0.0), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  // ------------------------------------------------------------------ IVF ---
+
+  /** Deterministic IVF coarse centroids: the metric-prepared vectors of
+    * the first `c` ids (a real pipeline would k-means; a deterministic
+    * sample keeps the index oracle-replayable — same trade as the
+    * arithmetic LSH hyperplanes). This is the index-BUILD step: it
+    * collects exactly `c` rows (c ≈ √N at scale — a dimension table,
+    * not data). */
+  def ivfCentroids(
+      data: DataFrame,
+      vecCol: String,
+      idCol: String,
+      c: Int,
+      metric: Metric): Seq[(Long, Seq[Double])] =
+    prepareColumn(data, vecCol, metric)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(idCol)
+      .limit(c)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .toSeq
+
+  /** Scored (−score, centroid_id) struct array for a prepared vector —
+    * `array_min` of it is the nearest centroid (score desc, id asc
+    * tie-break), computed per row with `c` codegen dot kernels: NO
+    * shuffle, NO window, stays inside whole-stage codegen. */
+  private def centroidStructs(
+      prepared: Column,
+      centroids: Seq[(Long, Seq[Double])],
+      metric: Metric): Column =
+    array(centroids.map { case (cid, cvec) =>
+      struct(
+        negate(metric.scorePrenormalized(prepared, typedlit(cvec))).as("ns"),
+        lit(cid).as("cid"))
+    }: _*)
+
+  /** Nearest-centroid id for a prepared vector column. */
+  def ivfAssign(
+      prepared: Column,
+      centroids: Seq[(Long, Seq[Double])],
+      metric: Metric): Column =
+    array_min(centroidStructs(prepared, centroids, metric)).getField("cid")
+
+  /** Approximate knn join via IVF — the second scale path next to
+    * [[bucketedKnnJoin]]: data rows live in exactly one centroid bucket;
+    * each query probes its `nProbes` nearest buckets (multi-probe buys
+    * recall at linear candidate cost). The bucket equi-join shuffles by
+    * centroid id; candidates per query ≈ nProbes·N/c. */
+  def ivfKnnJoin(
+      queries: DataFrame,
+      data: DataFrame,
+      vecCol: String,
+      idCol: String,
+      metric: Metric,
+      k: Int,
+      c: Int = 16,
+      nProbes: Int = 2,
+      excludeSelf: Boolean = true): DataFrame = {
+    val centroids = ivfCentroids(data, vecCol, idCol, c, metric)
+    val d = prepareColumn(data, vecCol, metric)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__dvec"))
+      .withColumn("centroid_id", ivfAssign(col("__dvec"), centroids, metric))
+    val q = prepareColumn(Partitioning.spread(queries), vecCol, metric)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+      .withColumn("probe",
+        explode(slice(sort_array(centroidStructs(col("__qvec"), centroids, metric)),
+          1, nProbes)))
+      .withColumn("centroid_id", col("probe.cid"))
+      .drop("probe")
+    val pairs = q.join(d, Seq("centroid_id"))
+      .withColumn("score", metric.scorePrenormalized(col("__qvec"), col("__dvec")))
+    rankTopK(pairs, k, excludeSelf)
+  }
+
   /** Approximate knn join — the 100 TB path: pairs are only scored within
     * the same LSH bucket, turning O(N·M) pairs into O(N·M / 2^bits)
     * expected. The bucket equi-join shuffles both sides by bucket id

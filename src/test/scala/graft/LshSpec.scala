@@ -62,4 +62,30 @@ class LshSpec extends SparkSpec {
     // info line records the measured value for tuning.
     assert(recall >= 0.05, f"recall collapsed: $recall%.3f")
   }
+
+  test("IVF: assignment is deterministic and 2-probe recall beats 1-probe") {
+    val exact = pairsOf(VectorSearch.knnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = K, excludeSelf = true, broadcastData = true))
+    def recallWith(probes: Int): Double = {
+      val approx = pairsOf(VectorSearch.ivfKnnJoin(emb, emb, "embedding", "vec_id",
+        Metric.Cosine, k = K, c = 16, nProbes = probes))
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val r1 = recallWith(1)
+    val r2 = recallWith(2)
+    info(f"IVF recall@$K: 1-probe $r1%.3f, 2-probe $r2%.3f")
+    assert(r2 >= r1, f"multi-probe must not lose recall: $r1%.3f -> $r2%.3f")
+    assert(r2 >= 0.1, f"IVF recall collapsed: $r2%.3f")
+  }
+
+  test("IVF assignment puts every centroid vector in its own bucket") {
+    val centroids = VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine)
+    import org.apache.spark.sql.functions.{col => c}
+    val prepared = emb
+      .filter(c("vec_id") < 16)
+      .withColumn("embedding", graft.functions.VectorFunctions.l2Normalize(c("embedding")))
+      .withColumn("cid", VectorSearch.ivfAssign(c("embedding"), centroids, Metric.Cosine))
+    val bad = prepared.filter(c("cid") =!= c("vec_id")).count()
+    assert(bad == 0, "a centroid's nearest centroid must be itself")
+  }
 }
