@@ -684,6 +684,20 @@ object Queries {
       |FROM g GROUP BY user_id, sid
       |ORDER BY user_id, session_start_epoch""".stripMargin
 
+  /** Sliding windows (10 min window / 5 min slide): every event lands in
+    * exactly two windows; oracle enumerates both via a 2-element series. */
+  private def qEventsSliding(s: SparkSession, dir: String): DataFrame =
+    Streaming.windowedCounts(Tables.events(s, dir), slide = Some("5 minutes"))
+      .orderBy("window_start_epoch", "event_type")
+
+  private val qEventsSlidingSql: String =
+    """SELECT CAST((CAST(floor(epoch(ts) / 300) AS BIGINT) - gs.i) * 300 AS BIGINT) AS window_start_epoch,
+      |       event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli_sum
+      |FROM events CROSS JOIN generate_series(0, 1) gs(i)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** JSON property extraction (`props` is a JSON string column):
     * per-event-type sum of the numeric `k` field. */
   private def qEventProps(s: SparkSession, dir: String): DataFrame =
@@ -870,6 +884,7 @@ object Queries {
     GraftQuery("q_jaccard_pairs", qJaccardPairs, Some(qJaccardPairsSql)),
     GraftQuery("q_media_features", qMediaFeatures, Some(qMediaFeaturesSql)),
     GraftQuery("q_events_window", qEventsWindow, Some(qEventsWindowSql)),
+    GraftQuery("q_events_sliding", qEventsSliding, Some(qEventsSlidingSql)),
     GraftQuery("q_sessionize", qSessionize, Some(qSessionizeSql)),
     GraftQuery("q_event_props", qEventProps, Some(qEventPropsSql)),
     GraftQuery("q_pricing_summary", qPricingSummary, Some(qPricingSummarySql)),

@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.Metric
+import graft.{VectorTable, VectorTableConfig}
+import graft.functions.{Metric, VectorFunctions => VF}
 
 /** RAG retrieve-and-assemble — the Spark-native form of the reference's
   * `answer_query` (rag.py:67-97): top-k chunks for a query, their texts
@@ -24,6 +25,29 @@ object Rag {
 
   /** The reference's context separator (rag.py:86). */
   val Separator = "\n---\n"
+
+  /** O18 RAG index build (`build_rag_index`, rag.py:27-52): chunk every
+    * document, embed each chunk deterministically (the SURVEY §2.4.3
+    * stand-in for a model), and materialize a chunk-level [[VectorTable]]
+    * carrying the reference's `doc_index`/`chunk_index` metadata. Chunk
+    * ids are `doc_id·10⁴ + chunk_index` — deterministic, unlike the
+    * reference's uuid4 (storage.py:17), so the table is oracle-safe.
+    * One narrow pipeline: chunk explode → embed projection; no shuffle. */
+  def buildIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int = 300,
+      dim: Int = 64): VectorTable = {
+    val chunks = TextOps.chunkDocuments(docs, idCol, textCol, chunkSize)
+      .select(
+        (col(idCol) * 10000 + col("chunk_index")).as("vec_id"),
+        col(idCol).as("doc_index"),
+        col("chunk_index"),
+        col("chunk_text").as("text"))
+      .withColumn("embedding", VF.arithmeticEmbedding(col("text"), dim))
+    VectorTable(chunks, VectorTableConfig(dim = dim, metric = "cosine"))
+  }
 
   /** Top-k rows of `docs` (columns: idCol, textCol, vecCol) most similar
     * to the 1-row `query` frame (columns: queryVecCol), assembled into a

@@ -35,10 +35,12 @@ object Streaming {
   def windowedCounts(
       events: DataFrame,
       windowDur: String = "10 minutes",
-      watermark: Option[String] = None): DataFrame = {
+      watermark: Option[String] = None,
+      slide: Option[String] = None): DataFrame = {
     val base = watermark.fold(events)(w => events.withWatermark("ts", w))
+    val w = slide.fold(window(col("ts"), windowDur))(sl => window(col("ts"), windowDur, sl))
     base
-      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .groupBy(w.as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(floor(col("value") * 1000).cast("long")).as("value_milli_sum"))

@@ -44,4 +44,23 @@ class RagSpec extends SparkSpec {
       Metric.Cosine, topK = 3).collect()(0).getAs[String]("context")
     assert(context == "only")
   }
+
+  test("buildIndex: end-to-end chunk index + text retrieval (rag.py:27-52)") {
+    val docs = Tables.documents(spark, Sf0001).limit(50)
+    val index = Rag.buildIndex(docs, "doc_id", "text", chunkSize = 100)
+    // every chunk reassembles into its source doc
+    val rebuilt = index.df
+      .groupBy("doc_index")
+      .agg(concat_ws("", sort_array(collect_list(
+        struct(col("chunk_index"), col("text")))).getField("text")).as("joined"))
+    val originals = docs.select(col("doc_id"), col("text").as("orig_text"))
+    val bad = rebuilt
+      .join(originals, rebuilt("doc_index") === originals("doc_id"))
+      .filter(col("joined") =!= col("orig_text")).count()
+    assert(bad == 0, "chunk reassembly mismatch")
+    // retrieval over the chunk table returns k chunks with doc metadata
+    val hits = index.searchText(spark, "spark window join", 3)
+    assert(hits.count() == 3)
+    assert(hits.columns.contains("doc_index") && hits.columns.contains("chunk_index"))
+  }
 }
