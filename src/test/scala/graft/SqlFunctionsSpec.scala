@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The SQL registration surface: kernels callable from spark.sql, results
+  * identical to the Column API, arity errors rejected. */
+class SqlFunctionsSpec extends SparkSpec {
+
+  private lazy val registered: SparkSession = {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, Sf0001).createOrReplaceTempView("emb")
+    spark
+  }
+
+  test("vec_cosine from SQL == Column API, including codegen kernels") {
+    val viaSql = registered.sql(
+      """SELECT e.vec_id,
+        |       vec_cosine(e.embedding, q.embedding) AS score
+        |FROM emb e CROSS JOIN (SELECT embedding FROM emb WHERE vec_id = 0) q
+        |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val viaCols = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.cosine(col("embedding"), col("qvec")).as("s"))
+      .orderBy(desc("s"), asc("vec_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaSql == viaCols)
+  }
+
+  test("vec_l2_normalize + vec_dot from SQL: self-cosine == 1") {
+    val bad = registered.sql(
+      """SELECT vec_id,
+        |       vec_dot(vec_l2_normalize(embedding), vec_l2_normalize(embedding)) AS s
+        |FROM emb""".stripMargin)
+      .filter("abs(s - 1.0) > 1e-9").count()
+    assert(bad == 0)
+  }
+
+  test("wrong arity is rejected with the function name") {
+    val ex = intercept[Exception](
+      registered.sql("SELECT vec_dot(embedding) FROM emb").collect())
+    assert(ex.getMessage.contains("vec_dot"))
+  }
+}
