@@ -806,6 +806,80 @@ object Queries {
       |FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
       |ORDER BY revenue_cents DESC, custkey ASC""".stripMargin
 
+  /** Window-function breadth (rank / dense_rank / lag): per-customer
+    * order ranking by exact price cents with the previous order carried
+    * alongside; top-2 per customer. */
+  private def qOrderRanks(s: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("o_totalprice") * 100).cast("long")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("price_cents"), asc("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), cents.as("price_cents"))
+      .withColumn("price_rank", rank().over(w).cast("long"))
+      .withColumn("price_dense_rank", dense_rank().over(w).cast("long"))
+      .withColumn("prev_orderkey", lag("o_orderkey", 1).over(w))
+      .filter(col("price_rank") <= 2)
+      .orderBy("o_custkey", "price_rank", "o_orderkey")
+  }
+
+  private val qOrderRanksSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      |  FROM orders),
+      |r AS (
+      |  SELECT o_custkey, o_orderkey, price_cents,
+      |         CAST(rank() OVER w AS BIGINT) AS price_rank,
+      |         CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank,
+      |         lag(o_orderkey, 1) OVER w AS prev_orderkey
+      |  FROM o
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY price_cents DESC, o_orderkey ASC))
+      |SELECT * FROM r WHERE price_rank <= 2
+      |ORDER BY o_custkey, price_rank, o_orderkey""".stripMargin
+
+  /** Set-operation breadth: nation keys split into customers∩suppliers,
+    * customers-only, suppliers-only via INTERSECT / EXCEPT / UNION ALL. */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val custN = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+    val suppN = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+    val both = custN.intersect(suppN).withColumn("tag", lit("both"))
+    val custOnly = custN.except(suppN).withColumn("tag", lit("cust_only"))
+    val suppOnly = suppN.except(custN).withColumn("tag", lit("supp_only"))
+    both.unionByName(custOnly).unionByName(suppOnly)
+      .select("tag", "nationkey")
+      .orderBy("tag", "nationkey")
+  }
+
+  private val qSetOpsSql: String =
+    """SELECT 'both' AS tag, nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT 'cust_only', nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  EXCEPT SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT 'supp_only', nationkey FROM (
+      |  SELECT s_nationkey AS nationkey FROM supplier
+      |  EXCEPT SELECT c_nationkey FROM customer)
+      |ORDER BY tag, nationkey""".stripMargin
+
+  /** Rollup aggregation: (lang, source) hierarchy with subtotal and
+    * grand-total rows (`ROLLUP` — absent from the reference entirely). */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .rollup("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
+
+  private val qRollupSql: String =
+    """SELECT lang, source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY ROLLUP (lang, source)
+      |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
+
   /** O1/O2 insert path as a declared query: append one arithmetically
     * embedded row through the VectorTable dim check, report checksums. */
   private def qInsert(s: SparkSession, dir: String): DataFrame = {
@@ -890,6 +964,9 @@ object Queries {
     GraftQuery("q_pricing_summary", qPricingSummary, Some(qPricingSummarySql)),
     GraftQuery("q_revenue_by_nation", qRevenueByNation, Some(qRevenueByNationSql)),
     GraftQuery("q_top_customers", qTopCustomers, Some(qTopCustomersSql)),
+    GraftQuery("q_order_ranks", qOrderRanks, Some(qOrderRanksSql)),
+    GraftQuery("q_set_ops", qSetOps, Some(qSetOpsSql)),
+    GraftQuery("q_rollup", qRollup, Some(qRollupSql)),
     GraftQuery("q_insert", qInsert, Some(qInsertSql)),
   )
 
