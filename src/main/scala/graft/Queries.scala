@@ -568,19 +568,25 @@ object Queries {
     * cheap candidates first, exact set intersection only on survivors). */
   private def qJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val cand = Sketches.minhashCandidates(docs, "doc_id", "text",
-      k = ShingleK, m = MinhashM, bands = MinhashBands)
-      .select("a_id", "b_id")
+    // one aggregation pass yields signature AND set size; sizes ride the
+    // band rows into the candidate join, so no separate sizes scan/joins
+    val sig = Sketches.minhashSignature(docs, "doc_id", "text", ShingleK, MinhashM)
+    val bk = Sketches.minhashBands(sig, "doc_id", MinhashBands,
+      MinhashM / MinhashBands, carry = Seq("n_shingles"))
+    val a = bk.select(col("doc_id").as("a_id"), col("band"), col("band_key"),
+      col("n_shingles").as("na"))
+    val b = bk.select(col("doc_id").as("b_id"), col("band"), col("band_key"),
+      col("n_shingles").as("nb"))
+    val cand = a.join(b, Seq("band", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "na", "nb")
+      .distinct()
     val sh = Sketches.shingleRows(docs, "doc_id", "text", ShingleK)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
+    cand
       .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
-      .groupBy("a_id", "b_id")
+      .groupBy("a_id", "b_id", "na", "nb")
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
       .select(col("a_id"), col("b_id"),
         (col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")))
           .as("jaccard"))

@@ -34,31 +34,41 @@ object Sketches {
     Partitioning.spread(docs)
       .select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
 
-  /** MinHash signature: for each of `m` hash families j, the minimum of
-    * `md5("<j>:" + shingle)` over the document's shingle set. Returns one
-    * row per id with columns `mh_0 … mh_{m-1}` (hex strings). */
-  def minhashSignature(
-      docs: DataFrame, idCol: String, textCol: String, k: Int, m: Int): DataFrame = {
-    val mins = (0 until m).map { j =>
+  /** The m min-hash aggregate expressions over a `shingle` column:
+    * `min(md5("<j>:" + shingle))` for family j. */
+  def minhashAggExprs(m: Int): Seq[Column] =
+    (0 until m).map { j =>
       min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"mh_$j")
     }
+
+  /** MinHash signature: for each of `m` hash families j, the minimum of
+    * `md5("<j>:" + shingle)` over the document's shingle set. Returns one
+    * row per id with columns `mh_0 … mh_{m-1}` (hex strings), plus
+    * `n_shingles` — the set size rides along in the SAME aggregation
+    * pass so downstream Jaccard math needs no second scan. */
+  def minhashSignature(
+      docs: DataFrame, idCol: String, textCol: String, k: Int, m: Int): DataFrame = {
+    val aggs = minhashAggExprs(m) :+ count(lit(1)).as("n_shingles")
     shingleRows(docs, idCol, textCol, k)
       .groupBy(idCol)
-      .agg(mins.head, mins.tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding of a minhash signature: `bands` bands of `rowsPerBand`
     * hashes, each compressed to one md5 band key. Output: one row per
-    * (id, band, band_key) — the join key space for candidate pairs. */
+    * (id, band, band_key) plus any `carry` columns from the signature —
+    * the join key space for candidate pairs. */
   def minhashBands(
-      signature: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+      signature: DataFrame, idCol: String, bands: Int, rowsPerBand: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("band_key"))
     }
     signature
-      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      .select(col(idCol) +: carry.map(col) :+ explode(array(bandStructs: _*)).as("bk"): _*)
+      .select(col(idCol) +: carry.map(col) :+ col("bk.band").as("band")
+        :+ col("bk.band_key").as("band_key"): _*)
   }
 
   /** Candidate near-dup pairs: ids sharing ≥1 minhash band, with the
