@@ -70,9 +70,32 @@ final class VectorTable(val df: DataFrame, val config: VectorTableConfig) {
     search(q, "__qvec", k)
   }
 
-  /** O20 persist: Parquet data + JSON config sidecar (api.py:174-189). */
-  def save(path: String): Unit = {
-    df.write.mode("overwrite").parquet(s"$path/data")
+  /** O20 persist: Parquet data + JSON config sidecar (api.py:174-189).
+    *
+    * `partitionBy` hive-partitions the layout (e.g. by `label` or a date
+    * column): a downstream `filter(col === v)` then prunes whole
+    * directories at planning time (`PartitionFilters` in the scan) —
+    * at 100 TB the difference between scanning one partition and all of
+    * them. */
+  def save(path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(s"$path/data")
+    writeSidecar(path)
+  }
+
+  /** Persist as a BUCKETED table (`bucketBy` on the id column): two
+    * tables bucketed the same way equi-join WITHOUT a shuffle — the
+    * co-located join that makes repeated 100 TB joins affordable.
+    * Bucketing requires the table catalog (`saveAsTable`), not a bare
+    * path. */
+  def saveBucketed(tableName: String, numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, config.idCol)
+      .sortBy(config.idCol)
+      .saveAsTable(tableName)
+
+  private def writeSidecar(path: String): Unit = {
     val spark = df.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(path, VectorTable.ConfigFile), true)

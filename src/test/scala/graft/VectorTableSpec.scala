@@ -67,4 +67,49 @@ class VectorTableSpec extends SparkSpec {
     assert(out.columns.contains("score"))
     assert(out.count() == 7)
   }
+
+  test("partitioned save prunes partitions at the scan (PartitionFilters)") {
+    val path = tmpDir()
+    base.save(path, partitionBy = Seq("label"))
+    val loaded = VectorTable.load(spark, path)
+    val plan = loaded.df.filter(col("label") === 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(label"),
+      s"no partition pruning in plan:\n$plan")
+    // pruned read still returns the right rows
+    assert(loaded.df.filter(col("label") === 3).count() ==
+      base.df.filter(col("label") === 3).count())
+  }
+
+  test("bucketed tables equi-join without a shuffle (co-located join)") {
+    for (t <- Seq("emb_bucketed_a", "emb_bucketed_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a dropped catalog entry can leave its warehouse dir behind
+      // (session restarts between runs) — clear it or CREATE fails with
+      // LOCATION_ALREADY_EXISTS
+      val loc = java.nio.file.Paths.get(s"/root/repo/spark-warehouse/$t")
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    base.saveBucketed("emb_bucketed_a", 8)
+    base.saveBucketed("emb_bucketed_b", 8)
+    // the fixture is broadcast-sized, which would bypass the bucketing;
+    // disable auto-broadcast to observe the at-scale (co-located) plan
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = spark.table("emb_bucketed_a").select(col("vec_id"), col("label").as("la"))
+      val b = spark.table("emb_bucketed_b").select(col("vec_id"), col("label").as("lb"))
+      val joined = a.join(b, "vec_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle-family join over bucketed tables:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == base.df.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
