@@ -581,7 +581,13 @@ object Queries {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id", "na", "nb")
       .distinct()
-    val sh = Sketches.shingleRows(docs, "doc_id", "text", ShingleK)
+    // exact intersection only needs the CANDIDATE docs' shingles — a
+    // semi-join prunes the corpus before the (re-)shingling explode, so
+    // the expensive stage scales with collisions, not corpus size
+    val candIds = cand
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
+    val sh = Sketches.shingleRows(docs.join(candIds, "doc_id"), "doc_id", "text", ShingleK)
     cand
       .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
