@@ -1,8 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
+
+/** Custom per-user running state for [[Streaming.userRunningStats]]. */
+final case class UserState(n_events: Long, value_milli_sum: Long, last_epoch: Long)
+
+/** One input event row for the stateful path (typed boundary). */
+final case class UserEvent(user_id: Long, epoch: Long, value_milli: Long)
+
+/** Emitted state row. */
+final case class UserStats(user_id: Long, n_events: Long, value_milli_sum: Long, last_epoch: Long)
 
 /** Structured Streaming surface over the `events` table (an extension —
   * the reference is fully synchronous request/response, SURVEY §2.2).
@@ -65,6 +75,43 @@ object Streaming {
         unix_timestamp(col("sw.start")).as("session_start_epoch"),
         col("n_events"))
   }
+
+  /** Arbitrary stateful processing (`mapGroupsWithState`): a per-user
+    * running aggregate the built-in windowed aggs can't express as-is
+    * (count + exact milli-sum + last-seen, updated per micro-batch).
+    * Works identically on a batch frame (Spark runs the state function
+    * once per group) and a stream (state persists across batches) —
+    * StreamingSpec asserts both paths agree. All state fields are exact
+    * integers, so results are arrival-order independent. */
+  def userRunningStats(events: DataFrame): Dataset[UserStats] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(
+      col("user_id"),
+      unix_timestamp(col("ts")).as("epoch"),
+      floor(col("value") * 1000).cast("long").as("value_milli"))
+      .as[UserEvent]
+    typed
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserStats](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue))
+          var n = prev.n_events
+          var s = prev.value_milli_sum
+          var last = prev.last_epoch
+          rows.foreach { e =>
+            n += 1
+            s += e.value_milli
+            if (e.epoch > last) last = e.epoch
+          }
+          val next = UserState(n, s, last)
+          state.update(next)
+          UserStats(userId, next.n_events, next.value_milli_sum, next.last_epoch)
+      }
+  }
+
+  /** Output mode required by [[userRunningStats]] under a stream. */
+  val RunningStatsOutputMode: OutputMode = OutputMode.Update()
 
   /** An events file stream over a DIRECTORY of parquet files — the real
     * streaming ingest shape (files arrive in a landing dir; each

@@ -57,6 +57,27 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stateful mapGroupsWithState: streaming final state == batch") {
+    import graft.streaming.Streaming
+    // batch: the state function runs once per group over all events
+    val batch = Streaming.userRunningStats(Tables.events(spark, Sf0001))
+      .collect().map(s => s.user_id -> ((s.n_events, s.value_milli_sum, s.last_epoch))).toMap
+    // stream: state persists across micro-batches; memory sink in Update
+    // mode keeps every emission — the LAST row per user is the final state
+    val q = Streaming.userRunningStats(Streaming.eventsStream(spark, landingDir))
+      .writeStream.format("memory").queryName("user_stats")
+      .outputMode(Streaming.RunningStatsOutputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("user_stats")
+      .groupBy("user_id")
+      .agg(max("n_events").as("n"), max("value_milli_sum").as("s"), max("last_epoch").as("l"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("sessions respect the 30-minute gap (no intra-session gap ≥ gap)") {
     // max intra-session gap must be < 30 min: recompute with islands and compare counts
     val sessions = Streaming.sessionize(Tables.events(spark, Sf0001))
