@@ -569,8 +569,13 @@ object Queries {
   private def qJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     // one aggregation pass yields signature AND set size; sizes ride the
-    // band rows into the candidate join, so no separate sizes scan/joins
+    // band rows into the candidate join, so no separate sizes scan/joins.
+    // The signature is materialized once (localCheckpoint) because the
+    // band SELF-join would otherwise recompute the whole shingle→minhash
+    // pipeline for each side — the in-query analog of persisting the
+    // signature table as a pipeline stage at real scale.
     val sig = Sketches.minhashSignature(docs, "doc_id", "text", ShingleK, MinhashM)
+      .localCheckpoint()
     val bk = Sketches.minhashBands(sig, "doc_id", MinhashBands,
       MinhashM / MinhashBands, carry = Seq("n_shingles"))
     val a = bk.select(col("doc_id").as("a_id"), col("band"), col("band_key"),
@@ -892,6 +897,53 @@ object Queries {
       |GROUP BY ROLLUP (lang, source)
       |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
 
+  /** Pivot: per-source document counts spread across language columns
+    * (Spark `pivot()`; the oracle uses conditional aggregation, which is
+    * exactly what the pivot plans to). */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("source")
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("source")
+
+  private val qPivotSql: String =
+    """SELECT source,
+      |       CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS de,
+      |       CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS en,
+      |       CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT) AS es,
+      |       CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr,
+      |       CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS zh
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Window frames (ROWS UNBOUNDED PRECEDING): per-customer running
+    * revenue over their orders in date order — exact cents. */
+  private def qRunningTotal(s: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("o_totalprice") * 100).cast("long")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("price_cents", cents)
+      .withColumn("running_cents", sum("price_cents").over(w))
+      .filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("order_epoch"),
+        col("price_cents"), col("running_cents"))
+      .orderBy("o_custkey", "order_epoch", "o_orderkey")
+  }
+
+  private val qRunningTotalSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+      |       CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
+      |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+      |FROM orders WHERE o_custkey < 50
+      |ORDER BY o_custkey, order_epoch, o_orderkey""".stripMargin
+
   /** O1/O2 insert path as a declared query: append one arithmetically
     * embedded row through the VectorTable dim check, report checksums. */
   private def qInsert(s: SparkSession, dir: String): DataFrame = {
@@ -979,6 +1031,8 @@ object Queries {
     GraftQuery("q_order_ranks", qOrderRanks, Some(qOrderRanksSql)),
     GraftQuery("q_set_ops", qSetOps, Some(qSetOpsSql)),
     GraftQuery("q_rollup", qRollup, Some(qRollupSql)),
+    GraftQuery("q_pivot", qPivot, Some(qPivotSql)),
+    GraftQuery("q_running_total", qRunningTotal, Some(qRunningTotalSql)),
     GraftQuery("q_insert", qInsert, Some(qInsertSql)),
   )
 
