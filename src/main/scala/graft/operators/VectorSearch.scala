@@ -207,15 +207,16 @@ object VectorSearch {
       k: Int,
       c: Int = 16,
       nProbes: Int = 2,
-      excludeSelf: Boolean = true): DataFrame = {
-    val centroids = ivfCentroids(data, vecCol, idCol, c, metric)
+      excludeSelf: Boolean = true,
+      centroids: Option[Seq[(Long, Seq[Double])]] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(data, vecCol, idCol, c, metric))
     val d = prepareColumn(data, vecCol, metric)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__dvec"))
-      .withColumn("centroid_id", ivfAssign(col("__dvec"), centroids, metric))
+      .withColumn("centroid_id", ivfAssign(col("__dvec"), cents, metric))
     val q = prepareColumn(Partitioning.spread(queries), vecCol, metric)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
       .withColumn("probe",
-        explode(slice(sort_array(centroidStructs(col("__qvec"), centroids, metric)),
+        explode(slice(sort_array(centroidStructs(col("__qvec"), cents, metric)),
           1, nProbes)))
       .withColumn("centroid_id", col("probe.cid"))
       .drop("probe")
