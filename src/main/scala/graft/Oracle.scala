@@ -46,6 +46,15 @@ object Oracle {
   def arithmeticEmbedding(textExpr: String, dim: Int): String =
     s"list_transform(range(1, ${dim + 1}), ai -> CAST((length($textExpr) * ai) % 97 AS DOUBLE) / 97.0)"
 
+  /** Content-sensitive md5 embedding — mirror of
+    * `VectorFunctions.hashEmbedding`: dim i reads hex digit (i mod 32) of
+    * `md5("<i/32>:" + text)`, mapped 0..15 → [0,1] via ascii offsets. */
+  def hashEmbedding(textExpr: String, dim: Int): String = {
+    val ch = s"substr(md5(CAST((hi - 1) // 32 AS VARCHAR) || ':' || $textExpr), CAST((hi - 1) % 32 + 1 AS INTEGER), 1)"
+    val v = s"(CASE WHEN ascii($ch) <= 57 THEN ascii($ch) - 48 ELSE ascii($ch) - 87 END)"
+    s"list_transform(range(1, ${dim + 1}), hi -> CAST($v AS DOUBLE) / 15.0)"
+  }
+
   /** CTE exposing embeddings with the fixture `ARRAY<FLOAT>` widened to
     * DOUBLE — mirrors `Tables.embeddings`. Yields relation `e(vec_id,
     * label, emb)`. */

@@ -159,6 +159,29 @@ object Queries {
        |ORDER BY score DESC, vec_id ASC LIMIT $K""".stripMargin
   }
 
+  /** O10 with the content-sensitive md5 embedding — same shape as
+    * [[qTextSearch]] but the query vector varies with text CONTENT, not
+    * just length (exceeds the reference's DummyEmbeddings). */
+  private def qHashSearch(s: SparkSession, dir: String): DataFrame = {
+    val q = s.range(1)
+      .select(VF.hashEmbedding(lit(RagQueryText), EmbeddingDim).as("qvec"))
+    VectorSearch.topK(
+      Tables.embeddings(s, dir).select("vec_id", "embedding"),
+      "embedding", "vec_id", q, "qvec", Metric.Cosine, K)
+      .select("vec_id", "score")
+  }
+
+  private val qHashSearchSql: String = {
+    val emb = Oracle.hashEmbedding(s"'$RagQueryText'", EmbeddingDim)
+    val score = Oracle.dot("n.nemb", "q.qemb", EmbeddingDim)
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |q AS (SELECT ${Oracle.l2Normalize(emb)} AS qemb)
+       |SELECT n.vec_id AS vec_id, $score AS score
+       |FROM n CROSS JOIN q
+       |ORDER BY score DESC, vec_id ASC LIMIT $K""".stripMargin
+  }
+
   /** Batch knn (O9 at scale; the exact replacement for the reference's
     * HNSW serving path ann.py:67-102): every vector's top-5 cosine
     * neighbors, self excluded. */
@@ -1011,6 +1034,7 @@ object Queries {
     GraftQuery("q_knn_euclid", qKnnEuclid, Some(qKnnEuclidSql)),
     GraftQuery("q_filter_search", qFilterSearch, Some(qFilterSearchSql)),
     GraftQuery("q_text_search", qTextSearch, Some(qTextSearchSql)),
+    GraftQuery("q_hash_search", qHashSearch, Some(qHashSearchSql)),
     GraftQuery("q_knn_join", qKnnJoin, Some(qKnnJoinSql)),
     GraftQuery("q_normalize", qNormalize, Some(qNormalizeSql)),
     GraftQuery("q_chunks", qChunks, Some(qChunksSql)),

@@ -102,4 +102,22 @@ object VectorFunctions {
   def arithmeticEmbedding(text: Column, dim: Int): Column =
     transform(sequence(lit(1L), lit(dim.toLong)),
       i => (length(text).cast("long") * i % 97).cast("double") / lit(97.0))
+
+  /** Content-sensitive deterministic embedding: dimension i reads hex
+    * digit `i mod 32` of `md5("<i/32>:" + text)`, scaled to [0,1].
+    * Unlike [[arithmeticEmbedding]] (which mirrors the reference's
+    * length-only DummyEmbeddings, embeddings.py:25-27), different texts
+    * of the same length get different vectors — still bit-replayable in
+    * any engine with md5 (⌈dim/32⌉ hashes per row). */
+  def hashEmbedding(text: Column, dim: Int): Column = {
+    val blocks = (dim + 31) / 32
+    val digests = array((0 until blocks).map(b =>
+      md5(concat(lit(s"$b:"), text))): _*)
+    transform(sequence(lit(0), lit(dim - 1)), i => {
+      val block = element_at(digests, floor(i / lit(32)).cast("int") + 1)
+      val a = ascii(block.substr((i % 32) + 1, lit(1)))
+      // '0'-'9' → 0..9, 'a'-'f' → 10..15 via ascii offsets, scaled to [0,1]
+      when(a <= 57, a - 48).otherwise(a - 87).cast("double") / lit(15.0)
+    })
+  }
 }

@@ -172,6 +172,58 @@ object VectorSearch {
       .map(r => r.getLong(0) -> r.getSeq[Double](1))
       .toSeq
 
+  /** Lloyd (k-means) refinement of IVF centroids: assign every vector to
+    * its nearest centroid, recompute each centroid as the elementwise
+    * mean of its members (distributed: posexplode → per-(cid, pos) avg →
+    * re-assembled), for cosine re-normalized (spherical k-means). Empty
+    * clusters drop out. The double means are partition-order-dependent
+    * in their last bits, so refined centroids are for index QUALITY —
+    * the oracle-checked query keeps the deterministic first-c centroids.
+    * Each iteration is two jobs: one distributed mean, one c-row
+    * collect. */
+  def ivfRefineCentroids(
+      data: DataFrame,
+      vecCol: String,
+      centroids: Seq[(Long, Seq[Double])],
+      metric: Metric,
+      iters: Int = 1): Seq[(Long, Seq[Double])] = {
+    var cents = centroids
+    val prepared = prepareColumn(data, vecCol, metric)
+    for (_ <- 0 until iters) {
+      val means = prepared
+        .withColumn("cid", ivfAssign(col(vecCol), cents, metric))
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(avg("v").as("m"))
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("sv"))
+        .select(col("cid"),
+          metric.prepare(transform(col("sv"), x => x.getField("m"))).as("vec"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1))
+        .toSeq
+        .sortBy(_._1)
+      cents = means
+    }
+    cents
+  }
+
+  /** Mean similarity of every vector to its assigned centroid — the
+    * (spherical) k-means objective; [[ivfRefineCentroids]] must not
+    * decrease it. */
+  def ivfObjective(
+      data: DataFrame,
+      vecCol: String,
+      centroids: Seq[(Long, Seq[Double])],
+      metric: Metric): Double = {
+    val prepared = prepareColumn(data, vecCol, metric)
+    prepared
+      .select(array_min(centroidStructs(col(vecCol), centroids, metric))
+        .getField("ns").as("ns"))
+      .agg(avg(negate(col("ns"))))
+      .collect()(0).getDouble(0)
+  }
+
   /** Scored (−score, centroid_id) struct array for a prepared vector —
     * `array_min` of it is the nearest centroid (score desc, id asc
     * tie-break), computed per row with `c` codegen dot kernels: NO

@@ -78,6 +78,21 @@ class LshSpec extends SparkSpec {
     assert(r2 >= 0.1, f"IVF recall collapsed: $r2%.3f")
   }
 
+  test("IVF k-means refinement does not decrease the clustering objective") {
+    val init = VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine)
+    val before = VectorSearch.ivfObjective(emb, "embedding", init, Metric.Cosine)
+    val refined = VectorSearch.ivfRefineCentroids(emb, "embedding", init,
+      Metric.Cosine, iters = 2)
+    val after = VectorSearch.ivfObjective(emb, "embedding", refined, Metric.Cosine)
+    info(f"spherical k-means objective: init $before%.4f -> refined $after%.4f")
+    assert(after >= before - 1e-9,
+      f"refinement worsened the objective: $before%.4f -> $after%.4f")
+    // refined centroids plug into the same join path
+    val pairs = VectorSearch.ivfKnnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = K, nProbes = 2, centroids = Some(refined))
+    assert(pairs.count() > 0)
+  }
+
   test("IVF assignment puts every centroid vector in its own bucket") {
     val centroids = VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine)
     import org.apache.spark.sql.functions.{col => c}
