@@ -747,6 +747,27 @@ object Queries {
       |FROM events CROSS JOIN generate_series(0, 1) gs(i)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Event-pair correlation (the batch form of the stream-stream
+    * interval self-join, [[Streaming.correlatedPairs]]): same-user event
+    * pairs within a day, aggregated per (a_type, b_type) with exact
+    * microsecond gap sums. */
+  private def qEventPairs(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Streaming.correlatedPairs(ev, ev, withinSeconds = 86400)
+      .groupBy("a_type", "b_type")
+      .agg(count(lit(1)).as("n_pairs"), sum("gap_micros").as("gap_micros_sum"))
+      .orderBy("a_type", "b_type")
+  }
+
+  private val qEventPairsSql: String =
+    """SELECT a.event_type AS a_type, b.event_type AS b_type,
+      |       CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(sum(epoch_us(b.ts) - epoch_us(a.ts)) AS BIGINT) AS gap_micros_sum
+      |FROM events a
+      |JOIN events b ON a.user_id = b.user_id AND a.event_id <> b.event_id
+      |             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 86400 SECONDS
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** JSON property extraction (`props` is a JSON string column):
     * per-event-type sum of the numeric `k` field. */
   private def qEventProps(s: SparkSession, dir: String): DataFrame =
@@ -1058,6 +1079,7 @@ object Queries {
     GraftQuery("q_events_sliding", qEventsSliding, Some(qEventsSlidingSql)),
     GraftQuery("q_sessionize", qSessionize, Some(qSessionizeSql)),
     GraftQuery("q_event_props", qEventProps, Some(qEventPropsSql)),
+    GraftQuery("q_event_pairs", qEventPairs, Some(qEventPairsSql)),
     GraftQuery("q_pricing_summary", qPricingSummary, Some(qPricingSummarySql)),
     GraftQuery("q_revenue_by_nation", qRevenueByNation, Some(qRevenueByNationSql)),
     GraftQuery("q_top_customers", qTopCustomers, Some(qTopCustomersSql)),

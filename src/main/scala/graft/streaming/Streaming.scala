@@ -113,6 +113,33 @@ object Streaming {
   /** Output mode required by [[userRunningStats]] under a stream. */
   val RunningStatsOutputMode: OutputMode = OutputMode.Update()
 
+  /** Event-pair correlation: for each event, the events by the SAME user
+    * within the following `withinSeconds` (exclusive of itself) — e.g.
+    * "view followed by click". As a stream-stream self-join both sides
+    * need watermarks and the join condition must time-bound both event
+    * times (bounds the join state); the same function builds the batch
+    * plan for the oracle-checked query. Output is scalar + exact. */
+  def correlatedPairs(
+      left: DataFrame,
+      right: DataFrame,
+      withinSeconds: Int): DataFrame = {
+    val a = left.select(
+      col("event_id").as("a_id"), col("user_id"),
+      col("ts").as("a_ts"), col("event_type").as("a_type"))
+    val b = right.select(
+      col("event_id").as("b_id"), col("user_id").as("b_user"),
+      col("ts").as("b_ts"), col("event_type").as("b_type"))
+    a.join(b,
+      col("user_id") === col("b_user") &&
+        col("a_id") =!= col("b_id") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $withinSeconds SECONDS"))
+      .select(
+        col("a_id"), col("b_id"), col("user_id"),
+        col("a_type"), col("b_type"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_micros"))
+  }
+
   /** An events file stream over a DIRECTORY of parquet files — the real
     * streaming ingest shape (files arrive in a landing dir; each
     * micro-batch picks up new ones; `Trigger.AvailableNow` drains the

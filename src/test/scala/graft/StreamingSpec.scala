@@ -78,6 +78,27 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream interval self-join == batch") {
+    import graft.streaming.Streaming
+    val within = 86400
+    val batchTotal = Streaming.correlatedPairs(
+      Tables.events(spark, Sf0001), Tables.events(spark, Sf0001), within)
+      .agg(count(lit(1)), sum("gap_micros"))
+      .collect()(0)
+    val a = Streaming.eventsStream(spark, landingDir).withWatermark("ts", "40 days")
+    val b = Streaming.eventsStream(spark, landingDir).withWatermark("ts", "40 days")
+    val q = Streaming.correlatedPairs(a, b, within)
+      .writeStream.format("memory").queryName("event_pairs")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val streamTotal = spark.table("event_pairs")
+      .agg(count(lit(1)), sum("gap_micros")).collect()(0)
+    assert(streamTotal == batchTotal)
+    assert(batchTotal.getLong(0) > 0)
+  }
+
   test("sessions respect the 30-minute gap (no intra-session gap ≥ gap)") {
     // max intra-session gap must be < 30 min: recompute with islands and compare counts
     val sessions = Streaming.sessionize(Tables.events(spark, Sf0001))
