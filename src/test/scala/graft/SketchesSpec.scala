@@ -55,6 +55,15 @@ class SketchesSpec extends SparkSpec {
     assert(flagged > 0, "no doc passed the quality gate — rule too strict")
   }
 
+  test("dedupExact keeps exactly one row (min id) per distinct text") {
+    val dups = Seq(
+      (5L, "same text"), (2L, "same text"), (9L, "same text"),
+      (3L, "other text")).toDF("doc_id", "text")
+    val kept = TextOps.dedupExact(dups, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"kept $kept")
+  }
+
   test("langId picks the profile with the most marker hits") {
     val hand = Seq(
       (1L, "der hund und die katze ist da"),

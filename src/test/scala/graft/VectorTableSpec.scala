@@ -62,6 +62,24 @@ class VectorTableSpec extends SparkSpec {
     assert(base.items.columns.toSeq == Seq("vec_id", "label"))
   }
 
+  test("insertText embeds the text column and appends (api.py:156-162)") {
+    val textTable = VectorTable(
+      Tables.documents(spark, Sf0001).limit(5)
+        .select(col("doc_id").as("vec_id"), col("text"))
+        .withColumn("embedding",
+          graft.functions.VectorFunctions.arithmeticEmbedding(col("text"), Tables.EmbeddingDim)),
+      VectorTableConfig(dim = Tables.EmbeddingDim, metric = "cosine"))
+    import spark.implicits._
+    val newRows = Seq((100L, "a freshly inserted document")).toDF("vec_id", "text")
+    val appended = textTable.insertText(newRows, "text")
+    assert(appended.df.count() == 6)
+    // the new row's embedding has the configured width and rides the text
+    val row = appended.df.filter(col("vec_id") === 100L)
+      .select(size(col("embedding")), col("text")).collect()(0)
+    assert(row.getInt(0) == Tables.EmbeddingDim)
+    assert(row.getString(1) == "a freshly inserted document")
+  }
+
   test("searchText returns k rows with score column (api.py:164-168)") {
     val out = base.searchText(spark, "hello graft", 7)
     assert(out.columns.contains("score"))
