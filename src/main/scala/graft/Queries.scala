@@ -187,8 +187,10 @@ object Queries {
     * neighbors, self excluded. */
   private def qKnnJoin(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    // no broadcastData override: at 100× the data side (~2.5 GB) would OOM
+    // a mandatory broadcast — AQE picks the strategy from runtime sizes
     VectorSearch.knnJoin(emb, emb, "embedding", "vec_id", Metric.Cosine,
-      k = KnnJoinK, excludeSelf = true, broadcastData = true)
+      k = KnnJoinK, excludeSelf = true)
   }
 
   private val qKnnJoinSql: String = {
@@ -460,17 +462,27 @@ object Queries {
   private val MinhashBands = 4
 
   /** Oracle CTE `mh(doc_id, mh_0..mh_15)` mirroring
-    * [[Sketches.minhashSignature]]. */
+    * [[Sketches.minhashSignature]]: one md5 per shingle, first 15 hex
+    * chars parsed as a BIGINT (DuckDB's '0x…' cast == Spark's
+    * `conv(…,16,10)`), reduced mod the prime, then the m families by
+    * multiply-add with the SAME constants [[Sketches.mixConstants]]
+    * inlines on the Spark side. */
   private val minhashCte: String = {
-    val mins = (0 until MinhashM)
-      .map(j => s"min(md5('$j:' || shingle)) AS mh_$j").mkString(", ")
+    val p = Sketches.MinhashPrime
+    val mins = Sketches.mixConstants(MinhashM).zipWithIndex
+      .map { case ((a, b), j) => s"min(($a * hm + $b) % $p) AS mh_$j" }
+      .mkString(", ")
     s"""sh AS (
        |  SELECT doc_id,
        |         unnest(list_distinct(list_transform(
        |           range(1, greatest(length(text) - ${ShingleK - 1}, 1) + 1),
        |           si -> substr(text, CAST(si AS INTEGER), $ShingleK)))) AS shingle
        |  FROM documents),
-       |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)""".stripMargin
+       |hs AS (
+       |  SELECT doc_id,
+       |         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $p AS hm
+       |  FROM sh),
+       |mh AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id)""".stripMargin
   }
 
   /** North-star MinHash: per-doc signature digest (pins the whole

@@ -34,22 +34,53 @@ object Sketches {
     Partitioning.spread(docs)
       .select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
 
-  /** The m min-hash aggregate expressions over a `shingle` column:
-    * `min(md5("<j>:" + shingle))` for family j. */
-  def minhashAggExprs(m: Int): Seq[Column] =
+  /** Modulus of the minhash hash families: the Mersenne prime 2³¹−1.
+    * Family values live in [0, P) — comfortably inside BIGINT for the
+    * multiply-add mixing below (a·h + b < 2⁶² — no overflow under
+    * Spark's ANSI arithmetic or DuckDB's checked BIGINT ops). */
+  val MinhashPrime: Long = 2147483647L
+
+  /** Fixed (a, b) multiply-add constants of hash family j — Knuth's
+    * multiplicative constant and the FNV-1a prime, scaled per family and
+    * reduced mod [[MinhashPrime]]. The oracle-SQL builder inlines the
+    * SAME values as literals, so cross-engine parity is by construction.
+    * a ≠ 0 for all j (2654435761 is not a multiple of the prime). */
+  def mixConstants(m: Int): Seq[(Long, Long)] =
     (0 until m).map { j =>
-      min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"mh_$j")
+      val a = ((j + 1) * 2654435761L) % MinhashPrime
+      val b = (j * 1099511628211L + 12820163L) % MinhashPrime
+      (a, b)
     }
 
-  /** MinHash signature: for each of `m` hash families j, the minimum of
-    * `md5("<j>:" + shingle)` over the document's shingle set. Returns one
-    * row per id with columns `mh_0 … mh_{m-1}` (hex strings), plus
-    * `n_shingles` — the set size rides along in the SAME aggregation
-    * pass so downstream Jaccard math needs no second scan. */
+  /** One md5 per shingle → first 15 hex chars as a 60-bit BIGINT →
+    * reduced mod [[MinhashPrime]]. ALL m minhash families derive from
+    * this single digest by integer multiply-add (universal hashing):
+    * 1/m-th the hashing of the md5-per-family form, and a fixed-width
+    * LONG aggregation buffer, so Spark plans a HashAggregate instead of
+    * sort-based aggregation over m string buffers (the round-2 verdict's
+    * top cost: 16 md5/shingle through a SortAggregate, 66% of the
+    * bench). */
+  def shingleHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % MinhashPrime
+
+  /** The m min-hash aggregate expressions over a reduced-hash column
+    * `hm` ([[shingleHash]]): `min((a_j·hm + b_j) mod P)` for family j —
+    * all-integer, codegen'd, HashAggregate-friendly. */
+  def minhashAggExprs(m: Int): Seq[Column] =
+    mixConstants(m).zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(lit(a) * col("hm") + lit(b), lit(MinhashPrime))).as(s"mh_$j")
+    }
+
+  /** MinHash signature: for each of `m` universal-hash families j, the
+    * minimum of `(a_j·shingleHash + b_j) mod P` over the document's
+    * shingle set. Returns one row per id with columns `mh_0 … mh_{m-1}`
+    * (BIGINT), plus `n_shingles` — the set size rides along in the SAME
+    * aggregation pass so downstream Jaccard math needs no second scan. */
   def minhashSignature(
       docs: DataFrame, idCol: String, textCol: String, k: Int, m: Int): DataFrame = {
     val aggs = minhashAggExprs(m) :+ count(lit(1)).as("n_shingles")
     shingleRows(docs, idCol, textCol, k)
+      .withColumn("hm", shingleHash(col("shingle")))
       .groupBy(idCol)
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -78,7 +109,12 @@ object Sketches {
   def minhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, m: Int = 16, bands: Int = 4): DataFrame = {
-    val sig = minhashSignature(docs, idCol, textCol, k, m)
+    // The band SELF-join below feeds both sides from the same plan; without
+    // materialization Spark recomputes the whole shingle→minhash subtree
+    // once per side (round-2 verdict: the q_neardup_minhash plan showed the
+    // signature pipeline twice). localCheckpoint is the in-query analog of
+    // persisting the signature table as a pipeline stage at real scale.
+    val sig = minhashSignature(docs, idCol, textCol, k, m).localCheckpoint()
     val bk = minhashBands(sig, idCol, bands, m / bands)
     val a = bk.select(col(idCol).as("a_id"), col("band"), col("band_key"))
     val b = bk.select(col(idCol).as("b_id"), col("band"), col("band_key"))

@@ -9,10 +9,17 @@ import graft.operators.{Sketches, TextOps}
 class SketchesSpec extends SparkSpec {
   import spark.implicits._
 
-  // hand corpus: 1≈2 near-dups (one word changed), 3 unrelated
+  // hand corpus: 1≈2 near-dups (one char changed mid-text → only ~k of the
+  // ~190 char-shingles differ, Jaccard ≈ 0.92 — a real near-dup, so the
+  // expected band-collision probability is ≥ 0.999 rather than a seed
+  // lottery), 3 unrelated
+  private lazy val nearDupBase =
+    "the quick brown fox jumps over the lazy dog again and again today " +
+      "while the river runs slowly past the old stone mill and the wheat " +
+      "fields stretch golden toward the far horizon under a pale sky"
   private lazy val corpus = Seq(
-    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
-    (2L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (1L, nearDupBase),
+    (2L, nearDupBase.replace("dog", "dig")),
     (3L, "completely different content about spark query engines and shuffles"))
     .toDF("doc_id", "text").cache()
 
