@@ -40,7 +40,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional comma-separated filter for local iteration on a subset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
 
     // untimed warmup: plan + execute each query once
     queries.foreach { case (name, fn) =>
@@ -50,12 +54,19 @@ object Bench {
       }
     }
 
+    // median over SUCCESSFUL runs only; any failure is reported, and a
+    // query with zero successes is marked -1 (excluded from the total) —
+    // a failed run folded into the sort would otherwise bias the median
+    // toward the minimum (round-2 advice).
     val results = queries.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         try timeOnce(force(fn(spark, sfDir)))
         catch { case _: Throwable => -1.0 }
-      }.sorted
-      val median = times(times.length / 2)
+      }
+      val ok = times.filter(_ >= 0).sorted
+      if (ok.length < runs)
+        System.err.println(s"[bench] $name: ${runs - ok.length}/$runs runs FAILED")
+      val median = if (ok.isEmpty) -1.0 else ok(ok.length / 2)
       name -> median
     }
 

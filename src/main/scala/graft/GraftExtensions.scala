@@ -20,12 +20,15 @@ import graft.expressions.VectorExpressions._
   */
 object GraftFunctions {
 
-  /** (name, arity, builder) for every SQL-exposed kernel. */
-  val all: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
-    ("vec_dot", 2, es => VecDot(es(0), es(1))),
-    ("vec_cosine", 2, es => VecCosine(es(0), es(1))),
-    ("vec_l2_normalize", 1, es => VecL2Normalize(es(0))),
-    ("vec_euclidean_distance", 2, es => VecEuclideanDistance(es(0), es(1))))
+  /** (name, arity, implementing class, builder) for every SQL-exposed
+    * kernel — the class feeds each function's `ExpressionInfo`, so
+    * `DESCRIBE FUNCTION` reports the right implementation. */
+  val all: Seq[(String, Int, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("vec_dot", 2, classOf[VecDot], es => VecDot(es(0), es(1))),
+    ("vec_cosine", 2, classOf[VecCosine], es => VecCosine(es(0), es(1))),
+    ("vec_l2_normalize", 1, classOf[VecL2Normalize], es => VecL2Normalize(es(0))),
+    ("vec_euclidean_distance", 2, classOf[VecEuclideanDistance],
+      es => VecEuclideanDistance(es(0), es(1))))
 
   private def checkedBuilder(
       name: String, arity: Int,
@@ -38,7 +41,7 @@ object GraftFunctions {
 
   /** Register the kernels as temp functions on a live session. */
   def register(spark: SparkSession): Unit =
-    all.foreach { case (name, arity, builder) =>
+    all.foreach { case (name, arity, _, builder) =>
       FunctionGlue.registerTemp(spark, name, checkedBuilder(name, arity, builder))
     }
 }
@@ -46,14 +49,19 @@ object GraftFunctions {
 /** `spark.sql.extensions` entry point injecting the vector kernels. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    GraftFunctions.all.foreach { case (name, arity, builder) =>
+    GraftFunctions.all.foreach { case (name, arity, clazz, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[VecDot].getName, name),
-        es => {
-          require(es.length == arity,
-            s"$name expects $arity argument(s), got ${es.length}")
-          builder(es)
-        }))
+        new ExpressionInfo(clazz.getName, name),
+        checkedBuilder(name, arity, builder)))
+    }
+
+  private def checkedBuilder(
+      name: String, arity: Int,
+      builder: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      require(es.length == arity,
+        s"$name expects $arity argument(s), got ${es.length}")
+      builder(es)
     }
 }

@@ -39,9 +39,11 @@ object Tables {
   /** The fixture stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
     * refuses to read as a timestamp (PARQUET_TYPE_ILLEGAL). Read nanos
     * as raw longs and convert with integer division (`div` keeps the
-    * full 64 bits — a double roundtrip would lose precision above 2^53),
-    * truncating toward negative infinity exactly like DuckDB's ns→µs
-    * cast. */
+    * full 64 bits — a double roundtrip would lose precision above 2^53).
+    * NOTE: `div` truncates toward ZERO, while DuckDB's ns→µs cast floors
+    * toward −∞ — the two agree only for NON-NEGATIVE (post-epoch) nanos,
+    * which the fixture guarantees; pre-epoch data would need
+    * `floor`-division (`(ts - pmod(ts, 1000)) div 1000`). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(spark, dir, "events")

@@ -44,6 +44,39 @@ object VectorExpressions {
     else TypeCheckResult.TypeCheckFailure(
       s"$name expects ARRAY<DOUBLE> inputs, got ${types.mkString(", ")}")
 
+  /** Whether an input's type admits null elements. The kernels read
+    * primitive slots, so a null element would silently yield 0.0 —
+    * instead they raise. The guard is emitted ONLY when the type says
+    * nulls are possible: kernel outputs (`containsNull=false`) chain
+    * guard-free, so e.g. the knn pair loop over pre-normalized vectors
+    * pays nothing. */
+  private def mayContainNull(t: DataType): Boolean = t match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+
+  private def nullElement(name: String, i: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$name: null array element at index $i (null elements are not supported)")
+
+  /** Binary kernels demand equal lengths — the reference raises on
+    * dimension mismatch (storage.py:15-16), and silently folding over
+    * the common prefix would diverge from the HOF/oracle forms. */
+  private def lengthMismatch(name: String, nx: Int, ny: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$name: array length mismatch ($nx vs $ny)")
+
+  private def lengthCheckCode(name: String, nx: String, ny: String): String =
+    s"""if ($nx != $ny) throw new IllegalArgumentException(
+       |  "$name: array length mismatch (" + $nx + " vs " + $ny + ")");""".stripMargin
+
+  /** Codegen guard line — empty when the input type has no null slots. */
+  private def guardCode(guard: Boolean, name: String, arr: String, i: String): String =
+    if (guard)
+      s"""if ($arr.isNullAt($i)) throw new IllegalArgumentException(
+         |  "$name: null array element at index " + $i + " (null elements are not supported)");""".stripMargin
+    else ""
+
   /** Dot product `Σ a[i]*b[i]`, left fold from 0.0. */
   case class VecDot(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -53,13 +86,21 @@ object VectorExpressions {
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "vec_dot"
 
+    private def guardL = mayContainNull(left.dataType)
+    private def guardR = mayContainNull(right.dataType)
+
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) lengthMismatch(prettyName, n, y.numElements())
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        if (guardL && x.isNullAt(i)) nullElement(prettyName, i)
+        if (guardR && y.isNullAt(i)) nullElement(prettyName, i)
+        acc += x.getDouble(i) * y.getDouble(i); i += 1
+      }
       acc
     }
 
@@ -67,11 +108,16 @@ object VectorExpressions {
       nullSafeCodeGen(ctx, ev, (x, y) => {
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
+        val ny = ctx.freshName("ny")
         val acc = ctx.freshName("acc")
         s"""
-           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |int $n = $x.numElements();
+           |int $ny = $y.numElements();
+           |${lengthCheckCode(prettyName, n, ny)}
            |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  ${guardCode(guardL, prettyName, x, i)}
+           |  ${guardCode(guardR, prettyName, y, i)}
            |  $acc += $x.getDouble($i) * $y.getDouble($i);
            |}
            |${ev.value} = $acc;
@@ -93,12 +139,17 @@ object VectorExpressions {
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "vec_l2_normalize"
 
+    private def guard = mayContainNull(child.dataType)
+
     override protected def nullSafeEval(a: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val n = x.numElements()
       var ss = 0.0
       var i = 0
-      while (i < n) { val v = x.getDouble(i); ss += v * v; i += 1 }
+      while (i < n) {
+        if (guard && x.isNullAt(i)) nullElement(prettyName, i)
+        val v = x.getDouble(i); ss += v * v; i += 1
+      }
       val nrm = math.sqrt(ss) + Eps
       val out = new Array[Double](n)
       i = 0
@@ -118,6 +169,7 @@ object VectorExpressions {
            |int $n = $x.numElements();
            |double $ss = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  ${guardCode(guard, prettyName, x, i)}
            |  double $v = $x.getDouble($i);
            |  $ss += $v * $v;
            |}
@@ -136,8 +188,10 @@ object VectorExpressions {
   }
 
   /** Cosine similarity: both norms computed once, then the left fold of
-    * `(a[i]/na) * (b[i]/nb)` — bit-identical to normalizing both arrays
-    * first and dotting them (reference index.py:11-16). */
+    * `(a[i]/na) * (b[i]/nb)` — bit-identical to normalize-both-then-dot
+    * (reference index.py:11-16). Unequal lengths raise (the HOF form
+    * would yield NULL via zip_with padding; a silent common-prefix fold
+    * diverged from the spec — round-2 advice). */
   case class VecCosine(left: Expression, right: Expression)
       extends BinaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
@@ -146,14 +200,20 @@ object VectorExpressions {
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "vec_cosine"
 
+    private def guardL = mayContainNull(left.dataType)
+    private def guardR = mayContainNull(right.dataType)
+
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) lengthMismatch(prettyName, n, y.numElements())
       var ssx = 0.0
       var ssy = 0.0
       var i = 0
       while (i < n) {
+        if (guardL && x.isNullAt(i)) nullElement(prettyName, i)
+        if (guardR && y.isNullAt(i)) nullElement(prettyName, i)
         val vx = x.getDouble(i); ssx += vx * vx
         val vy = y.getDouble(i); ssy += vy * vy
         i += 1
@@ -170,6 +230,7 @@ object VectorExpressions {
       nullSafeCodeGen(ctx, ev, (x, y) => {
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
+        val nyLen = ctx.freshName("nyLen")
         val ssx = ctx.freshName("ssx")
         val ssy = ctx.freshName("ssy")
         val nx = ctx.freshName("nx")
@@ -178,9 +239,13 @@ object VectorExpressions {
         val vx = ctx.freshName("vx")
         val vy = ctx.freshName("vy")
         s"""
-           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |int $n = $x.numElements();
+           |int $nyLen = $y.numElements();
+           |${lengthCheckCode(prettyName, n, nyLen)}
            |double $ssx = 0.0; double $ssy = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  ${guardCode(guardL, prettyName, x, i)}
+           |  ${guardCode(guardR, prettyName, y, i)}
            |  double $vx = $x.getDouble($i); $ssx += $vx * $vx;
            |  double $vy = $y.getDouble($i); $ssy += $vy * $vy;
            |}
@@ -208,13 +273,19 @@ object VectorExpressions {
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "vec_euclidean_distance"
 
+    private def guardL = mayContainNull(left.dataType)
+    private def guardR = mayContainNull(right.dataType)
+
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) lengthMismatch(prettyName, n, y.numElements())
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (guardL && x.isNullAt(i)) nullElement(prettyName, i)
+        if (guardR && y.isNullAt(i)) nullElement(prettyName, i)
         val d = x.getDouble(i) - y.getDouble(i)
         acc += d * d
         i += 1
@@ -226,12 +297,17 @@ object VectorExpressions {
       nullSafeCodeGen(ctx, ev, (x, y) => {
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
+        val ny = ctx.freshName("ny")
         val acc = ctx.freshName("acc")
         val d = ctx.freshName("d")
         s"""
-           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |int $n = $x.numElements();
+           |int $ny = $y.numElements();
+           |${lengthCheckCode(prettyName, n, ny)}
            |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  ${guardCode(guardL, prettyName, x, i)}
+           |  ${guardCode(guardR, prettyName, y, i)}
            |  double $d = $x.getDouble($i) - $y.getDouble($i);
            |  $acc += $d * $d;
            |}

@@ -87,4 +87,36 @@ class VectorExpressionsSpec extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(z == 0.0)
   }
+
+  test("binary kernels raise on unequal lengths instead of folding a prefix") {
+    // round-2 advice: a silent common-prefix fold diverged from the HOF
+    // spec (which NULLs via zip_with padding); the reference raises on
+    // dimension mismatch (storage.py:15-16) — so do the kernels
+    val df = spark.range(1).select(
+      typedLit(Seq(1.0, 2.0, 3.0, 4.0)).as("a"),
+      typedLit(Seq(5.0, 6.0)).as("b"))
+    def rootMessage(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    for (kernel <- Seq(
+        VF.cosine(col("a"), col("b")),
+        VF.dot(col("a"), col("b")),
+        VF.euclideanDistance(col("a"), col("b")))) {
+      val e = intercept[Exception] { df.select(kernel).collect() }
+      assert(rootMessage(e).contains("length mismatch"), rootMessage(e))
+    }
+  }
+
+  test("null array element raises instead of silently reading 0.0") {
+    val df = spark.range(1).select(
+      typedLit(Seq[java.lang.Double](1.0, null, 3.0)).as("a"),
+      typedLit(Seq[java.lang.Double](1.0, 1.0, 1.0)).as("b"))
+    val e = intercept[Exception] {
+      df.select(VF.dot(col("a"), col("b"))).collect()
+    }
+    def rootMessage(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMessage(e).contains("null array element"), rootMessage(e))
+  }
 }
