@@ -70,9 +70,16 @@ object Oracle {
     * (1-based here): `w = ((i·(j+1)·7919) mod 193)/193.0 − 0.5`;
     * `bucket = Σ_j 2^j·[v·h_j > 0]`. Integer modulo then one division —
     * bit-identical to the Scala-side literal weights. */
-  def lshBucket(v: String, dim: Int, bits: Int): String = {
+  def lshBucket(v: String, dim: Int, bits: Int): String =
+    lshBucketBand(v, dim, bits, band = 0)
+
+  /** Band `band`'s bucket — mirror of `VectorSearch.lshBucketBand`:
+    * plane index `band·bits + j`, weights from the same integer
+    * formula. */
+  def lshBucketBand(v: String, dim: Int, bits: Int, band: Int): String = {
     val terms = (0 until bits).map { j =>
-      val w = s"(CAST((li * ${j + 1} * 7919) % 193 AS DOUBLE) / 193.0 - 0.5)"
+      val jj = band * bits + j + 1
+      val w = s"(CAST((li * $jj * 7919) % 193 AS DOUBLE) / 193.0 - 0.5)"
       val proj = foldSum(s"list_transform(range(1, ${dim + 1}), li -> $v[li] * $w)")
       s"(CASE WHEN $proj > 0.0 THEN ${1L << j} ELSE 0 END)"
     }

@@ -405,6 +405,47 @@ object Queries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  private val LshMultiBits = 8
+  private val LshMultiBands = 8
+
+  /** Multi-band OR LSH — the recall-amplified ANN path: 8 independent
+    * hyperplane families, candidates unioned across bands, deduped,
+    * ranked once. Recall rises as 1−(1−p^bits)^bands at cost linear in
+    * bands; the per-band join is the same shuffle-by-bucket shape as
+    * [[qAnnLsh]] (one exchange keyed (band, bucket) serves all bands). */
+  private def qAnnLshMulti(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    VectorSearch.multibandKnnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim,
+      bits = LshMultiBits, bands = LshMultiBands)
+      .orderBy("query_id", "rank")
+  }
+
+  private val qAnnLshMultiSql: String = {
+    val score = Oracle.dot("a.nemb", "b.nemb", EmbeddingDim)
+    val bandBranches = (0 until LshMultiBands).map { band =>
+      s"SELECT vec_id, nemb, $band AS band, " +
+        s"${Oracle.lshBucketBand("nemb", EmbeddingDim, LshMultiBits, band)} AS bucket FROM n"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |nb AS (
+       |  $bandBranches),
+       |p AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, max($score) AS score
+       |  FROM nb a JOIN nb b ON a.band = b.band AND a.bucket = b.bucket
+       |                     AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM p)
+       |SELECT query_id, neighbor_id, score, rank
+       |FROM r WHERE rank <= $KnnJoinK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Memoized IVF coarse centroids per fixture dir — the index-build
     * collect is one tiny job, but re-running it on every bench iteration
     * bills index build to query time; a real deployment stores centroids
@@ -1079,6 +1120,7 @@ object Queries {
     GraftQuery("q_multimodal", qMultimodal, Some(qMultimodalSql)),
     GraftQuery("q_save_load", qSaveLoad, Some(qSaveLoadSql)),
     GraftQuery("q_ann_lsh", qAnnLsh, Some(qAnnLshSql)),
+    GraftQuery("q_ann_lsh_multi", qAnnLshMulti, Some(qAnnLshMultiSql)),
     GraftQuery("q_ann_ivf", qAnnIvf, Some(qAnnIvfSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_neardup_minhash", qNearDupMinhash, Some(qNearDupMinhashSql)),

@@ -145,8 +145,15 @@ object VectorSearch {
     * constant-size expression tree (the round-1 form expanded dim·bits
     * `element_at` nodes, which blew up analysis and codegen). */
   def lshBucket(vecCol: Column, dim: Int, bits: Int): Column =
+    lshBucketBand(vecCol, dim, bits, band = 0)
+
+  /** Band `band`'s sign-LSH bucket: the same construction as
+    * [[lshBucket]] but over that band's own hyperplane family (planes
+    * `band·bits … band·bits+bits−1`), so the bands are independent hash
+    * tables. Band 0 reproduces the single-band bucketing exactly. */
+  def lshBucketBand(vecCol: Column, dim: Int, bits: Int, band: Int): Column =
     (0 until bits).map { j =>
-      val proj = VectorExpressions.dot(vecCol, hyperplane(j, dim))
+      val proj = VectorExpressions.dot(vecCol, hyperplane(band * bits + j, dim))
       when(proj > lit(0.0), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -304,5 +311,55 @@ object VectorSearch {
     val pairs = q.join(d, Seq("bucket"))
       .withColumn("score", metric.scorePrenormalized(col("__qvec"), col("__dvec")))
     rankTopK(pairs, k, excludeSelf)
+  }
+
+  /** Multi-band OR amplification of [[bucketedKnnJoin]] — the recall
+    * path the reference's HNSW gives its users (ann.py's ef_search
+    * buys recall at candidate cost; here `bands` does): `bands`
+    * independent hyperplane families, a pair is a candidate if it
+    * collides in ANY band, candidates are deduplicated and ranked once.
+    *
+    * Scale shape: each side is exploded to `bands` (band, bucket) rows —
+    * the classic L-hash-table LSH layout, shuffled by (band, bucket) so
+    * every band's equi-join runs in the same exchange. Scoring happens
+    * INSIDE the join (codegen dot), so the pair-dedup `groupBy` that
+    * follows shuffles only scalars (ids + score), never vectors. Recall
+    * rises as 1−(1−p^bits)^bands; cost is linear in `bands`.
+    *
+    * Parameter guide at 100 TB: size `bits` to the corpus
+    * (`bits ≈ log2(N / target_bucket_rows)`) so per-bucket all-pairs
+    * stays bounded, then buy recall with `bands`. Deterministic
+    * (arithmetic planes) — an oracle replays it as a UNION ALL of the
+    * per-band bucketings. */
+  def multibandKnnJoin(
+      queries: DataFrame,
+      data: DataFrame,
+      vecCol: String,
+      idCol: String,
+      metric: Metric,
+      k: Int,
+      dim: Int,
+      bits: Int = 8,
+      bands: Int = 8,
+      excludeSelf: Boolean = true): DataFrame = {
+    def explodeBands(df: DataFrame, idOut: String, vecOut: String): DataFrame =
+      prepareColumn(df, vecCol, metric).select(
+        col(idCol).as(idOut), col(vecCol).as(vecOut),
+        posexplode(array((0 until bands).map(b =>
+          lshBucketBand(col(vecCol), dim, bits, b)): _*)).as(Seq("band", "bucket")))
+    val q = explodeBands(Partitioning.spread(queries), "query_id", "__qvec")
+    val d = explodeBands(data, "neighbor_id", "__dvec")
+    val joined = q.join(d, Seq("band", "bucket"))
+    val nonSelf =
+      if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
+      else joined
+    val candidates = nonSelf
+      .withColumn("score", metric.scorePrenormalized(col("__qvec"), col("__dvec")))
+      // OR-dedup: a pair colliding in several bands scores identically in
+      // each (same normalized vectors), so max == the score; the shuffle
+      // key is the pair and the payload one double.
+      .groupBy("query_id", "neighbor_id")
+      .agg(max("score").as("score"))
+    rankTopK(candidates, k, excludeSelf = false)
   }
 }

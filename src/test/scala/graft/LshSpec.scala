@@ -63,6 +63,39 @@ class LshSpec extends SparkSpec {
     assert(recall >= 0.05, f"recall collapsed: $recall%.3f")
   }
 
+  test("multiband: band 0 reproduces the single-band bucketing") {
+    val a = emb.select(col("vec_id"),
+      VectorSearch.lshBucket(col("embedding"), Dim, 8).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = emb.select(col("vec_id"),
+      VectorSearch.lshBucketBand(col("embedding"), Dim, 8, band = 0).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("multiband candidates are a superset of every single band's candidates") {
+    val multi = pairsOf(VectorSearch.multibandKnnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = 1000, dim = Dim, bits = 8, bands = 4))
+    val single = pairsOf(VectorSearch.bucketedKnnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = 1000, dim = Dim, bits = 8))
+    assert(single.subsetOf(multi),
+      s"band-0 candidates must survive the union (missing ${(single -- multi).size})")
+  }
+
+  test("multiband recall@5 >= 0.8 vs exact knn (HNSW-grade, bits=4 x 16 bands)") {
+    val exact = pairsOf(VectorSearch.knnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = K, excludeSelf = true, broadcastData = true))
+    // Parameters sized to this corpus (n=500, near-uniform vectors whose
+    // true top-5 sit at cosine ~0.32 — LSH-hard data): 16 buckets/band
+    // keeps per-bucket all-pairs bounded, 16 bands buy the recall. At
+    // larger N, raise bits with log2(N) and keep bands.
+    val approx = pairsOf(VectorSearch.multibandKnnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = K, dim = Dim, bits = 4, bands = 16))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"multiband recall@$K bits=4 bands=16: $recall%.3f")
+    assert(recall >= 0.8, f"recall below the HNSW-replacement floor: $recall%.3f")
+  }
+
   test("IVF: assignment is deterministic and 2-probe recall beats 1-probe") {
     val exact = pairsOf(VectorSearch.knnJoin(emb, emb, "embedding", "vec_id",
       Metric.Cosine, k = K, excludeSelf = true, broadcastData = true))
