@@ -29,7 +29,6 @@ object Queries {
   private val K = 10
   private val KnnJoinK = 5
   private val ChunkSize = 300
-  private val NearDupTau = 0.3
   private val RagQueryText = "spark window join"
   private val RagTopK = 3
 
@@ -276,6 +275,39 @@ object Queries {
        |FROM top""".stripMargin
   }
 
+  /** O18+O19 end-to-end: the reference's real `answer_query` shape —
+    * `build_rag_index` chunks + embeds every document into a chunk-level
+    * [[graft.VectorTable]] (rag.py:27-52), then retrieval runs over
+    * CHUNKS, not documents (rag.py:67-97). Chunk ids are deterministic
+    * (`doc_id·10⁴ + chunk_index`), so top-k tie-breaks replay exactly. */
+  private def qRagChunks(s: SparkSession, dir: String): DataFrame = {
+    val index = Rag.buildIndex(
+      Tables.documents(s, dir), "doc_id", "text", ChunkSize, EmbeddingDim)
+    Rag.answerFromIndex(s, index, "text", RagQueryText, RagTopK)
+      .select(lit(RagQueryText).as("query"), col("context"), col("answer"))
+  }
+
+  private val qRagChunksSql: String = {
+    val emb = Oracle.arithmeticEmbedding("text", EmbeddingDim)
+    val score = Oracle.dot("c.nemb", "q.qemb", EmbeddingDim)
+    val agg = s"string_agg(text, e'\\n---\\n' ORDER BY score DESC, vec_id ASC)"
+    s"""WITH chunks AS (
+       |  SELECT doc_id * 10000 + gs.i AS vec_id,
+       |         substr(text, CAST(gs.i * $ChunkSize + 1 AS INTEGER), $ChunkSize) AS text
+       |  FROM documents CROSS JOIN generate_series(0, ${MaxChunks - 1}) gs(i)
+       |  WHERE gs.i < greatest(CAST(ceil(length(text) / $ChunkSize.0) AS BIGINT), 1)),
+       |cn AS (SELECT vec_id, text, ${Oracle.l2Normalize(emb)} AS nemb FROM chunks),
+       |$textQueryCte,
+       |top AS (
+       |  SELECT c.vec_id, c.text, $score AS score
+       |  FROM cn c CROSS JOIN q
+       |  ORDER BY score DESC, c.vec_id ASC LIMIT $RagTopK)
+       |SELECT '$RagQueryText' AS query,
+       |       $agg AS context,
+       |       'This is a placeholder answer. Relevant context:' || chr(10) || $agg AS answer
+       |FROM top""".stripMargin
+  }
+
   // -------------------------------------------------------- projections ---
 
   /** O22: items projection (`GET /items`, server.py:108-122) — metadata
@@ -300,32 +332,53 @@ object Queries {
       |       min(doc_id) AS keeper_id
       |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin
 
-  /** North-star near-dup: label-blocked cosine pairs ≥ τ. Blocking turns
-    * the all-pairs cross join into a per-label equi-join (the shuffle key
-    * is the block id) — the exact-scoring stage of a blocked/LSH dedup
-    * pipeline. */
+  /** North-star near-dup: the full LSH dedup pipeline — minhash band
+    * candidates verified by exact embedding cosine. Replaces the round-2
+    * label-blocked all-pairs (O((N/L)²) over L shuffle keys — the one
+    * declared shape that died at 100×): candidates now come from
+    * [[Sketches.minhashCandidates]] (collision-bounded, never N²), and
+    * the vectors join in AFTER candidate pruning, so the pair stage
+    * shuffles ids and band hashes, never embeddings. The declared query
+    * emits every candidate's verified score; a production τ cut is a
+    * downstream `WHERE` (the fixture's synthetic embeddings are
+    * uncorrelated with text near-duplication, so a fixed τ would pin the
+    * result to ~0 rows and gate nothing). */
   private def qNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val cand = Sketches.minhashCandidates(Tables.documents(s, dir),
+      "doc_id", "text", k = ShingleK, m = MinhashM, bands = MinhashBands)
     val n = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"), VF.l2Normalize(col("embedding")).as("nemb"))
-    val a = n.select(col("vec_id").as("a_id"), col("label"), col("nemb").as("a_emb"))
-    val b = n.select(col("vec_id").as("b_id"), col("label"), col("nemb").as("b_emb"))
-    a.join(b, "label")
-      .filter(col("a_id") < col("b_id"))
+      .select(col("vec_id"), VF.l2Normalize(col("embedding")).as("nemb"))
+    cand
+      .join(n.select(col("vec_id").as("a_id"), col("nemb").as("a_emb")), "a_id")
+      .join(n.select(col("vec_id").as("b_id"), col("nemb").as("b_emb")), "b_id")
       .withColumn("score", VF.dot(col("a_emb"), col("b_emb")))
-      .filter(col("score") >= NearDupTau)
-      .select("a_id", "b_id", "score")
+      .select("a_id", "b_id", "n_bands", "score")
       .orderBy("a_id", "b_id")
   }
 
-  private val qNearDupPairsSql: String = {
-    val score = Oracle.dot("a.nemb", "b.nemb", EmbeddingDim)
-    s"""WITH ${Oracle.embeddingsCte},
-       |${Oracle.normalizedCte},
-       |p AS (
-       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $score AS score
-       |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
-       |SELECT a_id, b_id, score FROM p
-       |WHERE score >= $NearDupTau
+  // lazy: refers to minhashCte, declared later in this object — an eager
+  // val would interpolate null at object init.
+  private lazy val qNearDupPairsSql: String = {
+    val rows = MinhashM / MinhashBands
+    val bandSelects = (0 until MinhashBands).map { b =>
+      val cols = (0 until rows).map(r => s"mh_${b * rows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS band_key FROM mh"
+    }.mkString("\n  UNION ALL ")
+    val score = Oracle.dot("na.nemb", "nb.nemb", EmbeddingDim)
+    s"""WITH $minhashCte,
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS n_bands
+       |  FROM bands a
+       |  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte}
+       |SELECT c.a_id, c.b_id, c.n_bands, $score AS score
+       |FROM cand c
+       |JOIN n na ON na.vec_id = c.a_id
+       |JOIN n nb ON nb.vec_id = c.b_id
        |ORDER BY a_id, b_id""".stripMargin
   }
 
@@ -1113,6 +1166,7 @@ object Queries {
     GraftQuery("q_normalize", qNormalize, Some(qNormalizeSql)),
     GraftQuery("q_chunks", qChunks, Some(qChunksSql)),
     GraftQuery("q_rag_context", qRagContext, Some(qRagContextSql)),
+    GraftQuery("q_rag_chunks", qRagChunks, Some(qRagChunksSql)),
     GraftQuery("q_items", qItems, Some(qItemsSql)),
     GraftQuery("q_dedup_exact", qDedupExact, Some(qDedupExactSql)),
     GraftQuery("q_neardup_pairs", qNearDupPairs, Some(qNearDupPairsSql)),

@@ -62,6 +62,26 @@ object Rag {
       metric: Metric,
       topK: Int): DataFrame = {
     val top = VectorSearch.topK(docs, vecCol, idCol, query, queryVecCol, metric, topK)
+    assemble(top, idCol, textCol)
+  }
+
+  /** The reference's actual `answer_query` shape (rag.py:67-97): retrieve
+    * over the CHUNK-level index built by [[buildIndex]] — embed the query
+    * text, top-k chunks, assemble their texts in score order. The doc-level
+    * [[answerQuery]] is the coarse variant; this is the end-to-end
+    * chunk-granular path a reference user runs. */
+  def answerFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      index: VectorTable,
+      textCol: String,
+      queryText: String,
+      topK: Int): DataFrame =
+    assemble(index.searchText(spark, queryText, topK), index.config.idCol, textCol)
+
+  /** Score-ordered context assembly shared by both retrieve paths: texts
+    * ride in a `sort_array(collect_list(struct(-score, id, text)))` so the
+    * join order is deterministic after the shuffle (see class doc). */
+  private def assemble(top: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ordered = sort_array(collect_list(struct(
       negate(col("score")).as("neg_score"),
       col(idCol).as("id"),
