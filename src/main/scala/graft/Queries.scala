@@ -59,7 +59,7 @@ object Queries {
     val docs = Tables.documents(s, dir)
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     docs.join(emb, docs("doc_id") === emb("vec_id"))
-      .select(docs("doc_id"), col("text"), col("source"), col("embedding"))
+      .select(docs("doc_id"), col("text"), col("lang"), col("source"), col("embedding"))
   }
 
   // ---------------------------------------------------------------- knn ---
@@ -319,6 +319,34 @@ object Queries {
 
   private val qItemsSql: String =
     "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id"
+
+  /** SURVEY §1.3 free-form metadata (reference storage.py:19
+    * `Dict[str, Any]`): promote (lang, source) into a
+    * `MAP<STRING,STRING>`, filter with `meta[key]` map-key predicates,
+    * project map lookups. Catalyst's `SimplifyExtractValueOps` folds
+    * `GetMapValue(map(k → col), k)` back to the promoted column, so both
+    * predicates reach the documents scan as pushed filters — the
+    * free-form API costs nothing over typed columns in-plan (verified:
+    * the scan shows `PushedFilters: [EqualTo(lang,en), EqualTo(source,
+    * src7)]`; `element_at` would NOT fold — it is excluded from the
+    * rule for its ANSI missing-key semantics). */
+  private def qMetaFilter(s: SparkSession, dir: String): DataFrame =
+    VectorTable(corpus(s, dir),
+      VectorTableConfig(EmbeddingDim, "cosine", idCol = "doc_id"))
+      .withMetaMap("meta", Seq("lang", "source"))
+      .filterMeta("meta", "lang", "en")
+      .filterMeta("meta", "source", "src7")
+      .items
+      .select(col("doc_id"),
+        col("meta").getItem("lang").as("m_lang"),
+        col("meta").getItem("source").as("m_source"))
+      .orderBy("doc_id")
+
+  private val qMetaFilterSql: String =
+    """SELECT d.doc_id, d.lang AS m_lang, d.source AS m_source
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |WHERE d.lang = 'en' AND d.source = 'src7'
+      |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------- north star ---
 
@@ -1168,6 +1196,7 @@ object Queries {
     GraftQuery("q_rag_context", qRagContext, Some(qRagContextSql)),
     GraftQuery("q_rag_chunks", qRagChunks, Some(qRagChunksSql)),
     GraftQuery("q_items", qItems, Some(qItemsSql)),
+    GraftQuery("q_meta_filter", qMetaFilter, Some(qMetaFilterSql)),
     GraftQuery("q_dedup_exact", qDedupExact, Some(qDedupExactSql)),
     GraftQuery("q_neardup_pairs", qNearDupPairs, Some(qNearDupPairsSql)),
     GraftQuery("q_text_stats", qTextStats, Some(qTextStatsSql)),

@@ -59,6 +59,26 @@ final class VectorTable(val df: DataFrame, val config: VectorTableConfig) {
     * (column pruning reaches the Parquet footer). */
   def items: DataFrame = df.drop(config.vecCol)
 
+  /** Free-form metadata (the reference's `Dict[str, Any]` per row,
+    * storage.py:19; SURVEY §1.3): promote the given columns into a
+    * `MAP<STRING,STRING>` column, values cast to string. The typed
+    * columns stay alongside the map — the map is the free-form API
+    * surface, the promoted columns the columnar fast path. */
+  def withMetaMap(metaCol: String, fromCols: Seq[String]): VectorTable =
+    new VectorTable(df.withColumn(metaCol,
+      map(fromCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*)), config)
+
+  /** Map-key predicate: `meta[key] = value`. Uses the `GetMapValue` form
+    * (`getItem`), NOT `element_at`: Catalyst's `SimplifyExtractValueOps`
+    * only folds `GetMapValue(map(...), key)` back to the promoted column
+    * (`ElementAt` has its own ANSI missing-key semantics and is excluded
+    * from the rule), and only the folded form reaches the Parquet scan as
+    * a pushed filter — free-form API at columnar cost. A map READ from
+    * storage filters per-row instead; that asymmetry is exactly why hot
+    * keys should be promoted to real columns at write time. */
+  def filterMeta(metaCol: String, key: String, value: String): VectorTable =
+    new VectorTable(df.filter(col(metaCol).getItem(key) === value), config)
+
   /** O9 search: top-k rows most similar to the 1-row query frame. */
   def search(query: DataFrame, queryVecCol: String, k: Int): DataFrame =
     VectorSearch.topK(df, config.vecCol, config.idCol, query, queryVecCol, metric, k)

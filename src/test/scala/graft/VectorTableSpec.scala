@@ -130,4 +130,33 @@ class VectorTableSpec extends SparkSpec {
       assert(joined.count() == base.df.count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("withMetaMap + filterMeta equals the typed-column filter (storage.py:19)") {
+    val t = base.withMetaMap("meta", Seq("label"))
+      .filterMeta("meta", "label", "3")
+    val typed = base.df.filter(col("label") === 3)
+    assert(t.df.count() == typed.count())
+    assert(t.df.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      typed.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("filterMeta map-key predicate folds to a pushed parquet filter") {
+    val plan = base.withMetaMap("meta", Seq("label"))
+      .filterMeta("meta", "label", "3")
+      .df.queryExecution.executedPlan.toString
+    // GetMapValue(map(k -> col), k) folds back to the column
+    // (SimplifyExtractValueOps): the scan's DataFilters must reference
+    // the raw column (label, via cast-to-string), not a map lookup. The
+    // projection above the scan legitimately still builds the map.
+    assert(plan.contains("DataFilters: [isnotnull(label"),
+      s"map-key filter did not fold to the promoted column:\n$plan")
+    assert(!plan.contains("DataFilters: [isnotnull(map"),
+      s"map build survived into the scan filter:\n$plan")
+  }
+
+  test("filterMeta on an unpromoted (missing) key matches nothing, not errors") {
+    val t = base.withMetaMap("meta", Seq("label"))
+      .filterMeta("meta", "nope", "x")
+    assert(t.df.count() == 0)
+  }
 }
