@@ -527,6 +527,44 @@ object Queries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Split id for the incremental-index query: rows below are the
+    * "existing" persisted index, rows at/above are the append batch.
+    * 400 < every fixture's embedding count (500/500/2000), so both
+    * sides are non-empty at every sf. */
+  private val IndexSplitId = 400
+  private val IndexBands = 4
+
+  /** O12 batch analog (reference incremental `add`, ann.py:78-91): the
+    * LSH index is a persisted (id, band, bucket) TABLE; appending rows
+    * buckets ONLY the new rows and unions — no re-scan of the existing
+    * corpus. The Spark side runs the genuine incremental path (split →
+    * bucket existing → append the rest); the ORACLE replays a full
+    * rebuild — their equality IS the O12 claim (per-row stateless
+    * bucketing, unlike order-sensitive graph indexes). LshSpec pins the
+    * same equality through a real parquet round-trip. */
+  private def qIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val existing = emb.filter(col("vec_id") < IndexSplitId)
+    val appended = emb.filter(col("vec_id") >= IndexSplitId)
+    val persisted = VectorSearch.lshBucketTable(existing, "embedding", "vec_id",
+      Metric.Cosine, EmbeddingDim, bits = LshMultiBits, bands = IndexBands)
+    VectorSearch.lshIndexAppend(persisted, appended, "embedding", "vec_id",
+      Metric.Cosine, EmbeddingDim, bits = LshMultiBits, bands = IndexBands)
+      .select(col("vec_id"), col("band").cast("long").as("band"), col("bucket"))
+      .orderBy("vec_id", "band")
+  }
+
+  private val qIndexAppendSql: String = {
+    val branches = (0 until IndexBands).map { b =>
+      s"SELECT vec_id, CAST($b AS BIGINT) AS band, " +
+        s"CAST(${Oracle.lshBucketBand("nemb", EmbeddingDim, LshMultiBits, b)} AS BIGINT) AS bucket FROM n"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte}
+       |$branches
+       |ORDER BY vec_id, band""".stripMargin
+  }
+
   /** Memoized IVF coarse centroids per fixture dir — the index-build
     * collect is one tiny job, but re-running it on every bench iteration
     * bills index build to query time; a real deployment stores centroids
@@ -1204,6 +1242,7 @@ object Queries {
     GraftQuery("q_save_load", qSaveLoad, Some(qSaveLoadSql)),
     GraftQuery("q_ann_lsh", qAnnLsh, Some(qAnnLshSql)),
     GraftQuery("q_ann_lsh_multi", qAnnLshMulti, Some(qAnnLshMultiSql)),
+    GraftQuery("q_index_append", qIndexAppend, Some(qIndexAppendSql)),
     GraftQuery("q_ann_ivf", qAnnIvf, Some(qAnnIvfSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_neardup_minhash", qNearDupMinhash, Some(qNearDupMinhashSql)),

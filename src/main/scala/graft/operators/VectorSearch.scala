@@ -313,6 +313,67 @@ object VectorSearch {
     rankTopK(pairs, k, excludeSelf)
   }
 
+  /** The LSH index AS DATA: one row per (id, band, bucket) over `bands`
+    * independent hyperplane families — the persistable form of the
+    * bucketing [[multibandKnnJoin]] computes inline (save it with
+    * [[graft.VectorTable.save]]-style parquet and equi-join it back by
+    * id). Bucketing is per-row and stateless, which is what makes the
+    * incremental path below exact, not approximate. */
+  def lshBucketTable(
+      data: DataFrame,
+      vecCol: String,
+      idCol: String,
+      metric: Metric,
+      dim: Int,
+      bits: Int,
+      bands: Int = 1): DataFrame =
+    prepareColumn(data, vecCol, metric).select(
+      col(idCol),
+      posexplode(array((0 until bands).map(b =>
+        lshBucketBand(col(vecCol), dim, bits, b)): _*)).as(Seq("band", "bucket")))
+
+  /** O12 batch analog (the reference's incremental `add`, ann.py:78-91):
+    * bucket ONLY the appended rows and union with the persisted index —
+    * no re-scan of the existing corpus. Because sign-LSH bucketing is a
+    * pure per-row function of the vector, append-then-union is EQUAL to
+    * a full rebuild (LshSpec pins it), unlike graph indexes (HNSW) whose
+    * insert order changes the structure. */
+  def lshIndexAppend(
+      index: DataFrame,
+      newRows: DataFrame,
+      vecCol: String,
+      idCol: String,
+      metric: Metric,
+      dim: Int,
+      bits: Int,
+      bands: Int = 1): DataFrame =
+    index.unionByName(
+      lshBucketTable(newRows, vecCol, idCol, metric, dim, bits, bands))
+
+  /** IVF assignment table `(id, centroid_id)` — the IVF index as data,
+    * same role as [[lshBucketTable]]. */
+  def ivfAssignTable(
+      data: DataFrame,
+      vecCol: String,
+      idCol: String,
+      metric: Metric,
+      centroids: Seq[(Long, Seq[Double])]): DataFrame =
+    prepareColumn(data, vecCol, metric).select(
+      col(idCol), ivfAssign(col(vecCol), centroids, metric).as("centroid_id"))
+
+  /** IVF incremental add: assign ONLY the new rows against the FROZEN
+    * centroids and union. Freezing is the standard IVF serving contract
+    * (recluster offline, not per insert) — with the same centroids,
+    * incremental == rebuild exactly (LshSpec pins it). */
+  def ivfIndexAppend(
+      index: DataFrame,
+      newRows: DataFrame,
+      vecCol: String,
+      idCol: String,
+      metric: Metric,
+      centroids: Seq[(Long, Seq[Double])]): DataFrame =
+    index.unionByName(ivfAssignTable(newRows, vecCol, idCol, metric, centroids))
+
   /** Multi-band OR amplification of [[bucketedKnnJoin]] — the recall
     * path the reference's HNSW gives its users (ann.py's ef_search
     * buys recall at candidate cost; here `bands` does): `bands`

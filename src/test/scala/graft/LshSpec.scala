@@ -96,6 +96,42 @@ class LshSpec extends SparkSpec {
     assert(recall >= 0.8, f"recall below the HNSW-replacement floor: $recall%.3f")
   }
 
+  test("incremental LSH index append equals a full rebuild (O12 batch analog, ann.py:78-91)") {
+    val existing = emb.filter(col("vec_id") < 400)
+    val appended = emb.filter(col("vec_id") >= 400)
+    // model the persisted index: write the existing rows' bucket table to
+    // parquet and read it back, as a real pipeline would
+    val path = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "lsh_idx_").toString
+    VectorSearch.lshBucketTable(existing, "embedding", "vec_id",
+      Metric.Cosine, Dim, bits = 8, bands = 4)
+      .write.mode("overwrite").parquet(path)
+    val persisted = spark.read.parquet(path)
+    val incremental = VectorSearch.lshIndexAppend(persisted, appended,
+      "embedding", "vec_id", Metric.Cosine, Dim, bits = 8, bands = 4)
+    val rebuild = VectorSearch.lshBucketTable(emb, "embedding", "vec_id",
+      Metric.Cosine, Dim, bits = 8, bands = 4)
+    val asSet = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(asSet(incremental) == asSet(rebuild))
+    assert(incremental.count() == emb.count() * 4)
+  }
+
+  test("incremental IVF append with frozen centroids equals a full rebuild") {
+    val existing = emb.filter(col("vec_id") < 400)
+    val appended = emb.filter(col("vec_id") >= 400)
+    // centroids come from the EXISTING corpus and stay frozen across the
+    // append — the IVF serving contract (recluster offline, not per add)
+    val cents = VectorSearch.ivfCentroids(existing, "embedding", "vec_id", 16, Metric.Cosine)
+    val incremental = VectorSearch.ivfIndexAppend(
+      VectorSearch.ivfAssignTable(existing, "embedding", "vec_id", Metric.Cosine, cents),
+      appended, "embedding", "vec_id", Metric.Cosine, cents)
+    val rebuild = VectorSearch.ivfAssignTable(emb, "embedding", "vec_id", Metric.Cosine, cents)
+    val asSet = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(asSet(incremental) == asSet(rebuild))
+  }
+
   test("IVF: assignment is deterministic and 2-probe recall beats 1-probe") {
     val exact = pairsOf(VectorSearch.knnJoin(emb, emb, "embedding", "vec_id",
       Metric.Cosine, k = K, excludeSelf = true, broadcastData = true))
