@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Metric, VectorFunctions => VF}
 import graft.operators.{Multimodal, Rag, Sketches, TextOps, VectorSearch}
+import graft.sources.Sources
 import graft.streaming.Streaming
 
 /** One declared, oracle-checked query. `oracle` is ANSI-ish SQL DuckDB runs
@@ -1219,6 +1220,46 @@ object Queries {
        |       'cosine' AS metric_name
        |FROM embeddings""".stripMargin
 
+  /** Source-format fidelity gate (beyond parquet): write documents as
+    * JSON-lines and CSV, read each back with [[Sources]]' schema-explicit
+    * PERMISSIVE readers, and emit per-format content checksums. The
+    * oracle computes the SAME checksums straight from the parquet table —
+    * equality proves the ingest formats lose nothing (row count, ids,
+    * n_chars, an md5-derived text digest; summed mod 2³¹−1 so 60-bit
+    * per-row digests cannot overflow BIGINT). */
+  private def qSourceRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"/root/repo/target/tmp/q_source_rt_$safe"
+    val docs = Tables.documents(s, dir)
+    Sources.writeJsonl(docs, s"$base/jsonl")
+    Sources.writeCsv(docs, s"$base/csv")
+    val fromJson = Sources.good(Sources.jsonl(s, s"$base/jsonl", docs.schema))
+    val fromCsv = Sources.good(Sources.csv(s, s"$base/csv", docs.schema))
+    def sums(df: DataFrame, fmt: String): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum("doc_id").as("id_sum"),
+        sum("n_chars").as("char_sum"),
+        sum(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+          % Sketches.MinhashPrime).as("text_hash_sum"))
+        .withColumn("fmt", lit(fmt))
+        .select("fmt", "n_rows", "id_sum", "char_sum", "text_hash_sum")
+    sums(fromCsv, "csv").unionByName(sums(fromJson, "jsonl")).orderBy("fmt")
+  }
+
+  private val qSourceRoundtripSql: String =
+    s"""WITH s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |         CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       |         CAST(sum(n_chars) AS BIGINT) AS char_sum,
+       |         CAST(sum(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+       |                  % ${Sketches.MinhashPrime}) AS BIGINT) AS text_hash_sum
+       |  FROM documents)
+       |SELECT 'csv' AS fmt, n_rows, id_sum, char_sum, text_hash_sum FROM s
+       |UNION ALL
+       |SELECT 'jsonl' AS fmt, n_rows, id_sum, char_sum, text_hash_sum FROM s
+       |ORDER BY fmt""".stripMargin
+
   // ----------------------------------------------------------- registry ---
 
   val all: Seq[GraftQuery] = Seq(
@@ -1240,6 +1281,7 @@ object Queries {
     GraftQuery("q_text_stats", qTextStats, Some(qTextStatsSql)),
     GraftQuery("q_multimodal", qMultimodal, Some(qMultimodalSql)),
     GraftQuery("q_save_load", qSaveLoad, Some(qSaveLoadSql)),
+    GraftQuery("q_source_roundtrip", qSourceRoundtrip, Some(qSourceRoundtripSql)),
     GraftQuery("q_ann_lsh", qAnnLsh, Some(qAnnLshSql)),
     GraftQuery("q_ann_lsh_multi", qAnnLshMulti, Some(qAnnLshMultiSql)),
     GraftQuery("q_index_append", qIndexAppend, Some(qIndexAppendSql)),

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.sources.Sources
+
+/** Source-format layer: schema-explicit CSV/JSONL readers, corrupt-row
+  * visibility (PERMISSIVE + named corrupt column — a pipeline must
+  * account for every input row, not silently drop parse failures), and
+  * round-trip fidelity against the parquet fixture. */
+class SourcesSpec extends SparkSpec {
+
+  private val schema = new StructType()
+    .add("id", LongType)
+    .add("name", StringType)
+
+  private def tmp(): String =
+    Files.createTempDirectory(Paths.get("/root/repo/target"), "src_test_").toString
+
+  test("jsonl: malformed lines land in the corrupt column, clean rows parse") {
+    val dir = tmp()
+    Files.writeString(Paths.get(dir, "part-0.json"),
+      """{"id": 1, "name": "a"}
+        |this is not json
+        |{"id": 2, "name": "b"}
+        |""".stripMargin)
+    val (good, bad) = Sources.split(Sources.jsonl(spark, dir, schema))
+    assert(good.count() == 2)
+    val badRows = bad.collect()
+    assert(badRows.length == 1)
+    assert(badRows(0).getAs[String](Sources.CorruptCol).contains("not json"))
+  }
+
+  test("csv: type-mismatched rows land in the corrupt column") {
+    val dir = tmp()
+    Files.writeString(Paths.get(dir, "part-0.csv"),
+      """id,name
+        |1,a
+        |not_a_number,b
+        |2,c
+        |""".stripMargin)
+    val (good, bad) = Sources.split(Sources.csv(spark, dir, schema))
+    assert(good.count() == 2)
+    assert(bad.count() == 1)
+  }
+
+  test("documents round-trip parquet -> jsonl/csv -> DataFrame losslessly") {
+    val docs = Tables.documents(spark, Sf0001)
+    val dir = tmp()
+    Sources.writeJsonl(docs, s"$dir/jsonl")
+    Sources.writeCsv(docs, s"$dir/csv")
+    val expected = docs.collect().map(_.toSeq).toSet
+    for (fmt <- Seq("jsonl", "csv")) {
+      val back =
+        if (fmt == "jsonl") Sources.good(Sources.jsonl(spark, s"$dir/jsonl", docs.schema))
+        else Sources.good(Sources.csv(spark, s"$dir/csv", docs.schema))
+      assert(back.collect().map(_.toSeq).toSet == expected, s"$fmt round-trip diverged")
+    }
+  }
+}
