@@ -685,6 +685,41 @@ object Queries {
        |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin
   }
 
+  private val WinnowK = 8
+  private val WinnowW = 8
+
+  /** North-star document fingerprinting: winnowing (the MOSS rolling-hash
+    * scheme) — positional k-gram hashes, per-window min with rightmost
+    * tie-break, distinct selected (pos, hash) pairs. Any shared substring
+    * of length ≥ k+w−1 = 15 shares a fingerprint row. */
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    Sketches.fingerprint(Tables.documents(s, dir), "doc_id", "text",
+      WinnowK, WinnowW)
+      .orderBy("doc_id", "fp_pos")
+
+  private val qFingerprintSql: String = {
+    val p = Sketches.MinhashPrime
+    val r = Sketches.WinnowPosRange
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |           range(1, greatest(length(text) - ${WinnowK - 1}, 1) + 1),
+       |           si -> struct_pack(pos := si,
+       |                             gram := substr(text, CAST(si AS INTEGER), $WinnowK)))) AS u
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+       |         CAST('0x' || substr(md5(u.gram), 1, 15) AS BIGINT) % $p AS hm
+       |  FROM g),
+       |w AS (
+       |  SELECT doc_id, min(hm * $r + (${r - 1} - pos)) OVER
+       |           (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS key
+       |  FROM h)
+       |SELECT DISTINCT doc_id, CAST(key // $r AS BIGINT) AS fp_hash,
+       |       CAST(${r - 1} - (key % $r) AS BIGINT) AS fp_pos
+       |FROM w ORDER BY doc_id, fp_pos""".stripMargin
+  }
+
   /** North-star SimHash: 32-bit token-level sketch per doc (near-dups
     * differ in few bits; compare with bit_count(xor)). */
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
@@ -1287,6 +1322,7 @@ object Queries {
     GraftQuery("q_index_append", qIndexAppend, Some(qIndexAppendSql)),
     GraftQuery("q_ann_ivf", qAnnIvf, Some(qAnnIvfSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
+    GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
     GraftQuery("q_neardup_minhash", qNearDupMinhash, Some(qNearDupMinhashSql)),
     GraftQuery("q_simhash", qSimhash, Some(qSimhashSql)),
     GraftQuery("q_text_quality", qTextQuality, Some(qTextQualitySql)),

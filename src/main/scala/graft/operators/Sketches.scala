@@ -124,6 +124,51 @@ object Sketches {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Position capacity of the packed winnowing key: positions must stay
+    * under 2²⁰ (1M chars/doc). `hm < 2³¹` ⇒ packed key < 2⁵¹ — safe in
+    * BIGINT in both engines. */
+  val WinnowPosRange: Long = 1L << 20
+
+  /** Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every POSITIONAL k-gram
+    * ([[shingleHash]]'s md5→BIGINT, no dedup — position matters), then
+    * for each window of `w` consecutive gram hashes keep the minimum,
+    * tie-breaking to the RIGHTMOST occurrence; the distinct selected
+    * (position, hash) pairs are the fingerprint. Guarantees: any shared
+    * substring of length ≥ k+w−1 yields at least one shared fingerprint,
+    * and density is ~2/(w+1) of grams. Trailing partial windows are
+    * included (deterministic, mirrored in the oracle).
+    *
+    * Engine shape: the min-with-rightmost-tie-break rides ONE packed
+    * BIGINT — `hm·2²⁰ + (2²⁰−1−pos)` — so a plain `min` window frame
+    * (PARTITION BY doc ORDER BY pos ROWS w−1 FOLLOWING) computes it in
+    * any SQL engine; one shuffle by doc id, per-row O(w) frame scan.
+    * Output: (idCol, fp_pos, fp_hash) distinct, the winnowed sketch. */
+  def fingerprint(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 8): DataFrame = {
+    val text = col(textCol)
+    val grams = Partitioning.spread(docs).select(
+      col(idCol),
+      posexplode(transform(
+        sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+        i => text.substr(i, lit(k)))).as(Seq("pos0", "gram")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    grams
+      .withColumn("pos", (col("pos0") + 1).cast("long"))
+      .withColumn("hm", shingleHash(col("gram")))
+      .withColumn("key",
+        min(col("hm") * WinnowPosRange + (lit(WinnowPosRange - 1) - col("pos")))
+          .over(win))
+      .select(col(idCol),
+        (col("key") / WinnowPosRange).cast("long").as("fp_hash"),
+        (lit(WinnowPosRange - 1) - pmod(col("key"), lit(WinnowPosRange)))
+          .cast("long").as("fp_pos"))
+      .distinct()
+  }
+
   /** SimHash (32-bit) over whitespace tokens: bit b of the sketch is the
     * sign of Σ_tokens (bit b of md5(token) ? +1 : −1). Bit b of the hash
     * is read as "hex digit b of the md5 is ≥ 8" — the high bit of that

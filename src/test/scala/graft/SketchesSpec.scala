@@ -80,4 +80,35 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(pred == Map(1L -> "de", 2L -> "en", 3L -> "fr"), s"got $pred")
   }
+
+  test("winnowing: shared substring >= k+w-1 guarantees a shared fingerprint hash") {
+    val k = 8; val w = 8
+    // docs 1 and 2 share a 40-char substring (>= k+w-1 = 15); doc 3 shares
+    // nothing 8 chars long with either
+    val shared = "zzz unique shared span qqqq xxxx yyyy ww"
+    val hand = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"totally other beginning $shared and another tail"),
+      (3L, "no overlap here at all, different characters entirely"))
+      .toDF("doc_id", "text")
+    val fp = Sketches.fingerprint(hand, "doc_id", "text", k, w)
+    val byDoc = fp.collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getLong(1)).toSet }
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "winnowing guarantee violated: shared 40-char span produced no shared hash")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty,
+      "unrelated docs share a fingerprint hash (possible but ~impossible at 60-bit hashes)")
+  }
+
+  test("winnowing density is ~2/(w+1) and selection is deterministic") {
+    val docs = Tables.documents(spark, Sf0001).limit(50).cache()
+    val fp = Sketches.fingerprint(docs, "doc_id", "text", 8, 8)
+    val nGrams = docs.select(sum(greatest(length(col("text")) - 7, lit(1)))).collect()(0).getLong(0)
+    val density = fp.count().toDouble / nGrams
+    info(f"winnowing density: $density%.3f (theory ~${2.0 / 9}%.3f)")
+    assert(density > 0.1 && density < 0.4, f"density out of range: $density%.3f")
+    // determinism across partitioning
+    val fp2 = Sketches.fingerprint(docs.repartition(7), "doc_id", "text", 8, 8)
+    assert(fp.collect().map(_.toSeq).toSet == fp2.collect().map(_.toSeq).toSet)
+  }
 }
