@@ -14,6 +14,21 @@ final case class UserEvent(user_id: Long, epoch: Long, value_milli: Long)
 /** Emitted state row. */
 final case class UserStats(user_id: Long, n_events: Long, value_milli_sum: Long, last_epoch: Long)
 
+/** Input row for [[Streaming.closedSessions]] — carries the raw
+  * timestamp: the WATERMARKED column must survive into the stateful
+  * operator (projecting it away fails analysis with "Event-time timeout
+  * not supported without watermark"). */
+final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp) {
+  def epoch: Long = ts.getTime / 1000L
+}
+
+/** Open-session state for [[Streaming.closedSessions]]. */
+final case class OpenSession(start_epoch: Long, last_epoch: Long, n_events: Long)
+
+/** A finalized session, emitted exactly once. */
+final case class ClosedSession(
+    user_id: Long, session_start_epoch: Long, session_end_epoch: Long, n_events: Long)
+
 /** Structured Streaming surface over the `events` table (an extension —
   * the reference is fully synchronous request/response, SURVEY §2.2).
   * Every transform below is batch/stream agnostic: the same function
@@ -112,6 +127,63 @@ object Streaming {
 
   /** Output mode required by [[userRunningStats]] under a stream. */
   val RunningStatsOutputMode: OutputMode = OutputMode.Update()
+
+  /** Sessions emitted exactly once, ON CLOSE — `flatMapGroupsWithState`
+    * with an EVENT-TIME timeout (the state feature [[sessionize]]'s
+    * built-in `session_window` cannot express: emit-on-final with custom
+    * state). While a user keeps producing events within `gapSecs`, the
+    * open session lives in state and nothing is emitted; a later event
+    * beyond the gap closes it inline, and the WATERMARK passing
+    * `last_event + gap` closes it by timeout (fired on a subsequent
+    * micro-batch even if the user never appears again). Append-mode
+    * output; state is bounded by (open sessions × state row), and the
+    * timeout clamps to just above the current watermark because Spark
+    * rejects timestamps at/below it. The watermark is applied HERE, on
+    * the ts column itself — it must ride into the stateful operator. */
+  def closedSessions(
+      events: DataFrame, gapSecs: Long, watermark: String): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+      .as[SessionEvent]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(userId, s.start_epoch, s.last_epoch, s.n_events))
+          } else {
+            // order within the batch: state transitions are sequential in
+            // event time regardless of arrival order inside a micro-batch
+            val sorted = rows.toArray.sortBy(_.epoch)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var open = state.getOption
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.epoch <= s.last_epoch + gapSecs =>
+                  open = Some(OpenSession(s.start_epoch, math.max(s.last_epoch, e.epoch), s.n_events + 1))
+                case Some(s) =>
+                  closed += ClosedSession(userId, s.start_epoch, s.last_epoch, s.n_events)
+                  open = Some(OpenSession(e.epoch, e.epoch, 1))
+                case None =>
+                  open = Some(OpenSession(e.epoch, e.epoch, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(math.max(
+                (s.last_epoch + gapSecs) * 1000L,
+                state.getCurrentWatermarkMs() + 1000L))
+            }
+            closed.iterator
+          }
+      }
+  }
 
   /** Event-pair correlation: for each event, the events by the SAME user
     * within the following `withinSeconds` (exclusive of itself) — e.g.

@@ -99,6 +99,95 @@ class StreamingSpec extends SparkSpec {
     assert(batchTotal.getLong(0) > 0)
   }
 
+  /** Write each row group as its own parquet file in `dir`, in order —
+    * with `maxFilesPerTrigger=1` each file becomes one micro-batch, so
+    * the watermark advances BETWEEN the groups (what late-data and
+    * event-time-timeout semantics need; a single batch never sees its
+    * own watermark). */
+  private def stageBatches(dir: String, batches: Seq[Seq[(Long, Long)]]): Unit = {
+    import spark.implicits._
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("user_id", "epoch")
+        .select(col("user_id"), timestamp_seconds(col("epoch")).as("ts"),
+          lit("click").as("event_type"), lit(1.0).as("value"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/b$i")
+      // distinct mtimes keep FileStreamSource's (modTime, path) order
+      Thread.sleep(20)
+    }
+  }
+
+  private def readStaged(dir: String, nBatches: Int): org.apache.spark.sql.DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/b*")
+  }
+
+  test("watermark drops late data in streaming; batch keeps it") {
+    val dir = "/root/repo/target/stream_late_test"
+    // batch 0: window [36000,36600) gets 2 events; max ts 37500 →
+    // watermark 37500-600 = 36900 > 36600 closes the window. The
+    // watermark becomes OPERATIVE one batch after its data (Spark
+    // applies the update at the following batch boundary), so the late
+    // row arrives two batches after the window's data:
+    // batch 2: 36120 is LATE (watermark ≥ 36900 by now) → dropped;
+    // 45000 keeps the stream moving.
+    val b0 = Seq((1L, 36000L), (1L, 36480L), (1L, 37500L))
+    val b1 = Seq((1L, 39600L))
+    val b2 = Seq((1L, 36120L), (1L, 45000L))
+    stageBatches(dir, Seq(b0, b1, b2))
+    val q = Streaming.windowedCounts(readStaged(dir, 3), watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("late_wc")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("late_wc")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // the late event is NOT in the closed window
+    assert(streamed(36000L) == 2L, s"late row leaked into a closed window: $streamed")
+    // batch over the same files counts all 5 (no watermark in batch)
+    val batch = Streaming.windowedCounts(
+      spark.read.parquet(s"$dir/b*"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(batch(36000L) == 3L, s"batch should keep the late row: $batch")
+  }
+
+  test("flatMapGroupsWithState event-time timeout emits sessions exactly once, on close") {
+    val dir = "/root/repo/target/stream_session_test"
+    val gap = 300L
+    // u1: session A (1000,1060) closed inline by the 10000 event in b2;
+    //     session B (10000) closed by TIMEOUT once the watermark passes
+    //     10300 (b3 runs with watermark 50000-10=49990).
+    // u2: session (1000) closed by timeout the same way.
+    // u3: session (50000) closed inline by its own 100000 event in b3;
+    //     the 100000 session is still open at end → never emitted.
+    val b1 = Seq((1L, 1000L), (1L, 1060L), (2L, 1000L))
+    val b2 = Seq((1L, 10000L), (3L, 50000L))
+    val b3 = Seq((3L, 100000L))
+    stageBatches(dir, Seq(b1, b2, b3))
+    val q = Streaming.closedSessions(readStaged(dir, 3), gap, "10 seconds")
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("closed_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expected = Set(
+      (1L, 1000L, 1060L, 2L),
+      (1L, 10000L, 10000L, 1L),
+      (2L, 1000L, 1000L, 1L),
+      (3L, 50000L, 50000L, 1L))
+    assert(got == expected, s"closed sessions diverged: got $got")
+  }
+
   test("sessions respect the 30-minute gap (no intra-session gap ≥ gap)") {
     // max intra-session gap must be < 30 min: recompute with islands and compare counts
     val sessions = Streaming.sessionize(Tables.events(spark, Sf0001))
