@@ -79,6 +79,26 @@ final class VectorTable(val df: DataFrame, val config: VectorTableConfig) {
   def filterMeta(metaCol: String, key: String, value: String): VectorTable =
     new VectorTable(df.filter(col(metaCol).getItem(key) === value), config)
 
+  /** Serving pattern: pin the table in executor memory for REPEATED
+    * searches — the batch analog of the reference holding its numpy
+    * matrix in process RAM (api.py keeps vectors resident between
+    * requests). The cache is Spark's columnar `InMemoryRelation`
+    * (codegen-scannable; spills to disk rather than OOM), so every
+    * subsequent [[search]]/[[searchText]] skips the parquet scan AND the
+    * per-row metric prep cost stays the only per-query work. At cluster
+    * scale, cache the served PROJECTION (id + vector), not every
+    * metadata column — the projected plan is what gets pinned. */
+  def cached(): VectorTable = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    this
+  }
+
+  /** Release the serving cache. */
+  def uncached(): VectorTable = {
+    df.unpersist()
+    this
+  }
+
   /** O9 search: top-k rows most similar to the 1-row query frame. */
   def search(query: DataFrame, queryVecCol: String, k: Int): DataFrame =
     VectorSearch.topK(df, config.vecCol, config.idCol, query, queryVecCol, metric, k)

@@ -60,4 +60,30 @@ class ChunkSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(out.toSeq == Seq((1L, 0L, "abcd"), (1L, 1L, "ef"), (2L, 0L, "")))
   }
+
+  test("multi-byte text chunks by CHARACTER, not byte (Arabic — the reference's corpus language)") {
+    // 8 Arabic chars (16 UTF-8 bytes): char semantics give 2+2 chunks of
+    // 3/3/2... with size 3 → 3 chunks; byte semantics would split inside
+    // a codepoint and corrupt the text. Spark `length`/`substr` and
+    // DuckDB `length`/`substr` both count characters, so the oracle
+    // parity contract extends to non-ASCII corpora unchanged.
+    val text = "عربية نص" // 8 chars incl. the space
+    val m = chunksOf(Seq(text), 3)
+    assert(m(text) == Seq("عرب", "ية ", "نص"))
+    assert(m(text).mkString == text)
+  }
+
+  test("multi-byte text shingles/embeds by character (length is char count)") {
+    import graft.functions.{VectorFunctions => VF}
+    val df = Seq("عربية").toDF("text")
+    // arithmeticEmbedding keys off length() = 5 CHARS (not 10 bytes)
+    val emb = df.select(VF.arithmeticEmbedding(col("text"), 4).as("e"))
+      .collect()(0).getSeq[Double](0)
+    val expected = (1 to 4).map(i => ((5L * i) % 97).toDouble / 97.0)
+    assert(emb == expected)
+    // shingles are 2-char windows over codepoints
+    val sh = df.select(graft.operators.Sketches.shingles(col("text"), 2).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(sh == Seq("عر", "رب", "بي", "ية"))
+  }
 }

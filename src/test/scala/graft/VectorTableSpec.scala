@@ -159,4 +159,25 @@ class VectorTableSpec extends SparkSpec {
       .filterMeta("meta", "nope", "x")
     assert(t.df.count() == 0)
   }
+
+  test("cached() serves repeated searches from the in-memory relation") {
+    val served = VectorTable(
+      Tables.embeddings(spark, Sf0001).select("vec_id", "embedding"),
+      VectorTableConfig(dim = Tables.EmbeddingDim, metric = "cosine"))
+      .cached()
+    try {
+      val q = served.searchText(spark, "hello graft", 5)
+      val first = q.collect()
+      val plan = served.searchText(spark, "hello graft", 5)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"cached serving path still scans parquet:\n$plan")
+      // cached results identical to a cold scan
+      val cold = VectorTable(
+        Tables.embeddings(spark, Sf0001).select("vec_id", "embedding"),
+        VectorTableConfig(dim = Tables.EmbeddingDim, metric = "cosine"))
+        .searchText(spark, "hello graft", 5).collect()
+      assert(first.map(_.toSeq).toSeq == cold.map(_.toSeq).toSeq)
+    } finally served.uncached()
+  }
 }
