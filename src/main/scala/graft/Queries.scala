@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Metric, VectorFunctions => VF}
-import graft.operators.{Multimodal, Rag, Sketches, TextOps, VectorSearch}
+import graft.operators.{Multimodal, Rag, Sketches, Temporal, TextOps, VectorSearch}
 import graft.sources.Sources
 import graft.streaming.Streaming
 
@@ -976,6 +976,38 @@ object Queries {
       |             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 86400 SECONDS
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** AS-OF join (custom temporal operator — Spark has no built-in; the
+    * oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, so the gate certifies
+    * real as-of semantics): for every purchase, the same user's latest
+    * view at-or-before it. [[Temporal.asofJoin]] is the union +
+    * running-last-match window — one shuffle by user, no per-key
+    * range-join cartesian. */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    Temporal.asofJoin(purchases, views, "user_id", "ts", "event_id")
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("purchase_micros"),
+        col("asof_event_id").as("view_id"),
+        unix_micros(col("asof_ts")).as("view_micros"))
+      .orderBy("purchase_id")
+  }
+
+  private val qAsofJoinSql: String =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+      |SELECT p.event_id AS purchase_id, p.user_id,
+      |       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_micros,
+      |       v.event_id AS view_id,
+      |       CAST(epoch_us(v.ts) AS BIGINT) AS view_micros
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+      |ORDER BY purchase_id""".stripMargin
+
   /** JSON property extraction (`props` is a JSON string column):
     * per-event-type sum of the numeric `k` field. */
   private def qEventProps(s: SparkSession, dir: String): DataFrame =
@@ -1334,6 +1366,7 @@ object Queries {
     GraftQuery("q_sessionize", qSessionize, Some(qSessionizeSql)),
     GraftQuery("q_event_props", qEventProps, Some(qEventPropsSql)),
     GraftQuery("q_event_pairs", qEventPairs, Some(qEventPairsSql)),
+    GraftQuery("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
     GraftQuery("q_pricing_summary", qPricingSummary, Some(qPricingSummarySql)),
     GraftQuery("q_revenue_by_nation", qRevenueByNation, Some(qRevenueByNationSql)),
     GraftQuery("q_top_customers", qTopCustomers, Some(qTopCustomersSql)),

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Temporal joins Spark lacks as built-ins. */
+object Temporal {
+
+  /** AS-OF join: for every left row, the LATEST right row with the same
+    * key and `right.ts <= left.ts` (inclusive; left rows with no prior
+    * right row keep null match columns — LEFT OUTER semantics, like
+    * DuckDB's `ASOF LEFT JOIN`).
+    *
+    * Implementation is the scale-correct union + running-last-match
+    * window, NOT a range join: a range-condition join materializes the
+    * per-key cartesian before filtering (O(n·m) pairs per key — dead at
+    * 100 TB), while this plan unions both sides, shuffles ONCE by key,
+    * sorts each partition by (ts, side) and carries the last-seen right
+    * payload forward with a running `last(ignoreNulls)` frame — O((n+m)
+    * log(n+m)) per key, no pair blow-up. Right rows sort BEFORE left
+    * rows at equal ts (side tag 0 < 1), which is what makes the match
+    * inclusive.
+    *
+    * Determinism: rows ordered by (ts, side, right id) — callers with
+    * multiple right rows at the SAME (key, ts) get the highest-id one
+    * (documented tie-break, mirroring `ORDER BY ts, id` oracles).
+    *
+    * Output: every left column unchanged + every right column prefixed
+    * `asof_`. */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      rightPrefix: String = "asof_"): DataFrame = {
+    val rightPayloadFields = right.columns.toSeq
+    val rPayType = StructType(right.schema.fields)
+    val l = left.select(
+      col(keyCol).as("__key"), col(tsCol).as("__ts"),
+      lit(1).as("__side"),
+      lit(Long.MaxValue).as("__rid"),
+      struct(left.columns.map(col): _*).as("__lpay"),
+      lit(null).cast(rPayType).as("__rpay"))
+    val r = right.select(
+      col(keyCol).as("__key"), col(tsCol).as("__ts"),
+      lit(0).as("__side"),
+      col(idCol).cast("long").as("__rid"),
+      lit(null).cast(StructType(left.schema.fields)).as("__lpay"),
+      struct(right.columns.map(col): _*).as("__rpay"))
+    val w = Window.partitionBy("__key")
+      .orderBy(col("__ts").asc, col("__side").asc, col("__rid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r)
+      .withColumn("__match", last("__rpay", ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val leftCols = left.columns.map(c => col(s"__lpay.$c").as(c))
+    val rightCols = rightPayloadFields.map(c =>
+      col(s"__match.$c").as(s"$rightPrefix$c"))
+    matched.select(leftCols ++ rightCols: _*)
+  }
+}
