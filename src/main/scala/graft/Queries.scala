@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Metric, VectorFunctions => VF}
-import graft.operators.{Multimodal, Rag, Sketches, Temporal, TextOps, VectorSearch}
+import graft.operators.{Multimodal, Rag, Sketches, Splits, Temporal, TextOps, VectorSearch}
 import graft.sources.Sources
 import graft.streaming.Streaming
 
@@ -1287,6 +1287,39 @@ object Queries {
        |       'cosine' AS metric_name
        |FROM embeddings""".stripMargin
 
+  private val SplitSalt = "exp1"
+  private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** Deterministic train/val/test split (training-pipeline op): assign
+    * every document by `md5(salt:id)` bucket — reproducible across runs,
+    * engines, and partitionings, unlike `rand()`/`randomSplit`. Output:
+    * per-(split, lang) doc and char counts. The oracle replays the
+    * identical hash arithmetic, so the gate certifies the ASSIGNMENT,
+    * not just the counts. */
+  private def qSplit(s: SparkSession, dir: String): DataFrame =
+    Splits.assignSplit(Tables.documents(s, dir), "doc_id", SplitSalt, SplitWeights)
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("char_sum"))
+      .orderBy("split", "lang")
+
+  private val qSplitSql: String = {
+    val p = Sketches.MinhashPrime
+    val b = Splits.Buckets
+    val bounds = SplitWeights.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * b)
+    }.tail
+    val bucket =
+      s"((CAST('0x' || substr(md5('$SplitSalt:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % $p) % $b)"
+    val cases = SplitWeights.init.zip(bounds.init)
+      .map { case ((label, _), bound) => s"WHEN $bucket < $bound THEN '$label'" }
+      .mkString(" ")
+    s"""SELECT CASE $cases ELSE '${SplitWeights.last._1}' END AS split, lang,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS char_sum
+       |FROM documents
+       |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+  }
+
   /** Source-format fidelity gate (beyond parquet): write documents as
     * JSON-lines and CSV, read each back with [[Sources]]' schema-explicit
     * PERMISSIVE readers, and emit per-format content checksums. The
@@ -1349,6 +1382,7 @@ object Queries {
     GraftQuery("q_multimodal", qMultimodal, Some(qMultimodalSql)),
     GraftQuery("q_save_load", qSaveLoad, Some(qSaveLoadSql)),
     GraftQuery("q_source_roundtrip", qSourceRoundtrip, Some(qSourceRoundtripSql)),
+    GraftQuery("q_split", qSplit, Some(qSplitSql)),
     GraftQuery("q_ann_lsh", qAnnLsh, Some(qAnnLshSql)),
     GraftQuery("q_ann_lsh_multi", qAnnLshMulti, Some(qAnnLshMultiSql)),
     GraftQuery("q_index_append", qIndexAppend, Some(qIndexAppendSql)),

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting & sampling for training pipelines.
+  *
+  * Everything here is HASH-based, never `rand()`: a 100 TB corpus split
+  * must be reproducible across runs, engines, partitionings, and cluster
+  * sizes, and a given document must land in the same split when the
+  * corpus is re-processed incrementally (rand() re-deals every run;
+  * seeded rand() re-deals on every repartition). `md5(salt:id)` gives an
+  * engine-portable uniform hash; the salt namespaces independent
+  * experiments so re-splitting with a new salt is uncorrelated with the
+  * old assignment.
+  */
+object Splits {
+
+  /** Buckets per unit probability — per-mille×10 resolution. */
+  val Buckets: Long = 10000L
+
+  /** Uniform bucket in [0, [[Buckets]]) from `md5(salt:id)` — the first
+    * 15 hex chars as a 60-bit integer, reduced mod a Mersenne prime then
+    * the bucket count (both engines compute it identically; see
+    * [[Sketches.shingleHash]]). */
+  def hashBucket(idCol: Column, salt: String): Column =
+    (conv(substring(md5(concat(lit(salt), lit(":"), idCol.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % Sketches.MinhashPrime) % Buckets
+
+  /** Append a `split` column assigning each row to the first label whose
+    * cumulative weight bound exceeds the row's hash bucket. Weights are
+    * per-unit (e.g. 0.8/0.1/0.1) over [[Buckets]]; they must sum to ≤ 1
+    * and the LAST label absorbs any rounding remainder. Pure per-row
+    * projection — no shuffle, no state, safe to recompute anywhere. */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      salt: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum <= 1.0 + 1e-9)
+    val bucket = hashBucket(col(idCol), salt)
+    val bounds = weights.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * Buckets)
+    }.tail
+    val cases = weights.init.zip(bounds.init).foldRight(
+      lit(weights.last._1): Column) { case (((label, _), bound), elseCol) =>
+      when(bucket < bound, lit(label)).otherwise(elseCol)
+    }
+    df.withColumn("split", cases)
+  }
+
+  /** Deterministic sample: keep each row with probability `rate`, by the
+    * same hash (so a 1% sample is a stable SUBSET of a 10% sample at the
+    * same salt — nested samples for staged experiments). */
+  def sample(df: DataFrame, idCol: String, salt: String, rate: Double): DataFrame =
+    df.filter(hashBucket(col(idCol), salt) < math.round(rate * Buckets))
+}
