@@ -768,6 +768,33 @@ object Queries {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** Within-document repetition (C4/Gopher-style degenerate-text
+    * filters): duplicate token-bigram fraction and most-common-token
+    * fraction, as exact integer milli-fractions. */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionMetrics(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val qRepetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |         CAST(length(toks) AS BIGINT) AS n_tokens,
+      |         list_transform(range(1, length(toks)), bi -> toks[bi] || ' ' || toks[bi + 1]) AS bigrams,
+      |         CAST(list_max(list_transform(list_distinct(toks),
+      |                tt -> length(list_filter(toks, x -> x = tt)))) AS BIGINT) AS top_token_n
+      |  FROM t)
+      |SELECT doc_id, n_tokens,
+      |       CAST(length(bigrams) AS BIGINT) AS n_bigrams,
+      |       CAST(length(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams,
+      |       CAST(CASE WHEN length(bigrams) > 0
+      |                 THEN ((length(bigrams) - length(list_distinct(bigrams))) * 1000) // length(bigrams)
+      |                 ELSE 0 END AS BIGINT) AS dup_bigram_milli,
+      |       top_token_n,
+      |       CAST((top_token_n * 1000) // n_tokens AS BIGINT) AS top_token_milli
+      |FROM b ORDER BY doc_id""".stripMargin
+
   /** North-star language-ID heuristic: marker-word scores per candidate
     * language, argmax per doc, reported as a (lang, predicted, n)
     * confusion matrix against the fixture's lang column. */
@@ -1392,6 +1419,7 @@ object Queries {
     GraftQuery("q_neardup_minhash", qNearDupMinhash, Some(qNearDupMinhashSql)),
     GraftQuery("q_simhash", qSimhash, Some(qSimhashSql)),
     GraftQuery("q_text_quality", qTextQuality, Some(qTextQualitySql)),
+    GraftQuery("q_repetition", qRepetition, Some(qRepetitionSql)),
     GraftQuery("q_lang_id", qLangId, Some(qLangIdSql)),
     GraftQuery("q_jaccard_pairs", qJaccardPairs, Some(qJaccardPairsSql)),
     GraftQuery("q_media_features", qMediaFeatures, Some(qMediaFeaturesSql)),

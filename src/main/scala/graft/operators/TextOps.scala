@@ -129,6 +129,39 @@ object TextOps {
           col("stop_ratio") <= 0.5).cast("int"))
   }
 
+  /** Within-document repetition metrics — the C4/Gopher-style filters
+    * that catch boilerplate and degenerate (looping) text: duplicate
+    * token-bigram fraction and most-common-token fraction. All ratios
+    * are EXACT integer milli-fractions (`(x·1000) div n`), so they
+    * reproduce bit-for-bit in any engine. Pure per-row projection: the
+    * per-doc O(tokens·distinct) work stays inside the row (documents are
+    * KB-bounded), no shuffle — the shape that sweeps 100 TB at scan
+    * speed. Single-token docs have no bigrams (counts 0, fraction 0). */
+  def repetitionMetrics(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks).cast("long")
+    // sequence(1, size-1) DESCENDS when size < 2 (Spark generates toward
+    // the stop value) — guard the degenerate case explicitly
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array())
+    val nBigrams = size(bigrams).cast("long")
+    val nDistinct = size(array_distinct(bigrams)).cast("long")
+    val topTokenN = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t)))).cast("long")
+    Partitioning.spread(docs).select(
+      col(idCol),
+      n.as("n_tokens"),
+      nBigrams.as("n_bigrams"),
+      nDistinct.as("n_distinct_bigrams"),
+      when(nBigrams > 0, ((nBigrams - nDistinct) * 1000L) / nBigrams)
+        .otherwise(lit(0L)).cast("long").as("dup_bigram_milli"),
+      topTokenN.as("top_token_n"),
+      (topTokenN * 1000L / n).cast("long").as("top_token_milli"))
+  }
+
   /** Marker-word profiles for the n-gram/stopword language-ID heuristic
     * (north star). Candidates scored by marker occurrences; ties break
     * alphabetically. */

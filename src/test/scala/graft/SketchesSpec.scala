@@ -81,6 +81,23 @@ class SketchesSpec extends SparkSpec {
     assert(pred == Map(1L -> "de", 2L -> "en", 3L -> "fr"), s"got $pred")
   }
 
+  test("repetition metrics: degenerate loop text scores high, varied text low") {
+    val hand = Seq(
+      (1L, "spam spam spam spam spam spam"),     // 1 distinct bigram of 5
+      (2L, "one two three four five six seven"), // all bigrams distinct
+      (3L, "solo"))                               // single token: no bigrams
+      .toDF("doc_id", "text")
+    val m = TextOps.repetitionMetrics(hand, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6)))).toMap
+    // doc 1: 5 bigrams, 1 distinct -> dup 800 milli; top token 6/6 = 1000
+    assert(m(1L) == ((5L, 1L, 800L, 1000L)), s"got ${m(1L)}")
+    // doc 2: 6 bigrams all distinct -> dup 0; top token 1/7 = 142
+    assert(m(2L) == ((6L, 6L, 0L, 142L)), s"got ${m(2L)}")
+    // doc 3: no bigrams, fraction 0 (not a division error)
+    assert(m(3L) == ((0L, 0L, 0L, 1000L)), s"got ${m(3L)}")
+  }
+
   test("winnowing: shared substring >= k+w-1 guarantees a shared fingerprint hash") {
     val k = 8; val w = 8
     // docs 1 and 2 share a 40-char substring (>= k+w-1 = 15); doc 3 shares
