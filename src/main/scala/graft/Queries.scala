@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Metric, VectorFunctions => VF}
-import graft.operators.{Multimodal, Rag, Sketches, Splits, Temporal, TextOps, VectorSearch}
+import graft.operators.{Multimodal, Quantize, Rag, Sketches, Splits, Temporal, TextOps, VectorSearch}
 import graft.sources.Sources
 import graft.streaming.Streaming
 
@@ -1314,6 +1314,42 @@ object Queries {
        |       'cosine' AS metric_name
        |FROM embeddings""".stripMargin
 
+  /** int8 scalar quantization (serving-memory compression, ~8× at a
+    * small recall cost): per-vector scale, round-half-up codes,
+    * reconstruction error — all as per-row exact/floored integers so
+    * the oracle certifies the exact codes, not a tolerance. */
+  private def qQuantize(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val q = Quantize.quantizeColumn(emb, "embedding")
+    q.join(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding").as("__orig")), "vec_id")
+      .select(
+        col("vec_id"),
+        floor(col("qscale") * 1e6).cast("long").as("scale_micro"),
+        aggregate(col("qcodes"), lit(0.0), (acc, c) => acc + c).cast("long").as("code_sum"),
+        array_max(col("qcodes")).cast("long").as("code_max"),
+        floor(aggregate(
+          zip_with(col("__orig"), col("embedding"), (x, r) => abs(x - r)),
+          lit(0.0), (acc, e) => acc + e) * 1e6).cast("long").as("err_micro"))
+      .orderBy("vec_id")
+  }
+
+  private val qQuantizeSql: String = {
+    val sExpr = s"(list_max(list_transform(emb, qx -> abs(qx))) / 127.0)"
+    val codes =
+      s"list_transform(emb, qx -> greatest(least(floor(qx / s + 0.5), 127.0), -127.0))"
+    val err = Oracle.foldSum(
+      s"list_transform(range(1, ${EmbeddingDim + 1}), ei -> abs(emb[ei] - codes[ei] * s))")
+    s"""WITH ${Oracle.embeddingsCte},
+       |sc AS (SELECT vec_id, emb, $sExpr AS s FROM e),
+       |c AS (SELECT vec_id, emb, s, $codes AS codes FROM sc)
+       |SELECT vec_id,
+       |       CAST(floor(s * 1e6) AS BIGINT) AS scale_micro,
+       |       CAST(${Oracle.foldSum("codes")} AS BIGINT) AS code_sum,
+       |       CAST(list_max(codes) AS BIGINT) AS code_max,
+       |       CAST(floor($err * 1e6) AS BIGINT) AS err_micro
+       |FROM c ORDER BY vec_id""".stripMargin
+  }
+
   private val SplitSalt = "exp1"
   private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
@@ -1410,6 +1446,7 @@ object Queries {
     GraftQuery("q_save_load", qSaveLoad, Some(qSaveLoadSql)),
     GraftQuery("q_source_roundtrip", qSourceRoundtrip, Some(qSourceRoundtripSql)),
     GraftQuery("q_split", qSplit, Some(qSplitSql)),
+    GraftQuery("q_quantize", qQuantize, Some(qQuantizeSql)),
     GraftQuery("q_ann_lsh", qAnnLsh, Some(qAnnLshSql)),
     GraftQuery("q_ann_lsh_multi", qAnnLshMulti, Some(qAnnLshMultiSql)),
     GraftQuery("q_index_append", qIndexAppend, Some(qIndexAppendSql)),
