@@ -212,6 +212,25 @@ object Streaming {
         (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_micros"))
   }
 
+  /** Streaming exact dedup — the INGEST-time form of the dedup north
+    * star: drop rows whose key was already seen, keeping the first
+    * arrival. With a watermark the state is BOUNDED:
+    * `dropDuplicatesWithinWatermark` evicts seen-keys older than the
+    * delay, which is the correct contract for at-least-once upstream
+    * sources (a redelivery arrives within bounded lateness; an unbounded
+    * seen-set would OOM a year-long stream). Without a watermark this
+    * degrades to the batch `dropDuplicates` — same function serves the
+    * differential test. */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermark: Option[String] = None): DataFrame =
+    watermark match {
+      case Some(w) =>
+        events.withWatermark("ts", w).dropDuplicatesWithinWatermark(keyCols)
+      case None => events.dropDuplicates(keyCols)
+    }
+
   /** An events file stream over a DIRECTORY of parquet files — the real
     * streaming ingest shape (files arrive in a landing dir; each
     * micro-batch picks up new ones; `Trigger.AvailableNow` drains the

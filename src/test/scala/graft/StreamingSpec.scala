@@ -188,6 +188,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected, s"closed sessions diverged: got $got")
   }
 
+  test("streaming dedup drops cross-batch redeliveries (at-least-once ingest)") {
+    // landing dir with the SAME fixture file twice: batch 2 redelivers
+    // every event_id of batch 1 — the at-least-once upstream shape
+    val dir = java.nio.file.Paths.get("/root/repo/target/stream_dedup_test")
+    java.nio.file.Files.createDirectories(dir)
+    for (name <- Seq("a.parquet", "b.parquet")) {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$Sf0001/events.parquet"), dir.resolve(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Thread.sleep(20)
+    }
+    val in = spark.readStream.schema(Streaming.EventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Streaming.dedupStream(in, Seq("event_id"), Some("40 days"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dedup_stream").count()
+    val nEvents = Tables.events(spark, Sf0001).count()
+    assert(streamed == nEvents,
+      s"expected $nEvents deduped rows from ${2 * nEvents} delivered, got $streamed")
+    // distinct ids survived exactly once
+    assert(spark.table("dedup_stream").select("event_id").distinct().count() == nEvents)
+  }
+
   test("sessions respect the 30-minute gap (no intra-session gap ≥ gap)") {
     // max intra-session gap must be < 30 min: recompute with islands and compare counts
     val sessions = Streaming.sessionize(Tables.events(spark, Sf0001))
