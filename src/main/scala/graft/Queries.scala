@@ -775,17 +775,23 @@ object Queries {
     TextOps.repetitionMetrics(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  // top_token_n is an exact integer, so the oracle may compute it any
+  // correct way — unnest + count here, sort + run-length scan on the
+  // Spark side (float parity rules don't apply to integer outputs).
   private val qRepetitionSql: String =
     """WITH t AS (
       |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
+      |tt AS (
+      |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_token_n FROM (
+      |    SELECT doc_id, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok)
+      |  GROUP BY doc_id),
       |b AS (
       |  SELECT doc_id,
       |         CAST(length(toks) AS BIGINT) AS n_tokens,
-      |         list_transform(range(1, length(toks)), bi -> toks[bi] || ' ' || toks[bi + 1]) AS bigrams,
-      |         CAST(list_max(list_transform(list_distinct(toks),
-      |                tt -> length(list_filter(toks, x -> x = tt)))) AS BIGINT) AS top_token_n
+      |         list_transform(range(1, length(toks)), bi -> toks[bi] || ' ' || toks[bi + 1]) AS bigrams
       |  FROM t)
-      |SELECT doc_id, n_tokens,
+      |SELECT b.doc_id, n_tokens,
       |       CAST(length(bigrams) AS BIGINT) AS n_bigrams,
       |       CAST(length(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams,
       |       CAST(CASE WHEN length(bigrams) > 0
@@ -793,7 +799,7 @@ object Queries {
       |                 ELSE 0 END AS BIGINT) AS dup_bigram_milli,
       |       top_token_n,
       |       CAST((top_token_n * 1000) // n_tokens AS BIGINT) AS top_token_milli
-      |FROM b ORDER BY doc_id""".stripMargin
+      |FROM b JOIN tt ON b.doc_id = tt.doc_id ORDER BY b.doc_id""".stripMargin
 
   /** North-star language-ID heuristic: marker-word scores per candidate
     * language, argmax per doc, reported as a (lang, predicted, n)

@@ -149,17 +149,42 @@ object TextOps {
       .otherwise(array())
     val nBigrams = size(bigrams).cast("long")
     val nDistinct = size(array_distinct(bigrams)).cast("long")
-    val topTokenN = array_max(transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t)))).cast("long")
-    Partitioning.spread(docs).select(
+    // most-common-token count via sort + longest-equal-run scan:
+    // O(n log n + n) per row. The naive transform(distinct, t ->
+    // count(filter(toks, = t))) is O(distinct·n) interpreted string
+    // compares — measured 2.9s over sf0.1 vs ~1s for this form.
+    val topTokenN = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best")).cast("long")
+    // Two projections on purpose: the ratio columns reference the count
+    // aliases SEVERAL times, and HOF expressions are CodegenFallback (no
+    // codegen CSE) — a single select would rebuild the bigram array once
+    // per reference (~4×, measured 3.1s → 1.x s at sf0.1). CollapseProject
+    // keeps the split because the aliases are non-cheap and multiply
+    // referenced.
+    val counts = Partitioning.spread(docs).select(
       col(idCol),
       n.as("n_tokens"),
       nBigrams.as("n_bigrams"),
       nDistinct.as("n_distinct_bigrams"),
-      when(nBigrams > 0, ((nBigrams - nDistinct) * 1000L) / nBigrams)
+      topTokenN.as("top_token_n"))
+    counts.select(
+      col(idCol),
+      col("n_tokens"),
+      col("n_bigrams"),
+      col("n_distinct_bigrams"),
+      when(col("n_bigrams") > 0,
+        ((col("n_bigrams") - col("n_distinct_bigrams")) * 1000L) / col("n_bigrams"))
         .otherwise(lit(0L)).cast("long").as("dup_bigram_milli"),
-      topTokenN.as("top_token_n"),
-      (topTokenN * 1000L / n).cast("long").as("top_token_milli"))
+      col("top_token_n"),
+      (col("top_token_n") * 1000L / col("n_tokens")).cast("long").as("top_token_milli"))
   }
 
   /** Marker-word profiles for the n-gram/stopword language-ID heuristic
