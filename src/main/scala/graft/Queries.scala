@@ -1320,6 +1320,57 @@ object Queries {
        |       'cosine' AS metric_name
        |FROM embeddings""".stripMargin
 
+  /** Per-language EXACT percentiles of document length — corpus
+    * length-distribution analytics. Spark's `percentile` (exact, linear
+    * interpolation at rank p·(n−1)) and DuckDB's `quantile_cont` share
+    * the same definition; on integer inputs the interpolation arithmetic
+    * is bit-identical. Exact percentile sorts per group — fine for
+    * per-language cardinalities; at larger group counts switch to
+    * `percentile_approx` (t-digest) and a tolerance gate. */
+  private def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.9)").as("p90"),
+        expr("percentile(n_chars, 0.99)").as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("lang")
+
+  private val qPercentilesSql: String =
+    """SELECT lang,
+      |       quantile_cont(n_chars, 0.5) AS p50,
+      |       quantile_cont(n_chars, 0.9) AS p90,
+      |       quantile_cont(n_chars, 0.99) AS p99,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Per-label embedding centroids as EXACT integer micro-sums —
+    * embedding analytics (cluster summaries / label prototypes). Means
+    * of doubles are partition-order-dependent in their last bits, so the
+    * gate certifies `sum(floor(v·10⁶))` + count per (label, dim) and the
+    * consumer divides; posexplode → partial map-side agg, shuffle keyed
+    * (label, pos) — 5·64 groups here, `labels·dims` at scale. */
+  private def qLabelCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v") * 1e6).cast("long")).as("vsum_micro"))
+      .select(col("label"), col("pos").cast("long").as("pos"), col("n"),
+        col("vsum_micro"))
+      .orderBy("label", "pos")
+
+  private val qLabelCentroidsSql: String =
+    s"""WITH ${Oracle.embeddingsCte},
+       |x AS (
+       |  SELECT label, CAST(gs.i - 1 AS BIGINT) AS pos,
+       |         CAST(floor(emb[gs.i] * 1e6) AS BIGINT) AS vmicro
+       |  FROM e CROSS JOIN generate_series(1, $EmbeddingDim) gs(i))
+       |SELECT label, pos, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(vmicro) AS BIGINT) AS vsum_micro
+       |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
   /** int8 scalar quantization (serving-memory compression, ~8× at a
     * small recall cost): per-vector scale, round-half-up codes,
     * reconstruction error — all as per-row exact/floored integers so
@@ -1453,6 +1504,8 @@ object Queries {
     GraftQuery("q_source_roundtrip", qSourceRoundtrip, Some(qSourceRoundtripSql)),
     GraftQuery("q_split", qSplit, Some(qSplitSql)),
     GraftQuery("q_quantize", qQuantize, Some(qQuantizeSql)),
+    GraftQuery("q_label_centroids", qLabelCentroids, Some(qLabelCentroidsSql)),
+    GraftQuery("q_percentiles", qPercentiles, Some(qPercentilesSql)),
     GraftQuery("q_ann_lsh", qAnnLsh, Some(qAnnLshSql)),
     GraftQuery("q_ann_lsh_multi", qAnnLshMulti, Some(qAnnLshMultiSql)),
     GraftQuery("q_index_append", qIndexAppend, Some(qIndexAppendSql)),
