@@ -1,0 +1,73 @@
+package graft
+
+/** Plan-quality regression guards: the scale properties the DuckDB
+  * oracle CANNOT see — pushdown reaching the scan, hash vs sort
+  * aggregation, partial top-k below the exchange, materialized-once
+  * subtrees, and no accidental cartesian products. Each assertion pins a
+  * property that silently regressing would make a query wrong-at-scale
+  * while still hash-green. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    Queries.queries(name)(spark, Sf0001).queryExecution.executedPlan.toString
+
+  test("q_filter_search: the label predicate is pushed to the parquet scan") {
+    val p = planOf("q_filter_search")
+    assert(p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)]"),
+      s"label filter not pushed:\n$p")
+  }
+
+  test("q_meta_filter: map-key predicates fold and push to the scan") {
+    val p = planOf("q_meta_filter")
+    assert(p.contains("EqualTo(lang,en)") && p.contains("EqualTo(source,src7)"),
+      s"map-key predicates not pushed:\n$p")
+  }
+
+  test("q_minhash_sig: hash aggregation, not sort-based (round-2 defect)") {
+    val p = planOf("q_minhash_sig")
+    assert(p.contains("HashAggregate"), s"no hash agg:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"minhash regressed to sort-based aggregation:\n$p")
+  }
+
+  test("q_knn_cosine: single-query top-k plans as TakeOrderedAndProject") {
+    val p = planOf("q_knn_cosine")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort instead of top-k:\n$p")
+  }
+
+  test("q_knn_join: partial top-k (WindowGroupLimit) runs below the exchange") {
+    val p = planOf("q_knn_join")
+    val limitIdx = p.indexOf("WindowGroupLimit")
+    assert(limitIdx >= 0, s"no partial top-k:\n$p")
+    // at least one WindowGroupLimit must appear DEEPER than the last
+    // exchange feeding the window (partial mode before shuffle)
+    assert(p.lastIndexOf("WindowGroupLimit") > p.indexOf("Exchange"),
+      s"no pre-shuffle partial top-k:\n$p")
+  }
+
+  test("q_neardup_minhash: the signature subtree is materialized once") {
+    val p = planOf("q_neardup_minhash")
+    // the localCheckpoint materializes the signature, so BOTH self-join
+    // sides read `Scan ExistingRDD` — the shingle→minhash pipeline (a
+    // parquet scan + shingle explode) must appear in the plan ZERO times
+    // (round-2 defect: it ran once per side). The band explodes over the
+    // checkpointed 16-long rows are cheap and expected.
+    assert(!p.contains("Scan parquet"),
+      s"signature pipeline recomputed instead of read from checkpoint:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"no checkpoint scan found:\n$p")
+  }
+
+  test("no accidental cartesian products in non-knn queries") {
+    // the exact-knn queries legitimately cross-join (scored all-pairs);
+    // every other declared query must be cartesian-free. 1-row broadcast
+    // query frames plan as BroadcastNestedLoopJoin — allowed.
+    val knnLike = Set("q_knn_join", "q_ann_lsh", "q_ann_lsh_multi", "q_ann_ivf")
+    val offenders = Queries.all.map(_.name)
+      .filterNot(knnLike)
+      .filter { n =>
+        try planOf(n).contains("CartesianProduct")
+        catch { case _: Throwable => false }
+      }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+}
