@@ -8,8 +8,18 @@ package graft
   * while still hash-green. */
 class PlanSpec extends SparkSpec {
 
-  private def planOf(name: String): String =
-    Queries.queries(name)(spark, Sf0001).queryExecution.executedPlan.toString
+  // formatted explain: includes scan details (PushedFilters, ReadSchema)
+  // deterministically — the raw executedPlan string elides them while an
+  // AdaptiveSparkPlan is not yet finalized, which made assertions
+  // order-dependent across the suite
+  private def planOf(name: String): String = {
+    // other suites cache fixture frames; the cache manager would then
+    // substitute InMemoryRelation for the parquet scan and hide
+    // PushedFilters — plan assertions need the uncached plan
+    spark.catalog.clearCache()
+    Queries.queries(name)(spark, Sf0001).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
 
   test("q_filter_search: the label predicate is pushed to the parquet scan") {
     val p = planOf("q_filter_search")
