@@ -1345,6 +1345,41 @@ object Queries {
       |       CAST(count(*) AS BIGINT) AS n
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Approximate-aggregate paths (the 100 TB forms of distinct-count
+    * and percentile: HLL++ `approx_count_distinct` needs KB of state vs
+    * a full dedup shuffle; t-digest `percentile_approx` vs a per-group
+    * sort), gated WITHOUT requiring DuckDB to replicate Spark's
+    * sketches: the query emits the exact value plus an in-plan
+    * within-tolerance FLAG comparing Spark's approx against Spark's
+    * exact. The oracle emits the same exact values with the flags
+    * hard-coded true — if an approx path ever drifts out of tolerance,
+    * the flag flips and the hash gate fails. */
+  private def qApproxStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(
+        countDistinct(col("text")).as("exact_distinct"),
+        approx_count_distinct(col("text"), 0.02).as("__ad"),
+        expr("percentile(n_chars, 0.5)").as("p50_exact"),
+        expr("percentile_approx(n_chars, 0.5, 1000)").as("__p50a"))
+      .select(
+        col("lang"),
+        col("exact_distinct"),
+        (abs(col("__ad") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.05).cast("int").as("distinct_ok"),
+        col("p50_exact"),
+        (abs(col("__p50a") - col("p50_exact")) <=
+          col("p50_exact") * 0.05 + 1.0).cast("int").as("p50_ok"))
+      .orderBy("lang")
+
+  private val qApproxStatsSql: String =
+    """SELECT lang,
+      |       CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct,
+      |       CAST(1 AS INTEGER) AS distinct_ok,
+      |       quantile_cont(n_chars, 0.5) AS p50_exact,
+      |       CAST(1 AS INTEGER) AS p50_ok
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Per-label embedding centroids as EXACT integer micro-sums —
     * embedding analytics (cluster summaries / label prototypes). Means
     * of doubles are partition-order-dependent in their last bits, so the
@@ -1506,6 +1541,7 @@ object Queries {
     GraftQuery("q_quantize", qQuantize, Some(qQuantizeSql)),
     GraftQuery("q_label_centroids", qLabelCentroids, Some(qLabelCentroidsSql)),
     GraftQuery("q_percentiles", qPercentiles, Some(qPercentilesSql)),
+    GraftQuery("q_approx_stats", qApproxStats, Some(qApproxStatsSql)),
     GraftQuery("q_ann_lsh", qAnnLsh, Some(qAnnLshSql)),
     GraftQuery("q_ann_lsh_multi", qAnnLshMulti, Some(qAnnLshMultiSql)),
     GraftQuery("q_index_append", qIndexAppend, Some(qIndexAppendSql)),

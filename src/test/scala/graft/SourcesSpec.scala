@@ -46,6 +46,27 @@ class SourcesSpec extends SparkSpec {
     assert(bad.count() == 1)
   }
 
+  test("compaction collapses a many-small-files table into few sized files") {
+    val dir = tmp()
+    val docs = Tables.documents(spark, Sf0001)
+    // simulate the streaming-sink pathology: 64 tiny files
+    docs.repartition(64).write.mode("overwrite").parquet(s"$dir/small")
+    val nSmall = new java.io.File(s"$dir/small").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nSmall == 64)
+    val parts = graft.sources.Compaction.compact(
+      spark, s"$dir/small", s"$dir/compacted", targetBytes = 1L << 40)
+    assert(parts == 1, s"expected a single 128MB-class file, planned $parts")
+    val nOut = new java.io.File(s"$dir/compacted").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nOut == 1)
+    // content preserved
+    val back = spark.read.parquet(s"$dir/compacted")
+    assert(back.count() == docs.count())
+    assert(back.agg(org.apache.spark.sql.functions.sum("doc_id")).collect()(0).getLong(0) ==
+      docs.agg(org.apache.spark.sql.functions.sum("doc_id")).collect()(0).getLong(0))
+  }
+
   test("documents round-trip parquet -> jsonl/csv -> DataFrame losslessly") {
     val docs = Tables.documents(spark, Sf0001)
     val dir = tmp()
