@@ -1515,6 +1515,44 @@ object Queries {
        |SELECT 'jsonl' AS fmt, n_rows, id_sum, char_sum, text_hash_sum FROM s
        |ORDER BY fmt""".stripMargin
 
+  /** Co-located (bucketed) join through the catalog: both sides written
+    * `bucketBy(vec_id)` with [[VectorTable.saveBucketed]], then
+    * equi-joined — at scale two same-bucketed tables join with NO
+    * shuffle (VectorTableSpec asserts the exchange-free plan; this row
+    * certifies the write → catalog read → join RESULTS against the
+    * oracle reading plain parquet). */
+  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (ta, tb) = (s"emb_bkt_a_$safe", s"emb_bkt_b_$safe")
+    for (t <- Seq(ta, tb)) {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      // a dropped catalog entry can leave its warehouse dir behind
+      val loc = java.nio.file.Paths.get(s"spark-warehouse/$t")
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    val emb = Tables.embeddings(s, dir)
+    val cfg = VectorTableConfig(EmbeddingDim, "cosine")
+    VectorTable(emb.select("vec_id", "label"), cfg).saveBucketed(ta, 8)
+    VectorTable(emb.select("vec_id").filter(col("vec_id") % 2 === 0), cfg)
+      .saveBucketed(tb, 8)
+    s.table(ta)
+      .join(s.table(tb), "vec_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum"))
+      .orderBy("label")
+  }
+
+  private val qBucketedJoinSql: String =
+    """SELECT a.label, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(a.vec_id) AS BIGINT) AS id_sum
+      |FROM embeddings a JOIN embeddings b ON a.vec_id = b.vec_id
+      |WHERE b.vec_id % 2 = 0
+      |GROUP BY a.label ORDER BY a.label""".stripMargin
+
   // ----------------------------------------------------------- registry ---
 
   val all: Seq[GraftQuery] = Seq(
@@ -1542,6 +1580,7 @@ object Queries {
     GraftQuery("q_label_centroids", qLabelCentroids, Some(qLabelCentroidsSql)),
     GraftQuery("q_percentiles", qPercentiles, Some(qPercentilesSql)),
     GraftQuery("q_approx_stats", qApproxStats, Some(qApproxStatsSql)),
+    GraftQuery("q_bucketed_join", qBucketedJoin, Some(qBucketedJoinSql)),
     GraftQuery("q_ann_lsh", qAnnLsh, Some(qAnnLshSql)),
     GraftQuery("q_ann_lsh_multi", qAnnLshMulti, Some(qAnnLshMultiSql)),
     GraftQuery("q_index_append", qIndexAppend, Some(qIndexAppendSql)),
