@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Metric, VectorFunctions => VF}
-import graft.operators.{Multimodal, Quantize, Rag, Sketches, Splits, Temporal, TextOps, VectorSearch}
+import graft.operators.{Lexical, Multimodal, Quantize, Rag, Sketches, Splits, Temporal, TextOps, VectorSearch}
 import graft.sources.Sources
 import graft.streaming.Streaming
 
@@ -766,6 +766,108 @@ object Queries {
        |                  AND (CAST(length(list_filter(toks, tk -> tk IN ($stops))) AS DOUBLE) / length(toks)) <= 0.5
        |             THEN 1 ELSE 0 END AS INTEGER) AS quality_ok
        |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  private val Bm25Terms = Seq("spark", "join", "window")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** Lexical relevance: Okapi BM25 top-10 for a literal keyword query —
+    * the retrieval modality the reference lacks; pairs with vector
+    * search in [[qHybridSearch]]. Per-doc term scores fold in sorted
+    * term order (plain double `sum` is partition-order-dependent). */
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    Lexical.bm25TopK(Tables.documents(s, dir), "doc_id", "text", Bm25Terms, k = 10)
+
+  private val qBm25Sql: String = bm25Cte(
+    "SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT 10")
+
+  /** Shared BM25 CTE chain ending in relation `bm25(doc_id, score)`;
+    * `finalSelect` completes the statement. Constants are inlined from
+    * the SAME Scala doubles the Spark plan uses, operand order mirrored
+    * literally (parity contract). */
+  private def bm25Cte(finalSelect: String): String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val k1p1 = Bm25K1 + 1.0
+    val oneMinusB = 1.0 - Bm25B
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
+       |ex AS (
+       |  SELECT doc_id, CAST(length(toks) AS BIGINT) AS len, unnest(toks) AS tok FROM t),
+       |tf AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf, max(len) AS len
+       |  FROM ex WHERE tok IN ($termList) GROUP BY doc_id, tok),
+       |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(length(toks)) AS BIGINT) AS tot FROM t),
+       |ts AS (
+       |  SELECT tf.doc_id, tf.tok,
+       |         ln((CAST(s.n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+       |           * (tf * CAST($k1p1 AS DOUBLE))
+       |           / (tf + CAST($Bm25K1 AS DOUBLE)
+       |                   * (CAST($oneMinusB AS DOUBLE)
+       |                      + CAST($Bm25B AS DOUBLE) * len / (CAST(s.tot AS DOUBLE) / s.n))) AS sc
+       |  FROM tf JOIN dfq USING (tok) CROSS JOIN stats s),
+       |bm25 AS (
+       |  SELECT doc_id,
+       |         list_reduce(list_prepend(0.0, list(sc ORDER BY tok)), (acc, x) -> acc + x) AS score
+       |  FROM ts GROUP BY doc_id)
+       |$finalSelect""".stripMargin
+  }
+
+  private val HybridK = 10
+  private val RrfC = 60
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the VECTOR text search
+    * (arithmetic embedding of [[RagQueryText]], cosine top-10 over
+    * embeddings, doc ids == vec ids) with the LEXICAL BM25 top-10 for
+    * the same words — the standard two-modality serving stack, fused at
+    * rank level so no score normalization is needed. Ranks are exact
+    * ints; contributions `1/(c+rank)` fold in sorted order. */
+  private def qHybridSearch(s: SparkSession, dir: String): DataFrame = {
+    val wVec = Window.orderBy(desc("score"), asc("doc_id"))
+    val vec = VectorSearch.topK(
+      Tables.embeddings(s, dir).select("vec_id", "embedding"),
+      "embedding", "vec_id",
+      textQueryFrame(s), "qvec", Metric.Cosine, HybridK)
+      .select(col("vec_id").as("doc_id"), col("score"))
+      .withColumn("rank", row_number().over(wVec).cast("long"))
+    val lex = Lexical.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+      Bm25Terms, HybridK)
+      .withColumn("rank", row_number().over(wVec).cast("long"))
+    Lexical.rrfFuse(Seq(vec, lex), "doc_id", RrfC, HybridK)
+  }
+
+  private lazy val qHybridSearchSql: String = {
+    val score = Oracle.dot("n.nemb", "q.qemb", EmbeddingDim)
+    bm25Cte(
+      s""", ${Oracle.embeddingsCte},
+         |${Oracle.normalizedCte},
+         |$textQueryCte,
+         |vtop AS (
+         |  SELECT n.vec_id AS doc_id, $score AS score
+         |  FROM n CROSS JOIN q
+         |  ORDER BY score DESC, doc_id ASC LIMIT $HybridK),
+         |vrank AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM vtop),
+         |ltop AS (
+         |  SELECT doc_id, score FROM bm25
+         |  ORDER BY score DESC, doc_id ASC LIMIT $HybridK),
+         |lrank AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM ltop),
+         |contrib AS (
+         |  SELECT doc_id, CAST(1.0 AS DOUBLE) / ($RrfC + rank) AS contrib FROM vrank
+         |  UNION ALL
+         |  SELECT doc_id, CAST(1.0 AS DOUBLE) / ($RrfC + rank) AS contrib FROM lrank),
+         |fused AS (
+         |  SELECT doc_id,
+         |         list_reduce(list_prepend(0.0, list(contrib ORDER BY contrib)),
+         |                     (acc, x) -> acc + x) AS rrf
+         |  FROM contrib GROUP BY doc_id)
+         |SELECT doc_id, rrf FROM fused
+         |ORDER BY rrf DESC, doc_id ASC LIMIT $HybridK""".stripMargin)
   }
 
   /** Within-document repetition (C4/Gopher-style degenerate-text
@@ -1591,6 +1693,8 @@ object Queries {
     GraftQuery("q_simhash", qSimhash, Some(qSimhashSql)),
     GraftQuery("q_text_quality", qTextQuality, Some(qTextQualitySql)),
     GraftQuery("q_repetition", qRepetition, Some(qRepetitionSql)),
+    GraftQuery("q_bm25", qBm25, Some(qBm25Sql)),
+    GraftQuery("q_hybrid_search", qHybridSearch, Some(qHybridSearchSql)),
     GraftQuery("q_lang_id", qLangId, Some(qLangIdSql)),
     GraftQuery("q_jaccard_pairs", qJaccardPairs, Some(qJaccardPairsSql)),
     GraftQuery("q_media_features", qMediaFeatures, Some(qMediaFeaturesSql)),

@@ -320,7 +320,37 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Natural log via the PLATFORM `java.lang.Math.log` — NOT Spark's
+    * built-in `log`, which evaluates `StrictMath.log` (fdlibm) and
+    * diverges from libm by 1 ULP on some inputs (measured: df=394 BM25
+    * idf). DuckDB's `ln` is libm, and on this platform `Math.log`
+    * matches libm bit-for-bit, so oracle-parity formulas that need a
+    * logarithm (BM25 idf) must use this kernel. Same 1-ULP caveat as
+    * every transcendental: the contract is platform parity, not
+    * correctly-rounded math. */
+  case class PlatformLn(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects DOUBLE, got ${child.dataType.catalogString}")
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "platform_ln"
+
+    override protected def nullSafeEval(a: Any): Any =
+      java.lang.Math.log(a.asInstanceOf[Double])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"java.lang.Math.log($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): PlatformLn =
+      copy(child = newChild)
+  }
+
   // ------------------------------------------------------ Column surface ---
+
+  def platformLn(x: Column): Column =
+    ColumnGlue.column(PlatformLn(ColumnGlue.expression(x)))
 
   def dot(a: Column, b: Column): Column =
     ColumnGlue.column(VecDot(ColumnGlue.expression(a), ColumnGlue.expression(b)))
