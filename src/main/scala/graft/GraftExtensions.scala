@@ -28,7 +28,11 @@ object GraftFunctions {
     ("vec_cosine", 2, classOf[VecCosine], es => VecCosine(es(0), es(1))),
     ("vec_l2_normalize", 1, classOf[VecL2Normalize], es => VecL2Normalize(es(0))),
     ("vec_euclidean_distance", 2, classOf[VecEuclideanDistance],
-      es => VecEuclideanDistance(es(0), es(1))))
+      es => VecEuclideanDistance(es(0), es(1))),
+    // libm-parity natural log (Spark's ln is StrictMath — 1 ULP off on
+    // some inputs); exposed so SQL users writing oracle-parity formulas
+    // (e.g. BM25 idf) get the same kernel the DataFrame API uses
+    ("platform_ln", 1, classOf[PlatformLn], es => PlatformLn(es(0))))
 
   private def checkedBuilder(
       name: String, arity: Int,

@@ -117,6 +117,29 @@ class SketchesSpec extends SparkSpec {
       "unrelated docs share a fingerprint hash (possible but ~impossible at 60-bit hashes)")
   }
 
+  test("winnowing property: planted shared substrings always share a hash (seeded random corpus)") {
+    val k = 8; val w = 8
+    val rnd = new scala.util.Random(42)
+    def randText(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // 20 pairs: random texts with a planted shared span of exactly k+w-1
+    // (the guarantee's minimum), at random offsets
+    val rows = (0 until 20).flatMap { i =>
+      val span = randText(k + w - 1)
+      val a = randText(rnd.nextInt(60)) + span + randText(rnd.nextInt(60))
+      val b = randText(rnd.nextInt(60)) + span + randText(rnd.nextInt(60))
+      Seq((i * 2L, a), (i * 2L + 1, b))
+    }
+    val fp = Sketches.fingerprint(
+      rows.toDF("doc_id", "text"), "doc_id", "text", k, w)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    (0 until 20).foreach { i =>
+      val shared = fp(i * 2L) intersect fp(i * 2L + 1)
+      assert(shared.nonEmpty, s"pair $i shares a ${k + w - 1}-char span but no fingerprint")
+    }
+  }
+
   test("winnowing density is ~2/(w+1) and selection is deterministic") {
     val docs = Tables.documents(spark, Sf0001).limit(50).cache()
     val fp = Sketches.fingerprint(docs, "doc_id", "text", 8, 8)

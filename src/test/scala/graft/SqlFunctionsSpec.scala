@@ -44,4 +44,17 @@ class SqlFunctionsSpec extends SparkSpec {
       registered.sql("SELECT vec_dot(embedding) FROM emb").collect())
     assert(ex.getMessage.contains("vec_dot"))
   }
+
+  test("platform_ln from SQL is the libm-parity kernel, not StrictMath") {
+    // df=394 BM25 idf argument: the one measured input where
+    // Math.log (libm-matching) and StrictMath.log differ by 1 ULP
+    val arg = ((500.0 - 394) + 0.5) / (394 + 0.5) + 1.0
+    val got = registered.sql(s"SELECT platform_ln(CAST($arg AS DOUBLE)) AS v")
+      .collect()(0).getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(got) ==
+      java.lang.Double.doubleToLongBits(java.lang.Math.log(arg)))
+    assert(java.lang.Double.doubleToLongBits(got) !=
+      java.lang.Double.doubleToLongBits(java.lang.StrictMath.log(arg)),
+      "probe input no longer distinguishes the two logs — pick another")
+  }
 }
