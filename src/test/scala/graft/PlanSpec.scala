@@ -67,6 +67,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), s"no checkpoint scan found:\n$p")
   }
 
+  test("q_bm25: document-frequency and corpus-stats sides broadcast (no shuffle join)") {
+    val p = planOf("q_bm25")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"bm25 dims not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"bm25 joined its term-count-sized sides with a shuffle join:\n$p")
+  }
+
+  test("q_split and q_quantize stay pure projections (zero exchanges before the declared sort)") {
+    for (name <- Seq("q_split", "q_quantize")) {
+      val p = planOf(name)
+      // exactly the exchanges the declared output needs (the final
+      // ORDER BY, and for q_split the groupBy) — the assignment /
+      // quantization itself must not shuffle; a projection-only op that
+      // starts shuffling silently would still hash-green. Count the
+      // details-section headers only (the formatted explain also lists
+      // every node once in the tree).
+      val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).length
+      assert(exchanges <= 2, s"$name grew $exchanges exchanges:\n$p")
+    }
+  }
+
   test("no accidental cartesian products in non-knn queries") {
     // the exact-knn queries legitimately cross-join (scored all-pairs);
     // every other declared query must be cartesian-free. 1-row broadcast
