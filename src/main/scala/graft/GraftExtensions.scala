@@ -50,15 +50,20 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point injecting the vector kernels. */
+/** `spark.sql.extensions` entry point injecting the vector kernels and
+  * the [[graft.plans.ExpandRangeJoin]] optimizer rule (expands the
+  * custom [[graft.plans.RangeJoinPlan]] node into its bucketed
+  * equi-join form). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, arity, clazz, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(clazz.getName, name),
         checkedBuilder(name, arity, builder)))
     }
+    ext.injectOptimizerRule(_ => graft.plans.ExpandRangeJoin)
+  }
 
   private def checkedBuilder(
       name: String, arity: Int,

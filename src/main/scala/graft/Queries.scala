@@ -1143,6 +1143,49 @@ object Queries {
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** Range join via the custom [[graft.plans.RangeJoinPlan]] logical
+    * node + [[graft.plans.ExpandRangeJoin]] optimizer rule: lineitems
+    * shipped within 3 days of any March-1995 order's date — a pure
+    * range predicate with NO equi-key, which Spark natively plans as
+    * BroadcastNestedLoopJoin (O(n·m), dead at 100 TB) and the rule
+    * expands into a bucketed equi-join (4-day buckets ⇒ ≤ 2 bucket
+    * rows per order). Epochs as LONG seconds; quantities are integral
+    * doubles, summed as exact longs. */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val points = Tables.lineitem(s, dir).select(
+      col("l_orderkey"),
+      col("l_quantity"),
+      // l_shipdate is TIMESTAMP_NTZ: no direct →LONG cast; go through
+      // TIMESTAMP (session TZ pinned UTC, so the instant is the naive
+      // wall-clock — same reading DuckDB's epoch() gives)
+      col("l_shipdate").cast("timestamp").cast("long").as("ship_s"))
+    val intervals = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-03-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").cast("long").as("lo_s"),
+        (col("o_orderdate").cast("timestamp").cast("long") + lit(3L * 86400)).as("hi_s"))
+    Temporal.rangeJoin(points, "ship_s", intervals, "lo_s", "hi_s", 4L * 86400)
+      .groupBy("o_orderkey")
+      .agg(
+        count(lit(1)).as("n_ship"),
+        sum(col("l_quantity").cast("long")).as("qty_sum"))
+      .orderBy("o_orderkey")
+  }
+
+  private val qRangeJoinSql: String =
+    """SELECT o.o_orderkey AS o_orderkey,
+      |       CAST(count(*) AS BIGINT) AS n_ship,
+      |       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+      |FROM orders o
+      |JOIN lineitem l
+      |  ON CAST(epoch(l.l_shipdate) AS BIGINT) >= CAST(epoch(o.o_orderdate) AS BIGINT)
+      | AND CAST(epoch(l.l_shipdate) AS BIGINT) <= CAST(epoch(o.o_orderdate) AS BIGINT) + 3 * 86400
+      |WHERE o.o_orderdate >= TIMESTAMP '1995-03-01'
+      |  AND o.o_orderdate < TIMESTAMP '1995-04-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** JSON property extraction (`props` is a JSON string column):
     * per-event-type sum of the numeric `k` field. */
   private def qEventProps(s: SparkSession, dir: String): DataFrame =
@@ -1617,6 +1660,41 @@ object Queries {
        |SELECT 'jsonl' AS fmt, n_rows, id_sum, char_sum, text_hash_sum FROM s
        |ORDER BY fmt""".stripMargin
 
+  /** Partition-pruned scan (THE 100 TB scan-avoidance primitive): write
+    * documents hive-partitioned by `lang`, read back with a partition
+    * predicate, and checksum the survivors. At scale a `lang IN (…)`
+    * predicate on a partitioned table skips every other partition at
+    * PLANNING time — zero IO, zero tasks for pruned data (PlanSpec
+    * asserts the scan's PartitionFilters + pruned file count; this row
+    * certifies write → pruned read → results against the oracle reading
+    * the unpartitioned table). */
+  private def qPartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/root/repo/target/tmp/q_part_prune_$safe"
+    Tables.documents(s, dir).write.mode("overwrite")
+      .partitionBy("lang").parquet(path)
+    s.read.parquet(path)
+      .filter(col("lang").isin("en", "zh"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("doc_id").as("id_sum"),
+        sum("n_chars").as("char_sum"),
+        sum(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+          % Sketches.MinhashPrime).as("text_hash_sum"))
+      .orderBy("lang")
+  }
+
+  private val qPartitionPruneSql: String =
+    s"""SELECT lang,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       |       CAST(sum(n_chars) AS BIGINT) AS char_sum,
+       |       CAST(sum(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+       |                % ${Sketches.MinhashPrime}) AS BIGINT) AS text_hash_sum
+       |FROM documents WHERE lang IN ('en', 'zh')
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Co-located (bucketed) join through the catalog: both sides written
     * `bucketBy(vec_id)` with [[VectorTable.saveBucketed]], then
     * equi-joined — at scale two same-bucketed tables join with NO
@@ -1677,6 +1755,7 @@ object Queries {
     GraftQuery("q_multimodal", qMultimodal, Some(qMultimodalSql)),
     GraftQuery("q_save_load", qSaveLoad, Some(qSaveLoadSql)),
     GraftQuery("q_source_roundtrip", qSourceRoundtrip, Some(qSourceRoundtripSql)),
+    GraftQuery("q_partition_prune", qPartitionPrune, Some(qPartitionPruneSql)),
     GraftQuery("q_split", qSplit, Some(qSplitSql)),
     GraftQuery("q_quantize", qQuantize, Some(qQuantizeSql)),
     GraftQuery("q_label_centroids", qLabelCentroids, Some(qLabelCentroidsSql)),
@@ -1704,6 +1783,7 @@ object Queries {
     GraftQuery("q_event_props", qEventProps, Some(qEventPropsSql)),
     GraftQuery("q_event_pairs", qEventPairs, Some(qEventPairsSql)),
     GraftQuery("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
+    GraftQuery("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     GraftQuery("q_pricing_summary", qPricingSummary, Some(qPricingSummarySql)),
     GraftQuery("q_revenue_by_nation", qRevenueByNation, Some(qRevenueByNationSql)),
     GraftQuery("q_top_customers", qTopCustomers, Some(qTopCustomersSql)),

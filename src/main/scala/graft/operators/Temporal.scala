@@ -1,9 +1,14 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+import org.apache.spark.sql.catalyst.plans.logical.Project
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.graftglue.PlanGlue
+import org.apache.spark.sql.types.{LongType, StructType}
+
+import graft.plans.{ExpandRangeJoin, RangeJoinPlan}
 
 /** Temporal joins Spark lacks as built-ins. */
 object Temporal {
@@ -60,5 +65,60 @@ object Temporal {
     val rightCols = rightPayloadFields.map(c =>
       col(s"__match.$c").as(s"$rightPrefix$c"))
     matched.select(leftCols ++ rightCols: _*)
+  }
+
+  /** Range join: every (point, interval) pair with `lo <= pt <= hi` —
+    * point-in-interval matching with NO equi-key (events to windows,
+    * readings to validity ranges). All three columns must be LONG
+    * (epoch seconds or any monotonic numeric domain).
+    *
+    * Built on the custom [[graft.plans.RangeJoinPlan]] logical node +
+    * [[graft.plans.ExpandRangeJoin]] optimizer rule — Spark's native
+    * plan for a join with only range predicates is
+    * BroadcastNestedLoopJoin (O(n·m) pairs, dead at 100 TB); the rule
+    * expands the node into a bucketed equi-join (see RangeJoin.scala
+    * for the full cost model). `bucketWidth` should be ≥ the maximum
+    * interval length so each interval lands in ≤ 2 buckets.
+    *
+    * Output: every point column, then every interval column. Column
+    * names must be disjoint across the two inputs. */
+  def rangeJoin(
+      points: DataFrame,
+      ptCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    val spark = points.sparkSession
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"rangeJoin requires disjoint column names; both sides have: $overlap")
+
+    val lPlan = PlanGlue.analyzed(points)
+    // Fresh exprIds on the interval side so a self-range-join (both
+    // frames derived from one source) cannot alias attributes across
+    // the two join inputs.
+    val rBase = PlanGlue.analyzed(intervals)
+    val rPlan = Project(rBase.output.map(a => Alias(a, a.name)()), rBase)
+
+    def resolve(out: Seq[Attribute], name: String, side: String): Attribute = {
+      val a = out.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"rangeJoin: no column '$name' on the $side side"))
+      require(a.dataType == LongType,
+        s"rangeJoin: column '$name' must be LONG, got ${a.dataType.sql}")
+      a
+    }
+    val pt = resolve(lPlan.output, ptCol, "points")
+    val lo = resolve(rPlan.output, loCol, "intervals")
+    val hi = resolve(rPlan.output, hiCol, "intervals")
+
+    // Idempotent runtime registration for sessions built without
+    // `spark.sql.extensions=graft.GraftExtensions`.
+    if (!spark.experimental.extraOptimizations.exists(_ eq ExpandRangeJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ExpandRangeJoin
+
+    PlanGlue.ofRows(spark, RangeJoinPlan(lPlan, rPlan, pt, lo, hi, bucketWidth))
   }
 }

@@ -1,0 +1,101 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, LongType}
+
+/** Custom logical operator: range join `points ⋈ intervals ON lo <= pt
+  * <= hi` (all three LONG, e.g. epoch seconds).
+  *
+  * Why a custom node (SURVEY §7.3 preference ladder, step (c)): Spark
+  * has no equi-key to extract from a pure range predicate, so
+  * `ExtractEquiJoinKeys` fails and the planner falls back to
+  * `BroadcastNestedLoopJoin` / `CartesianProduct` — an O(n·m) pair scan
+  * that is fine at test scale and dead at 100 TB. The declarative
+  * [[RangeJoinPlan]] node carries the range semantics through analysis
+  * untouched; [[ExpandRangeJoin]] then rewrites it into the
+  * scale-correct shape: both sides bucketed by `bucketWidth`, intervals
+  * exploded to every bucket they overlap, one EQUI-join on the bucket
+  * id, and the exact range predicate kept as the join residual. The
+  * result is a shuffled hash/sort-merge join on a high-cardinality key
+  * — the plan you'd hand-write at scale — with Catalyst planning the
+  * join strategy as usual.
+  *
+  * Cost model: each interval produces `ceil(len/width)+1 ≤ 2` bucket
+  * rows when `width ≥` the max interval length (the intended setting),
+  * so the exploded side is ≤ 2× the interval count, and every candidate
+  * pair shares a bucket — no pair blow-up beyond true-match density ×
+  * bucket collision rate.
+  *
+  * Semantics: INNER join, both bounds inclusive; rows with a NULL
+  * point never match (range predicate is null-rejecting); intervals
+  * with NULL or inverted bounds (`hi < lo`) produce no bucket rows.
+  * Bucketing uses integral division, which truncates toward zero — the
+  * map is still monotone over all longs, so pre-epoch (negative)
+  * values bucket correctly; only the bucket *boundaries* shift around
+  * zero (bucket 0 spans `(-width, width)`), a constant-factor quirk,
+  * not a correctness one.
+  */
+final case class RangeJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    pt: Expression,
+    lo: Expression,
+    hi: Expression,
+    bucketWidth: Long)
+  extends BinaryNode {
+  require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): RangeJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Optimizer rule expanding [[RangeJoinPlan]] into bucketed-equi-join
+  * form. Registered two ways: via [[graft.GraftExtensions]]
+  * (`injectOptimizerRule`) for `spark.sql.extensions` sessions, and
+  * auto-added to `spark.experimental.extraOptimizations` by
+  * [[graft.operators.Temporal.rangeJoin]] for plain sessions (the rule
+  * is idempotent — a second registration transforms nothing). */
+object ExpandRangeJoin extends Rule[LogicalPlan] {
+
+  private def bucketOf(e: Expression, width: Long): Expression =
+    IntegralDivide(e, Literal(width, LongType))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case rj @ RangeJoinPlan(l, r, pt, lo, hi, width) =>
+      // points side: one bucket per row
+      val ptBucket = Alias(bucketOf(pt, width), "__pt_bucket")()
+      val lProj = Project(l.output :+ ptBucket, l)
+
+      // intervals side: explode to every overlapped bucket; NULL or
+      // inverted bounds yield a NULL array, which Explode drops
+      val bucketSeq = If(
+        GreaterThanOrEqual(hi, lo),
+        // Sequence is TimeZoneAwareExpression — it is only `resolved`
+        // with a timeZoneId bound, even for LONG sequences
+        new Sequence(
+          bucketOf(lo, width), bucketOf(hi, width),
+          Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone)),
+        Literal.create(null, ArrayType(LongType, containsNull = false)))
+      val ivBucket =
+        AttributeReference("__iv_bucket", LongType, nullable = false)()
+      val gen = Generate(
+        Explode(bucketSeq),
+        unrequiredChildIndex = Nil,
+        outer = false,
+        qualifier = None,
+        generatorOutput = Seq(ivBucket),
+        child = r)
+
+      // equi-join on bucket + exact range residual
+      val cond = And(
+        EqualTo(ptBucket.toAttribute, ivBucket),
+        And(GreaterThanOrEqual(pt, lo), LessThanOrEqual(pt, hi)))
+      Project(rj.output, Join(lProj, gen, Inner, Some(cond), JoinHint.NONE))
+  }
+}

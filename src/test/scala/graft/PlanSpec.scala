@@ -89,6 +89,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_partition_prune: the lang predicate prunes partitions at planning time") {
+    val p = planOf("q_partition_prune")
+    // the lang predicate must be a planning-time PartitionFilter (whole
+    // directories skipped), NOT a per-row data filter — and lang must be
+    // absent from ReadSchema (a partition column is never read from
+    // data; a scan that reads it has lost the hive layout)
+    assert("""PartitionFilters: \[lang#\d+ IN \(en,zh\)\]""".r.findFirstIn(p).isDefined,
+      s"no planning-time partition filter on the partitioned scan:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>"),
+      s"partition column leaked into the data read:\n$p")
+  }
+
+  test("q_range_join: the custom RangeJoinPlan expands to a bucketed equi-join") {
+    val p = planOf("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to a pair scan:\n$p")
+    assert(p.contains("Generate"), s"no interval bucket explode:\n$p")
+  }
+
   test("no accidental cartesian products in non-knn queries") {
     // the exact-knn queries legitimately cross-join (scored all-pairs);
     // every other declared query must be cartesian-free. 1-row broadcast
