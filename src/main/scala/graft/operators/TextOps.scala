@@ -134,47 +134,27 @@ object TextOps {
     * token-bigram fraction and most-common-token fraction. All ratios
     * are EXACT integer milli-fractions (`(x·1000) div n`), so they
     * reproduce bit-for-bit in any engine. Pure per-row projection: the
-    * per-doc O(tokens·distinct) work stays inside the row (documents are
+    * per-doc O(tokens) work stays inside the row (documents are
     * KB-bounded), no shuffle — the shape that sweeps 100 TB at scan
-    * speed. Single-token docs have no bigrams (counts 0, fraction 0). */
+    * speed. Single-token docs have no bigrams (counts 0, fraction 0).
+    *
+    * The four counters come from ONE pass of the codegen
+    * [[graft.expressions.TextExpressions.TextRepetitionStats]] kernel —
+    * the earlier HOF form (bigram transform → array_distinct →
+    * array_sort + aggregate run-scan) was CodegenFallback and cost
+    * ~2.1s over sf0.1 in interpreted array churn (TextRepetitionSpec
+    * pins count parity against an independent Scala model). */
   def repetitionMetrics(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val n = size(toks).cast("long")
-    // sequence(1, size-1) DESCENDS when size < 2 (Spark generates toward
-    // the stop value) — guard the degenerate case explicitly
-    val bigrams = when(n >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-      .otherwise(array())
-    val nBigrams = size(bigrams).cast("long")
-    val nDistinct = size(array_distinct(bigrams)).cast("long")
-    // most-common-token count via sort + longest-equal-run scan:
-    // O(n log n + n) per row. The naive transform(distinct, t ->
-    // count(filter(toks, = t))) is O(distinct·n) interpreted string
-    // compares — measured 2.9s over sf0.1 vs ~1s for this form.
-    val topTokenN = aggregate(
-      array_sort(toks),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best")).cast("long")
-    // Two projections on purpose: the ratio columns reference the count
-    // aliases SEVERAL times, and HOF expressions are CodegenFallback (no
-    // codegen CSE) — a single select would rebuild the bigram array once
-    // per reference (~4×, measured 3.1s → 1.x s at sf0.1). CollapseProject
-    // keeps the split because the aliases are non-cheap and multiply
-    // referenced.
-    val counts = Partitioning.spread(docs).select(
-      col(idCol),
-      n.as("n_tokens"),
-      nBigrams.as("n_bigrams"),
-      nDistinct.as("n_distinct_bigrams"),
-      topTokenN.as("top_token_n"))
+    val counts = Partitioning.spread(docs)
+      .select(col(idCol),
+        graft.expressions.TextExpressions.repetitionStats(col(textCol)).as("__s"))
+      .select(
+        col(idCol),
+        col("__s.n_tokens").as("n_tokens"),
+        col("__s.n_bigrams").as("n_bigrams"),
+        col("__s.n_distinct_bigrams").as("n_distinct_bigrams"),
+        col("__s.top_token_n").as("top_token_n"))
     counts.select(
       col(idCol),
       col("n_tokens"),
