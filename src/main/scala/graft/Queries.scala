@@ -1368,6 +1368,34 @@ object Queries {
       |GROUP BY ROLLUP (lang, source)
       |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
 
+  /** GROUPING SETS beyond what ROLLUP can express (the (source)-only
+    * set and the grand total alongside both rollup levels), with
+    * `grouping_id` disambiguating real NULLs from subtotal rows — the
+    * remaining §2.2 multi-granularity aggregation shape next to
+    * [[qRollup]]/[[qPivot]]. One pass over the data expands to the four
+    * grouping sets before the exchange (partial aggregation per set). */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("lang")),
+          Seq(col("source")), Seq.empty),
+        col("lang"), col("source"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"))
+      .select("gid", "lang", "source", "n_docs", "sum_chars")
+      .orderBy(asc("gid"), asc_nulls_first("lang"), asc_nulls_first("source"))
+
+  private val qGroupingSetsSql: String =
+    """SELECT CAST(grouping(lang, source) AS BIGINT) AS gid,
+      |       lang, source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+      |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin
+
   /** Pivot: per-source document counts spread across language columns
     * (Spark `pivot()`; the oracle uses conditional aggregation, which is
     * exactly what the pivot plans to). */
@@ -1790,6 +1818,7 @@ object Queries {
     GraftQuery("q_order_ranks", qOrderRanks, Some(qOrderRanksSql)),
     GraftQuery("q_set_ops", qSetOps, Some(qSetOpsSql)),
     GraftQuery("q_rollup", qRollup, Some(qRollupSql)),
+    GraftQuery("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
     GraftQuery("q_pivot", qPivot, Some(qPivotSql)),
     GraftQuery("q_running_total", qRunningTotal, Some(qRunningTotalSql)),
     GraftQuery("q_insert", qInsert, Some(qInsertSql)),
