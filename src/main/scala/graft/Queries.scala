@@ -1636,16 +1636,67 @@ object Queries {
     val bounds = SplitWeights.scanLeft(0L) { case (acc, (_, w)) =>
       acc + math.round(w * b)
     }.tail
+    s"""SELECT $splitCaseSql AS split, lang,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS char_sum
+       |FROM documents
+       |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+  }
+
+  /** Oracle fragment: [[Splits.assignSplit]]'s CASE expression over
+    * `doc_id` with the declared salt/weights (shared by [[qSplitSql]]
+    * and [[qContaminationSql]]). */
+  private def splitCaseSql: String = {
+    val p = Sketches.MinhashPrime
+    val b = Splits.Buckets
+    val bounds = SplitWeights.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * b)
+    }.tail
     val bucket =
       s"((CAST('0x' || substr(md5('$SplitSalt:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % $p) % $b)"
     val cases = SplitWeights.init.zip(bounds.init)
       .map { case ((label, _), bound) => s"WHEN $bucket < $bound THEN '$label'" }
       .mkString(" ")
-    s"""SELECT CASE $cases ELSE '${SplitWeights.last._1}' END AS split, lang,
-       |       CAST(count(*) AS BIGINT) AS n_docs,
-       |       CAST(sum(n_chars) AS BIGINT) AS char_sum
-       |FROM documents
-       |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+    s"CASE $cases ELSE '${SplitWeights.last._1}' END"
+  }
+
+  /** Benchmark decontamination (north-star dedup family): the
+    * deterministic [[Splits.assignSplit]] train/test split, then for
+    * every test doc the count of its k-shingles leaking from the train
+    * corpus ([[Sketches.contamination]]) — the n-gram overlap guard a
+    * training pipeline runs before any eval. */
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val labeled = Splits.assignSplit(
+      Tables.documents(s, dir), "doc_id", SplitSalt, SplitWeights)
+    Sketches.contamination(
+      labeled.filter(col("split") === "train"),
+      labeled.filter(col("split") === "test"),
+      "doc_id", "text", ShingleK)
+      .orderBy("doc_id")
+  }
+
+  private val qContaminationSql: String = {
+    val p = Sketches.MinhashPrime
+    s"""WITH labeled AS (
+       |  SELECT doc_id, text, $splitCaseSql AS split FROM documents),
+       |csh AS (
+       |  SELECT doc_id, split,
+       |         unnest(list_distinct(list_transform(
+       |           range(1, greatest(length(text) - ${ShingleK - 1}, 1) + 1),
+       |           si -> substr(text, CAST(si AS INTEGER), $ShingleK)))) AS shingle
+       |  FROM labeled WHERE split IN ('train', 'test')),
+       |chs AS (
+       |  SELECT DISTINCT doc_id, split,
+       |         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $p AS hm
+       |  FROM csh),
+       |trh AS (SELECT DISTINCT hm FROM chs WHERE split = 'train'),
+       |teh AS (SELECT doc_id, hm FROM chs WHERE split = 'test')
+       |SELECT te.doc_id AS doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_shingles,
+       |       CAST(count(trh.hm) AS BIGINT) AS n_shared,
+       |       CAST(CASE WHEN count(trh.hm) > 0 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+       |FROM teh te LEFT JOIN trh ON te.hm = trh.hm
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** Source-format fidelity gate (beyond parquet): write documents as
@@ -1785,6 +1836,7 @@ object Queries {
     GraftQuery("q_source_roundtrip", qSourceRoundtrip, Some(qSourceRoundtripSql)),
     GraftQuery("q_partition_prune", qPartitionPrune, Some(qPartitionPruneSql)),
     GraftQuery("q_split", qSplit, Some(qSplitSql)),
+    GraftQuery("q_contamination", qContamination, Some(qContaminationSql)),
     GraftQuery("q_quantize", qQuantize, Some(qQuantizeSql)),
     GraftQuery("q_label_centroids", qLabelCentroids, Some(qLabelCentroidsSql)),
     GraftQuery("q_percentiles", qPercentiles, Some(qPercentilesSql)),

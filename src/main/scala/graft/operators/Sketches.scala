@@ -124,6 +124,37 @@ object Sketches {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Benchmark decontamination — the training-pipeline guard against
+    * test-set leakage: for every `test` doc, how many of its distinct
+    * character k-shingles also occur anywhere in `train` (n-gram
+    * overlap, the standard contamination check). Output: one row per
+    * test doc `(idCol, n_shingles, n_shared, contaminated)`.
+    *
+    * Scale shape: both sides reduce shingles to 31-bit integer hashes
+    * ([[shingleHash]]) BEFORE the join, and the train side collapses to
+    * a distinct hash set (map-side partial) — the join shuffles 8-byte
+    * keys, never text, and its left side is the (small) test corpus.
+    * Hash collisions can at worst overcount a shared shingle — the
+    * standard sketch trade, and deterministic: an oracle replaying the
+    * same hash gets the same counts. */
+  def contamination(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val trainSh = shingleRows(train, idCol, textCol, k)
+      .select(shingleHash(col("shingle")).as("hm")).distinct()
+    val testSh = shingleRows(test, idCol, textCol, k)
+      .select(col(idCol), shingleHash(col("shingle")).as("hm")).distinct()
+    testSh.join(trainSh.withColumn("__hit", lit(1)), Seq("hm"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count("__hit").as("n_shared"))
+      .withColumn("contaminated", (col("n_shared") > 0).cast("int"))
+  }
+
   /** Position capacity of the packed winnowing key: positions must stay
     * under 2²⁰ (1M chars/doc). `hm < 2³¹` ⇒ packed key < 2⁵¹ — safe in
     * BIGINT in both engines. */

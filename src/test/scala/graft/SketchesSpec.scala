@@ -98,6 +98,20 @@ class SketchesSpec extends SparkSpec {
     assert(m(3L) == ((0L, 0L, 0L, 1000L)), s"got ${m(3L)}")
   }
 
+  test("contamination: test docs sharing k-shingles with train are flagged, clean docs are not") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "xx quick brown fox yy"),  // shares "quick brown fox" 8-shingles with train 1
+      (11L, "zzzz completely unrelated wording qqqq"))
+      .toDF("doc_id", "text")
+    val m = Sketches.contamination(train, test, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(m(10L)._1 > 0 && m(10L)._2 == 1, s"leaked doc not flagged: ${m(10L)}")
+    assert(m(11L) == ((0L, 0)), s"clean doc flagged: ${m(11L)}")
+  }
+
   test("winnowing: shared substring >= k+w-1 guarantees a shared fingerprint hash") {
     val k = 8; val w = 8
     // docs 1 and 2 share a 40-char substring (>= k+w-1 = 15); doc 3 shares
