@@ -825,6 +825,9 @@ object Queries {
     * rank level so no score normalization is needed. Ranks are exact
     * ints; contributions `1/(c+rank)` fold in sorted order. */
   private def qHybridSearch(s: SparkSession, dir: String): DataFrame = {
+    // unpartitioned window — intentional: it ranks a result ALREADY cut
+    // to HybridK(=10) rows by topK/bm25TopK, so the single-partition
+    // WindowExec (and its log warning) touches k rows, not the corpus
     val wVec = Window.orderBy(desc("score"), asc("doc_id"))
     val vec = VectorSearch.topK(
       Tables.embeddings(s, dir).select("vec_id", "embedding"),
@@ -1615,6 +1618,34 @@ object Queries {
        |FROM c ORDER BY vec_id""".stripMargin
   }
 
+  private val ReduceDim = 16
+
+  /** Deterministic random projection 64 → 16 dims
+    * ([[VectorSearch.randomProjection]] — JL-style compression, the
+    * cheap pre-ANN step of an embedding pipeline), dumped as scalar
+    * (vec_id, pos, v) rows on a deterministic 1-in-10 id sample. The
+    * oracle replays the identical plane arithmetic and fold order, so
+    * the gate certifies every projected component bit-for-bit. */
+  private def qDimReduce(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"),
+        posexplode(VectorSearch.randomProjection(
+          col("embedding"), EmbeddingDim, ReduceDim)).as(Seq("pos", "v")))
+      .withColumn("pos", col("pos").cast("long"))
+      .orderBy("vec_id", "pos")
+
+  private val qDimReduceSql: String = {
+    val w = "(CAST((li * (j + 1) * 7919) % 193 AS DOUBLE) / 193.0 - 0.5)"
+    val proj = Oracle.foldSum(
+      s"list_transform(range(1, ${EmbeddingDim + 1}), li -> e.emb[li] * $w)")
+    s"""WITH ${Oracle.embeddingsCte}
+       |SELECT e.vec_id AS vec_id, j AS pos, $proj AS v
+       |FROM e CROSS JOIN range(0, $ReduceDim) AS t(j)
+       |WHERE e.vec_id % 10 = 0
+       |ORDER BY vec_id, pos""".stripMargin
+  }
+
   private val SplitSalt = "exp1"
   private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
@@ -1838,6 +1869,7 @@ object Queries {
     GraftQuery("q_split", qSplit, Some(qSplitSql)),
     GraftQuery("q_contamination", qContamination, Some(qContaminationSql)),
     GraftQuery("q_quantize", qQuantize, Some(qQuantizeSql)),
+    GraftQuery("q_dim_reduce", qDimReduce, Some(qDimReduceSql)),
     GraftQuery("q_label_centroids", qLabelCentroids, Some(qLabelCentroidsSql)),
     GraftQuery("q_percentiles", qPercentiles, Some(qPercentilesSql)),
     GraftQuery("q_approx_stats", qApproxStats, Some(qApproxStatsSql)),

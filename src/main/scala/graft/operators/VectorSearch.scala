@@ -139,6 +139,16 @@ object VectorSearch {
       lit((((i + 1).toLong * (j + 1) * 7919L) % 193L).toDouble / 193.0 - 0.5)
     }: _*)
 
+  /** Deterministic random projection (Johnson–Lindenstrauss style) to
+    * `outDim` dimensions: component j is the codegen dot of the vector
+    * with arithmetic [[hyperplane]] j — the cheap pre-ANN compression
+    * step of a 100 TB embedding pipeline (O(dim·outDim) per row, pure
+    * projection, no shuffle), sharing its plane family with the LSH
+    * bucketing so an oracle replays it exactly. */
+  def randomProjection(vec: Column, dim: Int, outDim: Int): Column =
+    array((0 until outDim).map(j =>
+      VectorExpressions.dot(vec, hyperplane(j, dim))): _*)
+
   /** Deterministic sign-LSH bucket id over `bits` arithmetic hyperplanes:
     * `bucket = Σ_j 2^j · [v·h_j > 0]`. Each projection is one codegen
     * dot kernel against a foldable array literal — O(bits·dim) per row,
