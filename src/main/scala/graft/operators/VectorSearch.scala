@@ -390,12 +390,17 @@ object VectorSearch {
     * independent hyperplane families, a pair is a candidate if it
     * collides in ANY band, candidates are deduplicated and ranked once.
     *
-    * Scale shape: each side is exploded to `bands` (band, bucket) rows —
-    * the classic L-hash-table LSH layout, shuffled by (band, bucket) so
-    * every band's equi-join runs in the same exchange. Scoring happens
-    * INSIDE the join (codegen dot), so the pair-dedup `groupBy` that
-    * follows shuffles only scalars (ids + score), never vectors. Recall
-    * rises as 1−(1−p^bits)^bands; cost is linear in `bands`.
+    * Scale shape (r4): the bucket join runs over the SCALAR index
+    * layout ([[lshBucketTable]] — one (id, band, bucket) row per band,
+    * 24 bytes), NOT over band-replicated vectors: at 100 TB exploding
+    * the vector column `bands`× through the exchange would shuffle
+    * `bands`× the corpus (the r3 shape's hidden cost). Candidate pairs
+    * are OR-deduplicated while still scalar (ids only), and vectors are
+    * joined back by id exactly ONCE per distinct candidate for the
+    * codegen scoring — total vector movement is 2 id-keyed joins of the
+    * candidate set, independent of `bands`. Recall rises as
+    * 1−(1−p^bits)^bands; index cost is linear in `bands`, vector cost
+    * is not.
     *
     * Parameter guide at 100 TB: size `bits` to the corpus
     * (`bits ≈ log2(N / target_bucket_rows)`) so per-bucket all-pairs
@@ -413,24 +418,25 @@ object VectorSearch {
       bits: Int = 8,
       bands: Int = 8,
       excludeSelf: Boolean = true): DataFrame = {
-    def explodeBands(df: DataFrame, idOut: String, vecOut: String): DataFrame =
-      prepareColumn(df, vecCol, metric).select(
-        col(idCol).as(idOut), col(vecCol).as(vecOut),
-        posexplode(array((0 until bands).map(b =>
-          lshBucketBand(col(vecCol), dim, bits, b)): _*)).as(Seq("band", "bucket")))
-    val q = explodeBands(Partitioning.spread(queries), "query_id", "__qvec")
-    val d = explodeBands(data, "neighbor_id", "__dvec")
-    val joined = q.join(d, Seq("band", "bucket"))
+    val qSpread = Partitioning.spread(queries)
+    val qi = lshBucketTable(qSpread, vecCol, idCol, metric, dim, bits, bands)
+      .select(col(idCol).as("query_id"), col("band"), col("bucket"))
+    val di = lshBucketTable(data, vecCol, idCol, metric, dim, bits, bands)
+      .select(col(idCol).as("neighbor_id"), col("band"), col("bucket"))
+    val joined = qi.join(di, Seq("band", "bucket"))
     val nonSelf =
       if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
       else joined
-    val candidates = nonSelf
+    // OR-dedup while scalar: the shuffle key is the id pair, no payload
+    val candidates = nonSelf.select("query_id", "neighbor_id").distinct()
+    val qv = prepareColumn(qSpread, vecCol, metric)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+    val dv = prepareColumn(data, vecCol, metric)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__dvec"))
+    val scored = candidates
+      .join(qv, Seq("query_id"))
+      .join(dv, Seq("neighbor_id"))
       .withColumn("score", metric.scorePrenormalized(col("__qvec"), col("__dvec")))
-      // OR-dedup: a pair colliding in several bands scores identically in
-      // each (same normalized vectors), so max == the score; the shuffle
-      // key is the pair and the payload one double.
-      .groupBy("query_id", "neighbor_id")
-      .agg(max("score").as("score"))
-    rankTopK(candidates, k, excludeSelf = false)
+    rankTopK(scored, k, excludeSelf = false)
   }
 }
