@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftglue.FunctionGlue
 
+import graft.expressions.TextExpressions.TextRepetitionStats
 import graft.expressions.VectorExpressions._
 
 /** SQL surface for the vector kernels: `vec_dot`, `vec_cosine`,
@@ -32,7 +33,10 @@ object GraftFunctions {
     // libm-parity natural log (Spark's ln is StrictMath — 1 ULP off on
     // some inputs); exposed so SQL users writing oracle-parity formulas
     // (e.g. BM25 idf) get the same kernel the DataFrame API uses
-    ("platform_ln", 1, classOf[PlatformLn], es => PlatformLn(es(0))))
+    ("platform_ln", 1, classOf[PlatformLn], es => PlatformLn(es(0))),
+    // one-pass repetition counters (struct) — the q_repetition kernel
+    ("text_repetition_stats", 1, classOf[TextRepetitionStats],
+      es => TextRepetitionStats(es(0))))
 
   private def checkedBuilder(
       name: String, arity: Int,

@@ -45,6 +45,15 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(ex.getMessage.contains("vec_dot"))
   }
 
+  test("text_repetition_stats from SQL returns the kernel's struct") {
+    val r = registered.sql(
+      """SELECT s.n_tokens, s.n_bigrams, s.n_distinct_bigrams, s.top_token_n
+        |FROM (SELECT text_repetition_stats('spam spam spam') AS s)""".stripMargin)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 2L, 1L, 3L)))
+  }
+
   test("platform_ln from SQL is the libm-parity kernel, not StrictMath") {
     // df=394 BM25 idf argument: the one measured input where
     // Math.log (libm-matching) and StrictMath.log differ by 1 ULP
