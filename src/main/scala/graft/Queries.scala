@@ -1586,20 +1586,22 @@ object Queries {
     * small recall cost): per-vector scale, round-half-up codes,
     * reconstruction error — all as per-row exact/floored integers so
     * the oracle certifies the exact codes, not a tolerance. */
-  private def qQuantize(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val q = Quantize.quantizeColumn(emb, "embedding")
-    q.join(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding").as("__orig")), "vec_id")
+  private def qQuantize(s: SparkSession, dir: String): DataFrame =
+    // one pass of the codegen VecQuantizeStats kernel — same arithmetic
+    // as Quantize.quantizeColumn's HOF chain (QuantizeSpec pins parity),
+    // without the O(dim²) interpreted lambdas or the self-join that
+    // recovered the original vector for the error fold
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        graft.expressions.VectorExpressions
+          .quantizeStatsCol(col("embedding")).as("__q"))
       .select(
         col("vec_id"),
-        floor(col("qscale") * 1e6).cast("long").as("scale_micro"),
-        aggregate(col("qcodes"), lit(0.0), (acc, c) => acc + c).cast("long").as("code_sum"),
-        array_max(col("qcodes")).cast("long").as("code_max"),
-        floor(aggregate(
-          zip_with(col("__orig"), col("embedding"), (x, r) => abs(x - r)),
-          lit(0.0), (acc, e) => acc + e) * 1e6).cast("long").as("err_micro"))
+        col("__q.scale_micro").as("scale_micro"),
+        col("__q.code_sum").as("code_sum"),
+        col("__q.code_max").as("code_max"),
+        col("__q.err_micro").as("err_micro"))
       .orderBy("vec_id")
-  }
 
   private val qQuantizeSql: String = {
     val sExpr = s"(list_max(list_transform(emb, qx -> abs(qx))) / 127.0)"

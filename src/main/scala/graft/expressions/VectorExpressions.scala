@@ -320,6 +320,78 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** One-pass int8-quantization statistics over ARRAY<DOUBLE> — the
+    * kernel behind `q_quantize`. Replicates the HOF/oracle arithmetic
+    * bit-for-bit (`s = max|x|/127`, `c_i = clamp(floor(x_i/s + 0.5),
+    * ±127)`, reconstruction `c_i·s`, LEFT-fold error sum seeded 0.0) in
+    * one generated pass: the HOF form was CodegenFallback and paid
+    * O(dim²) interpreted lambda evals per row after CollapseProject
+    * inlined the scale into the transform (plus a self-join to recover
+    * the original vector for the error fold — the kernel sees both at
+    * once). Output: (scale_micro, code_sum, code_max, err_micro), all
+    * LONG, floor-scaled micros. Zero vectors quantize to all-zero. */
+  case class VecQuantizeStats(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayDouble(prettyName, Seq(child.dataType))
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("scale_micro",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("code_sum",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("code_max",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("err_micro",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vec_quantize_stats"
+
+    override protected def nullSafeEval(a: Any): Any =
+      VectorExpressions.quantizeStats(a.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.expressions.VectorExpressions$$.MODULE$$.quantizeStats($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): VecQuantizeStats =
+      copy(child = newChild)
+  }
+
+  /** Runtime body of [[VecQuantizeStats]] — static so generated code
+    * calls it directly. Fold order matches the HOF forms exactly
+    * (ascending index, seed 0.0). */
+  def quantizeStats(x: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = x.numElements()
+    var maxAbs = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val v = java.lang.Math.abs(x.getDouble(i))
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    val s = maxAbs / 127.0
+    var codeSum = 0.0
+    var codeMax = Double.NegativeInfinity
+    var errSum = 0.0
+    i = 0
+    while (i < n) {
+      val v = x.getDouble(i)
+      val c =
+        if (s > 0.0)
+          java.lang.Math.max(java.lang.Math.min(
+            java.lang.Math.floor(v / s + 0.5), 127.0), -127.0)
+        else 0.0
+      codeSum += c
+      if (c > codeMax) codeMax = c
+      errSum += java.lang.Math.abs(v - c * s)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      java.lang.Math.floor(s * 1e6).toLong,
+      codeSum.toLong,
+      codeMax.toLong,
+      java.lang.Math.floor(errSum * 1e6).toLong))
+  }
+
   /** Natural log via the PLATFORM `java.lang.Math.log` — NOT Spark's
     * built-in `log`, which evaluates `StrictMath.log` (fdlibm) and
     * diverges from libm by 1 ULP on some inputs (measured: df=394 BM25
@@ -364,4 +436,7 @@ object VectorExpressions {
   def euclideanDistance(a: Column, b: Column): Column =
     ColumnGlue.column(
       VecEuclideanDistance(ColumnGlue.expression(a), ColumnGlue.expression(b)))
+
+  def quantizeStatsCol(v: Column): Column =
+    ColumnGlue.column(VecQuantizeStats(ColumnGlue.expression(v)))
 }

@@ -33,6 +33,32 @@ class QuantizeSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("VecQuantizeStats kernel == the HOF chain's stats, row for row") {
+    val viaKernel = emb
+      .select(col("vec_id"), graft.expressions.VectorExpressions
+        .quantizeStatsCol(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q.scale_micro"), col("q.code_sum"),
+        col("q.code_max"), col("q.err_micro"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val viaHof = Quantize.quantizeColumn(emb, "embedding")
+      .join(emb.select(col("vec_id"), col("embedding").as("__orig")), "vec_id")
+      .select(
+        col("vec_id"),
+        floor(col("qscale") * 1e6).cast("long").as("sm"),
+        aggregate(col("qcodes"), lit(0.0), (acc, c) => acc + c).cast("long").as("cs"),
+        array_max(col("qcodes")).cast("long").as("cm"),
+        floor(aggregate(
+          zip_with(col("__orig"), col("embedding"), (x, r) => abs(x - r)),
+          lit(0.0), (acc, e) => acc + e) * 1e6).cast("long").as("em"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(viaKernel.size == viaHof.size)
+    viaKernel.foreach { case (id, k) =>
+      assert(k === viaHof(id), s"kernel/HOF mismatch on vec_id=$id")
+    }
+  }
+
   test("knn over reconstructed vectors keeps high recall vs exact") {
     val exact = VectorSearch.knnJoin(emb, emb, "embedding", "vec_id",
       Metric.Cosine, k = 5, excludeSelf = true, broadcastData = true)
