@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.VectorFunctions
+import graft.operators.{Temporal, TextOps}
+
+/** Generator-driven properties (SURVEY §5.3) — ScalaCheck `Gen` with a
+  * FIXED seed produces adversarial-but-reproducible inputs (zeros,
+  * denormals, unicode, pathological spacing), evaluated in one Spark
+  * job per property instead of one per sample. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Materialize `n` samples of `g` deterministically. */
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    LazyList.iterate(Seed(seed))(_.next).take(n)
+      .flatMap(s => g.apply(Gen.Parameters.default, s)).toList
+
+  private val vecGen: Gen[Seq[Double]] = for {
+    dim <- Gen.choose(1, 96)
+    mag <- Gen.oneOf(0.0, 1e-12, 1.0, 1e6)
+    vs <- Gen.listOfN(dim, Gen.choose(-1.0, 1.0))
+  } yield vs.map(_ * mag)
+
+  test("cosine self-similarity ~ 1 for non-zero vectors; range bounded; normalize idempotent") {
+    val vecs = samples(vecGen, 120, 7L).map(_.toArray)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val checked = df.select(
+      col("id"),
+      sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)).as("norm"),
+      VectorFunctions.cosine(col("v"), col("v")).as("selfcos"),
+      VectorFunctions.l2Normalize(col("v")).as("n1"),
+      VectorFunctions.l2Normalize(VectorFunctions.l2Normalize(col("v"))).as("n2"))
+    val rows = checked.collect()
+    rows.foreach { r =>
+      val (norm, selfcos) = (r.getDouble(1), r.getDouble(2))
+      if (norm > 1e-6)
+        assert(math.abs(selfcos - 1.0) < 1e-9, s"self-cos $selfcos at norm $norm")
+      assert(selfcos <= 1.0 + 1e-9 && selfcos >= -1.0 - 1e-9)
+      // the 1e-12 eps guard deliberately damps near-zero vectors, so
+      // idempotence only holds where the norm dwarfs the eps
+      if (norm > 1e-6) {
+        val n1 = r.getSeq[Double](3)
+        val n2 = r.getSeq[Double](4)
+        n1.zip(n2).foreach { case (a, b) =>
+          assert(math.abs(a - b) <= 1e-9, "normalize not idempotent")
+        }
+      }
+    }
+  }
+
+  test("euclidean similarity in (0, 1] and symmetric on generated pairs") {
+    val vecs = samples(for {
+      vs <- Gen.listOfN(32, Gen.choose(-100.0, 100.0))
+    } yield vs, 100, 11L)
+    val df = vecs.grouped(2).collect { case Seq(a, b) => (a.toArray, b.toArray) }
+      .toSeq.toDF("a", "b")
+    val sim = (d: org.apache.spark.sql.Column) => lit(1.0) / (lit(1.0) + d)
+    val rows = df.select(
+      sim(VectorFunctions.euclideanDistance(col("a"), col("b"))).as("sab"),
+      sim(VectorFunctions.euclideanDistance(col("b"), col("a"))).as("sba"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) > 0.0 && r.getDouble(0) <= 1.0)
+      assert(r.getDouble(0) == r.getDouble(1), "euclidean not symmetric")
+    }
+  }
+
+  test("rangeJoin == naive theta-join on generated interval sets (width 1..max)") {
+    val ptsGen = Gen.listOfN(150, Gen.choose(-500L, 500L))
+    val ivGen = Gen.listOfN(60, for {
+      lo <- Gen.choose(-520L, 520L)
+      len <- Gen.choose(-5L, 40L) // negative => inverted interval
+    } yield (lo, lo + len))
+    for ((seed, width) <- Seq((3L, 1L), (5L, 7L), (9L, 64L))) {
+      val pts = samples(ptsGen, 1, seed).head.zipWithIndex
+        .map { case (p, i) => (p, i.toLong) }.toDF("pt", "pid")
+      val ivs = samples(ivGen, 1, seed + 100).head.zipWithIndex
+        .map { case ((lo, hi), i) => (lo, hi, i.toLong) }.toDF("lo", "hi", "iid")
+      val naive = pts.join(ivs, col("pt") >= col("lo") && col("pt") <= col("hi"))
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val got = Temporal.rangeJoin(pts, "pt", ivs, "lo", "hi", width)
+        .select("pid", "iid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"duplicate pairs at width $width")
+      assert(got.toSet == naive, s"mismatch at width $width seed $seed")
+    }
+  }
+
+  test("chunk reassembly: concat(chunks) == text for generated unicode strings") {
+    val textGen = for {
+      n <- Gen.choose(0, 900)
+      cs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.alphaNumChar, Gen.const(' '), Gen.const('好'), Gen.const('م'),
+        Gen.const('\n'), Gen.const('é')))
+    } yield cs.mkString
+    val texts = samples(textGen, 60, 13L)
+    for (chunkSize <- Seq(1, 7, 300)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val rows = df.select(col("id"), col("text"),
+        concat_ws("", TextOps.chunk(col("text"), chunkSize)).as("re"),
+        size(TextOps.chunk(col("text"), chunkSize)).as("n"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getString(2) == r.getString(1), s"reassembly broke at cs=$chunkSize")
+        val expected = math.max(math.ceil(r.getString(1).length.toDouble / chunkSize).toInt, 1)
+        assert(r.getInt(3) == expected, s"chunk count at cs=$chunkSize")
+      }
+    }
+  }
+
+  test("repetition kernel matches the regex model on generated spacing pathologies") {
+    val tokGen = Gen.oneOf("a", "bb", "ccc", "的", "x1", "")
+    val textGen = for {
+      n <- Gen.choose(0, 30)
+      toks <- Gen.listOfN(n, tokGen)
+      sep <- Gen.oneOf(" ", "  ", "   ")
+    } yield toks.mkString(sep)
+    val texts = samples(textGen, 80, 17L)
+    def model(text: String): (Long, Long, Long, Long) = {
+      val toks = text.trim.split(" +", -1).toSeq
+      val n = toks.length
+      val bigrams = if (n >= 2) toks.sliding(2).map(_.mkString(" ")).toSeq else Seq.empty
+      val top = toks.groupBy(identity).values.map(_.size).max
+      (n.toLong, bigrams.length.toLong, bigrams.distinct.length.toLong, top.toLong)
+    }
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .select(col("id"), col("text"),
+        graft.expressions.TextExpressions.repetitionStats(col("text")).as("s"))
+      .select(col("text"), col("s.n_tokens"), col("s.n_bigrams"),
+        col("s.n_distinct_bigrams"), col("s.top_token_n"))
+      .collect()
+    rows.foreach { r =>
+      val got = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(got == model(r.getString(0)), s"mismatch on '${r.getString(0)}'")
+    }
+  }
+}
