@@ -748,23 +748,35 @@ object Queries {
     TextOps.qualityMetrics(Tables.documents(s, dir), "doc_id", "text", "n_chars")
       .orderBy("doc_id")
 
+  /** Oracle fragment: the quality keep-flag CASE over the `t` CTE's
+    * (text, n_chars, toks) columns — shared by [[qTextQualitySql]] and
+    * [[qCorpusPipelineSql]]. */
+  private val qualityOkCaseSql: String = {
+    val stops = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
+    s"""CASE WHEN length(toks) BETWEEN 5 AND 2000
+       |                  AND (CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) / length(toks)) BETWEEN 2.0 AND 12.0
+       |                  AND (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / n_chars) >= 0.6
+       |                  AND (CAST(length(list_filter(toks, tk -> tk IN ($stops))) AS DOUBLE) / length(toks)) <= 0.5
+       |             THEN 1 ELSE 0 END""".stripMargin
+  }
+
+  /** Oracle CTE `t(doc_id, text, n_chars, toks)`. */
+  private val qualityToksCteSql: String =
+    """t AS (
+      |  SELECT doc_id, text, n_chars,
+      |         string_split_regex(trim(text), ' +') AS toks
+      |  FROM documents)""".stripMargin
+
   private val qTextQualitySql: String = {
     val stops = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
-    s"""WITH t AS (
-       |  SELECT doc_id, text, n_chars,
-       |         string_split_regex(trim(text), ' +') AS toks
-       |  FROM documents)
+    s"""WITH $qualityToksCteSql
        |SELECT doc_id,
        |       CAST(length(toks) AS BIGINT) AS n_tokens,
        |       CAST(length(regexp_extract_all(text, '${TextOps.BpeTokenPattern}')) AS BIGINT) AS bpe_tokens,
        |       CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) / length(toks) AS mean_token_len,
        |       CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / n_chars AS alpha_ratio,
        |       CAST(length(list_filter(toks, tk -> tk IN ($stops))) AS DOUBLE) / length(toks) AS stop_ratio,
-       |       CAST(CASE WHEN length(toks) BETWEEN 5 AND 2000
-       |                  AND (CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) / length(toks)) BETWEEN 2.0 AND 12.0
-       |                  AND (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / n_chars) >= 0.6
-       |                  AND (CAST(length(list_filter(toks, tk -> tk IN ($stops))) AS DOUBLE) / length(toks)) <= 0.5
-       |             THEN 1 ELSE 0 END AS INTEGER) AS quality_ok
+       |       CAST($qualityOkCaseSql AS INTEGER) AS quality_ok
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
@@ -1732,6 +1744,47 @@ object Queries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** The composed corpus pipeline end-to-end — the shape a real
+    * training-data run takes, certified as ONE oracle-checked query:
+    * quality filter ([[TextOps.qualityMetrics]]) → exact dedup keeping
+    * the min-id copy ([[TextOps.dedupExact]]) → deterministic split
+    * ([[Splits.assignSplit]]) → per-split counts and content checksums.
+    * Every stage is a shuffle-lean building block already certified
+    * alone; this row certifies their COMPOSITION (join keys, column
+    * flow, filter ordering survive assembly). */
+  private def qCorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val okIds = TextOps.qualityMetrics(docs, "doc_id", "text", "n_chars")
+      .filter(col("quality_ok") === 1)
+      .select("doc_id")
+    val kept = docs.join(okIds, "doc_id")
+    val deduped = TextOps.dedupExact(kept, "doc_id", "text")
+    Splits.assignSplit(deduped, "doc_id", SplitSalt, SplitWeights)
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("char_sum"),
+        sum(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+          % Sketches.MinhashPrime).as("text_hash_sum"))
+      .orderBy("split")
+  }
+
+  private val qCorpusPipelineSql: String = {
+    val p = Sketches.MinhashPrime
+    s"""WITH $qualityToksCteSql,
+       |ok AS (SELECT doc_id FROM t WHERE $qualityOkCaseSql = 1),
+       |kept AS (SELECT d.* FROM documents d JOIN ok USING (doc_id)),
+       |keepers AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+       |dd AS (SELECT k.* FROM kept k JOIN keepers USING (doc_id)),
+       |labeled AS (SELECT doc_id, text, n_chars, $splitCaseSql AS split FROM dd)
+       |SELECT split,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS char_sum,
+       |       CAST(sum(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+       |                % $p) AS BIGINT) AS text_hash_sum
+       |FROM labeled GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Source-format fidelity gate (beyond parquet): write documents as
     * JSON-lines and CSV, read each back with [[Sources]]' schema-explicit
     * PERMISSIVE readers, and emit per-format content checksums. The
@@ -1870,6 +1923,7 @@ object Queries {
     GraftQuery("q_partition_prune", qPartitionPrune, Some(qPartitionPruneSql)),
     GraftQuery("q_split", qSplit, Some(qSplitSql)),
     GraftQuery("q_contamination", qContamination, Some(qContaminationSql)),
+    GraftQuery("q_corpus_pipeline", qCorpusPipeline, Some(qCorpusPipelineSql)),
     GraftQuery("q_quantize", qQuantize, Some(qQuantizeSql)),
     GraftQuery("q_dim_reduce", qDimReduce, Some(qDimReduceSql)),
     GraftQuery("q_label_centroids", qLabelCentroids, Some(qLabelCentroidsSql)),
