@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Metric, VectorFunctions => VF}
 import graft.operators.{Lexical, Multimodal, Quantize, Rag, Sketches, Splits, Temporal, TextOps, VectorSearch}
-import graft.sources.Sources
+import graft.sources.{Compaction, Sources}
 import graft.streaming.Streaming
 
 /** One declared, oracle-checked query. `oracle` is ANSI-ish SQL DuckDB runs
@@ -1158,6 +1158,34 @@ object Queries {
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** LEFT ANTI join (the §2.2 join-type gap next to the inner/outer/
+    * semi shapes already declared): customers with NO orders in 1995,
+    * counted per nation. Plans as a broadcast/shuffled anti join —
+    * never a filtered cartesian; the oracle is the NOT EXISTS form. */
+  private def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o95 = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    Tables.customer(s, dir)
+      .join(o95, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_inactive"), min("c_custkey").as("min_custkey"))
+      .orderBy("c_nationkey")
+  }
+
+  private val qAntiJoinSql: String =
+    """SELECT c_nationkey,
+      |       CAST(count(*) AS BIGINT) AS n_inactive,
+      |       CAST(min(c_custkey) AS BIGINT) AS min_custkey
+      |FROM customer c
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |    AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o.o_orderdate < TIMESTAMP '1996-01-01')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Range join via the custom [[graft.plans.RangeJoinPlan]] logical
     * node + [[graft.plans.ExpandRangeJoin]] optimizer rule: lineitems
     * shipped within 3 days of any March-1995 order's date — a pure
@@ -1860,6 +1888,41 @@ object Queries {
        |FROM documents WHERE lang IN ('en', 'zh')
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Small-files compaction certified end-to-end: shatter documents
+    * into 64 tiny parquet files (the streaming-sink pathology), rewrite
+    * with [[Compaction.compact]] (sized from optimizer scan stats — no
+    * extra filesystem pass), and emit content checksums plus an in-plan
+    * fewer-files flag (the [[qApproxStats]] gate idiom: the oracle
+    * hard-codes the flag true, so a compaction that stops shrinking
+    * file counts flips it and fails the hash gate). */
+  private def qCompaction(s: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"/root/repo/target/tmp/q_compaction_$safe"
+    Tables.documents(s, dir).repartition(64)
+      .write.mode("overwrite").parquet(s"$base/small")
+    Compaction.compact(s, s"$base/small", s"$base/compact")
+    def partFiles(p: String): Long =
+      new java.io.File(p).listFiles((_, n) => n.startsWith("part-")).length.toLong
+    s.read.parquet(s"$base/compact")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum("doc_id").as("id_sum"),
+        sum("n_chars").as("char_sum"),
+        sum(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+          % Sketches.MinhashPrime).as("text_hash_sum"))
+      .withColumn("compacted_fewer",
+        lit(partFiles(s"$base/compact") < partFiles(s"$base/small")).cast("int"))
+  }
+
+  private val qCompactionSql: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       |       CAST(sum(n_chars) AS BIGINT) AS char_sum,
+       |       CAST(sum(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+       |                % ${Sketches.MinhashPrime}) AS BIGINT) AS text_hash_sum,
+       |       1 AS compacted_fewer
+       |FROM documents""".stripMargin
+
   /** Co-located (bucketed) join through the catalog: both sides written
     * `bucketBy(vec_id)` with [[VectorTable.saveBucketed]], then
     * equi-joined — at scale two same-bucketed tables join with NO
@@ -1921,6 +1984,8 @@ object Queries {
     GraftQuery("q_save_load", qSaveLoad, Some(qSaveLoadSql)),
     GraftQuery("q_source_roundtrip", qSourceRoundtrip, Some(qSourceRoundtripSql)),
     GraftQuery("q_partition_prune", qPartitionPrune, Some(qPartitionPruneSql)),
+    GraftQuery("q_compaction", qCompaction, Some(qCompactionSql)),
+    GraftQuery("q_anti_join", qAntiJoin, Some(qAntiJoinSql)),
     GraftQuery("q_split", qSplit, Some(qSplitSql)),
     GraftQuery("q_contamination", qContamination, Some(qContaminationSql)),
     GraftQuery("q_corpus_pipeline", qCorpusPipeline, Some(qCorpusPipelineSql)),
