@@ -38,7 +38,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the only WARNs these queries emit are expected
+    // (WindowExec's single-partition note fires on q_hybrid_search's
+    // intentional rank-10-rows window) and 3 runs × 64 queries of them
+    // drown the one JSON line this main exists to print.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // optional comma-separated filter for local iteration on a subset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

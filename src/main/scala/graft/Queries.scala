@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Metric, VectorFunctions => VF}
-import graft.operators.{Lexical, Multimodal, Quantize, Rag, Sketches, Splits, Temporal, TextOps, VectorSearch}
+import graft.operators.{Lexical, Multimodal, Packing, Quantize, Rag, Sketches, Splits, Temporal, TextOps, VectorSearch}
 import graft.sources.{Compaction, Sources}
 import graft.streaming.Streaming
 
@@ -360,6 +360,67 @@ object Queries {
       |       CAST(count(*) AS BIGINT) AS n_copies,
       |       min(doc_id) AS keeper_id
       |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin
+
+  /** Segment size for [[qSegDedup]]: 30 chars ≈ 5 words per segment, the
+    * scale at which the fixture corpus actually repeats itself (~5% of
+    * segments are cross-doc duplicates at sf0.01; at the 300-char chunk
+    * size nothing repeats and the query would certify a no-op). */
+  private val SegDedupSize = 30
+
+  /** Segment count bound for the oracle's constant series (max doc is
+    * 577 chars → 20 segments at size 30). */
+  private val MaxSegs = 32
+
+  /** North-star segment-level dedup (CCNet-style paragraph dedup over
+    * fixed windows): first corpus occurrence of each segment survives,
+    * documents reassemble from their surviving segments —
+    * [[TextOps.segmentDedup]]. Output is per-doc counts plus the md5 of
+    * the reassembled text, so the oracle certifies the REASSEMBLY, not
+    * just the survivor counts. */
+  private def qSegDedup(s: SparkSession, dir: String): DataFrame =
+    TextOps.segmentDedup(Tables.documents(s, dir), "doc_id", "text", SegDedupSize)
+      .orderBy("doc_id")
+
+  private val qSegDedupSql: String =
+    s"""WITH segs AS (
+       |  SELECT doc_id, CAST(gs.i AS BIGINT) AS seg_index,
+       |         substr(text, CAST(gs.i * $SegDedupSize + 1 AS INTEGER), $SegDedupSize) AS seg_text
+       |  FROM documents CROSS JOIN generate_series(0, ${MaxSegs - 1}) gs(i)
+       |  WHERE gs.i < greatest(CAST(ceil(length(text) / $SegDedupSize.0) AS BIGINT), 1)),
+       |firsts AS (
+       |  SELECT doc_id, seg_index, seg_text,
+       |         row_number() OVER (PARTITION BY md5(seg_text)
+       |                            ORDER BY doc_id, seg_index) AS rn
+       |  FROM segs)
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS kept_segs,
+       |       CAST(sum(length(seg_text)) AS BIGINT) AS kept_chars,
+       |       md5(string_agg(seg_text, '' ORDER BY seg_index)) AS dedup_hash
+       |FROM firsts WHERE rn = 1
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Top-k for [[qVocabTopk]] — deep enough to cross the content-word
+    * boundary below the corpus's handful of boilerplate tokens. */
+  private val VocabK = 25
+
+  /** North-star vocabulary heavy hitters: top-[[VocabK]] tokens by
+    * occurrence with document frequencies ([[TextOps.vocabTopK]]) — the
+    * distributed word count every new crawl gets first. Ties break on
+    * token, so the top-k SET is deterministic. */
+  private def qVocabTopk(s: SparkSession, dir: String): DataFrame =
+    TextOps.vocabTopK(Tables.documents(s, dir), "doc_id", "text", VocabK)
+
+  private val qVocabTopkSql: String =
+    s"""WITH tf AS (
+       |  SELECT unnest(string_split_regex(trim(text), ' +')) AS token, doc_id
+       |  FROM documents),
+       |per_doc AS (
+       |  SELECT token, doc_id, count(*) AS c FROM tf GROUP BY 1, 2)
+       |SELECT token,
+       |       CAST(sum(c) AS BIGINT) AS n_occurrences,
+       |       CAST(count(*) AS BIGINT) AS n_docs
+       |FROM per_doc GROUP BY token
+       |ORDER BY n_occurrences DESC, token LIMIT $VocabK""".stripMargin
 
   /** North-star near-dup: the full LSH dedup pipeline — minhash band
     * candidates verified by exact embedding cosine. Replaces the round-2
@@ -1091,6 +1152,34 @@ object Queries {
       |FROM g GROUP BY user_id, sid
       |ORDER BY user_id, session_start_epoch""".stripMargin
 
+  /** Keep-first-arrival dedup over events (DISTINCT ON) — the batch
+    * analog of the streaming `dropDuplicatesWithinWatermark` ingest
+    * contract, via [[Temporal.keepFirst]]'s partial-aggregating
+    * struct-min (no corpus-wide window sort). First event per
+    * (user, type) by (ts, event id); value in exact milli-units. */
+  private def qKeepFirst(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("first_ts_us"),
+      col("event_id").as("first_event_id"),
+      floor(col("value") * 1000).cast("long").as("first_value_milli"))
+    Temporal.keepFirst(ev,
+      keyCols = Seq("user_id", "event_type"),
+      orderCols = Seq("first_ts_us", "first_event_id"),
+      payloadCols = Seq("first_value_milli"))
+      .orderBy("user_id", "event_type")
+  }
+
+  private val qKeepFirstSql: String =
+    """SELECT user_id, event_type,
+      |       CAST(epoch_us(ts) AS BIGINT) AS first_ts_us,
+      |       event_id AS first_event_id,
+      |       CAST(floor(value * 1000) AS BIGINT) AS first_value_milli
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY epoch_us(ts), event_id) = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** Sliding windows (10 min window / 5 min slide): every event lands in
     * exactly two windows; oracle enumerates both via a 2-element series. */
   private def qEventsSliding(s: SparkSession, dir: String): DataFrame =
@@ -1813,6 +1902,84 @@ object Queries {
        |FROM labeled GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  private val QuotaSalt = "mix1"
+
+  /** Per-source document quota — below every fixture source's size ÷ 1.6,
+    * so the over-quota rate-capping path is exercised at every sf. */
+  private val SourceQuota = 15L
+
+  /** North-star mixture balancing: cap every source at ~[[SourceQuota]]
+    * docs via the rate-capped [[Splits.quotaSample]] (per-group count →
+    * hash threshold → per-row filter; no corpus-wide window over the
+    * low-cardinality group key), then certify the kept set per source by
+    * count, char sum, and id checksum. */
+  private def qQuotaSample(s: SparkSession, dir: String): DataFrame =
+    Splits.quotaSample(Tables.documents(s, dir), "doc_id", "source", QuotaSalt, SourceQuota)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum("n_chars").as("char_sum"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("source")
+
+  private val qQuotaSampleSql: String = {
+    val p = Sketches.MinhashPrime
+    val b = Splits.Buckets
+    val bucket =
+      s"((CAST('0x' || substr(md5('$QuotaSalt:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % $p) % $b)"
+    s"""WITH th AS (
+       |  SELECT source,
+       |         least($b, CAST(floor(CAST(${SourceQuota * b} AS DOUBLE) / count(*)) AS BIGINT))
+       |           AS keep_below
+       |  FROM documents GROUP BY source)
+       |SELECT d.source AS source,
+       |       CAST(count(*) AS BIGINT) AS n_kept,
+       |       CAST(sum(d.n_chars) AS BIGINT) AS char_sum,
+       |       CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+       |FROM documents d JOIN th ON d.source = th.source
+       |WHERE $bucket < th.keep_below
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  private val PackSalt = "pack1"
+  private val PackShards = 8
+  private val PackContext = 256
+
+  /** North-star sequence packing ([[Packing.packingStats]]): the
+    * pack-then-split training-batch layout, certified per shard by doc
+    * and token totals, sequence counts, boundary-straddling docs, and
+    * tail padding waste. */
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame =
+    Packing.packingStats(Tables.documents(s, dir), "doc_id", "text",
+      PackSalt, PackShards, PackContext)
+      .orderBy("shard")
+
+  private val qPackSequencesSql: String = {
+    val p = Sketches.MinhashPrime
+    val b = Splits.Buckets
+    val ctx = PackContext
+    val bucket =
+      s"((CAST('0x' || substr(md5('$PackSalt:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % $p) % $b)"
+    s"""WITH base AS (
+       |  SELECT doc_id, $bucket AS bucket, $bucket % $PackShards AS shard,
+       |         CAST(length(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |cum AS (
+       |  SELECT shard, n_tok,
+       |         sum(n_tok) OVER (PARTITION BY shard ORDER BY bucket, doc_id
+       |                          ROWS UNBOUNDED PRECEDING) AS cend
+       |  FROM base)
+       |SELECT CAST(shard AS BIGINT) AS shard,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(max(cend) AS BIGINT) AS total_tokens,
+       |       CAST(max((cend + ${ctx - 1}) // $ctx) AS BIGINT) AS n_sequences,
+       |       CAST(sum(CASE WHEN (cend - n_tok) // $ctx <> (cend - 1) // $ctx
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+       |       CAST(max((cend + ${ctx - 1}) // $ctx) * $ctx - max(cend) AS BIGINT)
+       |         AS tail_waste_tokens
+       |FROM cum GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   /** Source-format fidelity gate (beyond parquet): write documents as
     * JSON-lines and CSV, read each back with [[Sources]]' schema-explicit
     * PERMISSIVE readers, and emit per-format content checksums. The
@@ -1978,6 +2145,8 @@ object Queries {
     GraftQuery("q_items", qItems, Some(qItemsSql)),
     GraftQuery("q_meta_filter", qMetaFilter, Some(qMetaFilterSql)),
     GraftQuery("q_dedup_exact", qDedupExact, Some(qDedupExactSql)),
+    GraftQuery("q_seg_dedup", qSegDedup, Some(qSegDedupSql)),
+    GraftQuery("q_vocab_topk", qVocabTopk, Some(qVocabTopkSql)),
     GraftQuery("q_neardup_pairs", qNearDupPairs, Some(qNearDupPairsSql)),
     GraftQuery("q_text_stats", qTextStats, Some(qTextStatsSql)),
     GraftQuery("q_multimodal", qMultimodal, Some(qMultimodalSql)),
@@ -1989,6 +2158,8 @@ object Queries {
     GraftQuery("q_split", qSplit, Some(qSplitSql)),
     GraftQuery("q_contamination", qContamination, Some(qContaminationSql)),
     GraftQuery("q_corpus_pipeline", qCorpusPipeline, Some(qCorpusPipelineSql)),
+    GraftQuery("q_quota_sample", qQuotaSample, Some(qQuotaSampleSql)),
+    GraftQuery("q_pack_sequences", qPackSequences, Some(qPackSequencesSql)),
     GraftQuery("q_quantize", qQuantize, Some(qQuantizeSql)),
     GraftQuery("q_dim_reduce", qDimReduce, Some(qDimReduceSql)),
     GraftQuery("q_label_centroids", qLabelCentroids, Some(qLabelCentroidsSql)),
@@ -2013,6 +2184,7 @@ object Queries {
     GraftQuery("q_events_window", qEventsWindow, Some(qEventsWindowSql)),
     GraftQuery("q_events_sliding", qEventsSliding, Some(qEventsSlidingSql)),
     GraftQuery("q_sessionize", qSessionize, Some(qSessionizeSql)),
+    GraftQuery("q_keep_first", qKeepFirst, Some(qKeepFirstSql)),
     GraftQuery("q_event_props", qEventProps, Some(qEventPropsSql)),
     GraftQuery("q_event_pairs", qEventPairs, Some(qEventPairsSql)),
     GraftQuery("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),

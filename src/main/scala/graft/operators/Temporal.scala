@@ -67,6 +67,39 @@ object Temporal {
     matched.select(leftCols ++ rightCols: _*)
   }
 
+  /** Keep-first-arrival dedup (DISTINCT ON): one row per key — the one
+    * with the smallest `(ordering, tie-break)` — the batch analog of the
+    * streaming `dropDuplicatesWithinWatermark` ingest contract (re-runs
+    * of an at-least-once feed collapse to first arrivals).
+    *
+    * Implemented as `min(struct(order cols ++ payload))`, NOT a
+    * `row_number() = 1` window: the struct-min is a PARTIAL aggregate
+    * (each partition reduces to one candidate row per local key before
+    * the exchange — duplicates never shuffle), while the window form
+    * ships and sorts EVERY duplicate row. The struct buffer does force
+    * sort-based aggregation (struct agg buffers aren't hash-mutable);
+    * when the ordering fits a single BIGINT, pack it instead for a
+    * HashAggregate — [[TextOps.segmentDedup]]'s first-occurrence vote
+    * does exactly that. Struct comparison is field-by-field
+    * lexicographic, so putting the ordering columns first makes the two
+    * forms pick the same row; `orderCols` must be non-null and, with
+    * the tie-break, unique per key (callers pass an id last).
+    *
+    * Output: one row per key with columns `keyCols ++ orderCols ++
+    * payloadCols`, in that order. */
+  def keepFirst(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      payloadCols: Seq[String]): DataFrame = {
+    val picked = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(struct((orderCols ++ payloadCols).map(col): _*)).as("__first"))
+    picked.select(
+      keyCols.map(col) ++
+        (orderCols ++ payloadCols).map(c => col(s"__first.$c").as(c)): _*)
+  }
+
   /** Range join: every (point, interval) pair with `lo <= pt <= hi` —
     * point-in-interval matching with NO equi-key (events to windows,
     * readings to validity ranges). All three columns must be LONG

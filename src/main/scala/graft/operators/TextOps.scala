@@ -167,6 +167,56 @@ object TextOps {
       (col("top_token_n") * 1000L / col("n_tokens")).cast("long").as("top_token_milli"))
   }
 
+  /** Segment-level exact dedup with document reassembly — the
+    * CCNet/RefinedWeb-style paragraph dedup, run over fixed [[chunk]]
+    * windows because this corpus has no paragraph marks: every segment
+    * keeps only its FIRST corpus occurrence (ordered by (doc id,
+    * segment index)), later copies are cut, and each document is
+    * reassembled from its surviving segments in order. A document whose
+    * every segment appeared earlier vanishes entirely.
+    *
+    * Scale shape: the first-occurrence vote shuffles `(md5, packed
+    * position)` — a 32-byte hash plus ONE long per segment, never the
+    * text: `(doc_id, seg_index)` packs into a single BIGINT
+    * (`doc_id·2²⁰ + seg_index`; lexicographic == numeric order) so the
+    * `min` has a mutable long buffer and Spark plans a partial map-side
+    * HashAggregate — a struct-min buffer would force SortAggregate, the
+    * round-2 minhash mistake. The winner set then equi-joins BACK to the
+    * exploded segments on (doc_id, seg_index) (hash-keyed; AQE
+    * broadcasts it when small), so segment text crosses the wire exactly
+    * once, in the doc-keyed reassembly shuffle. The segment explode runs
+    * twice (vote side + join side) — deliberate: segments are substring
+    * arithmetic over a pruned parquet scan, and re-deriving them beats
+    * materializing corpus-sized segment text between stages.
+    *
+    * Output: `(idCol, kept_segs BIGINT, kept_chars BIGINT, dedup_hash
+    * STRING)` — `dedup_hash` = md5 of the reassembled text, which lets
+    * a caller (or test) confirm reassembly without shipping documents. */
+  /** Bits reserved for the segment index inside the packed position. */
+  private val PosPackBits = 20
+  private val PosPack = 1L << PosPackBits
+
+  def segmentDedup(
+      docs: DataFrame, idCol: String, textCol: String, segSize: Int): DataFrame = {
+    val segs = chunkDocuments(Partitioning.spread(docs), idCol, textCol, segSize)
+      .withColumnRenamed("chunk_index", "seg_index")
+      .withColumnRenamed("chunk_text", "seg_text")
+    // KB-bounded docs keep seg_index far under 2^20; ids stay under 2^43
+    val firsts = segs
+      .groupBy(md5(col("seg_text").cast("binary")).as("seg_hash"))
+      .agg(min(col(idCol) * PosPack + col("seg_index")).as("first_pos"))
+      .select(shiftright(col("first_pos"), PosPackBits).as(idCol),
+        col("first_pos").bitwiseAND(PosPack - 1).as("seg_index"))
+    segs.join(firsts, Seq(idCol, "seg_index"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("kept_segs"),
+        sum(length(col("seg_text"))).cast("long").as("kept_chars"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("seg_index"), col("seg_text")))),
+          seg => seg("seg_text")), "").cast("binary")).as("dedup_hash"))
+  }
+
   /** Marker-word profiles for the n-gram/stopword language-ID heuristic
     * (north star). Candidates scored by marker occurrences; ties break
     * alphabetically. */
@@ -176,6 +226,30 @@ object TextOps {
     "es" -> Seq("el", "la", "de", "y", "es"),
     "fr" -> Seq("le", "la", "et", "les", "est"),
     "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Corpus vocabulary heavy hitters — the classic distributed word
+    * count, the first diagnostic run on any new crawl (Zipf sanity,
+    * boilerplate tokens, tokenizer-vocab candidates). Top `k` tokens by
+    * total occurrences (ties → token ascending) with document
+    * frequencies.
+    *
+    * Scale shape: explode → two-level aggregation. Level 1 groups by
+    * (token, doc) so the document frequency is an exact count WITHOUT a
+    * `count(distinct)` (whose expand-based plan doubles the exploded
+    * exchange); both levels are partial map-side HashAggregates and both
+    * exchanges carry only (token, counts). The final top-k is a
+    * `TakeOrderedAndProject` — partition-local heaps, k·P rows to the
+    * driver, never a global sort of the vocabulary. */
+  def vocabTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val perDoc = Partitioning.spread(docs)
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token", idCol)
+      .agg(count(lit(1)).as("__tf"))
+    perDoc.groupBy("token")
+      .agg(sum("__tf").as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .orderBy(desc("n_occurrences"), asc("token"))
+      .limit(k)
+  }
 
   /** Predicted language per document: the candidate with the most marker
     * hits (tie → alphabetically first). Output: (idCol, predicted). */

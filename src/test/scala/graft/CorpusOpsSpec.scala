@@ -1,0 +1,215 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Packing, Splits, Temporal, TextOps}
+
+/** Round-5 corpus operators, each checked against an independent Scala
+  * model (not the SQL oracle — that runs in the driver's DuckDB gate):
+  * segment-level dedup with reassembly, vocabulary heavy hitters,
+  * per-group quota sampling, keep-first dedup, and sequence packing. */
+class CorpusOpsSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, Sf0001).cache()
+  private lazy val docRows: Seq[(Long, String)] =
+    docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq.sortBy(_._1)
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  // ------------------------------------------------------ segmentDedup ---
+
+  /** [[TextOps.chunk]] semantics: ceil(len/size) windows, empty → [""]. */
+  private def segsOf(text: String, size: Int): Seq[String] =
+    if (text.isEmpty) Seq("") else text.grouped(size).toSeq
+
+  test("segmentDedup matches a sequential first-occurrence model") {
+    val size = 30
+    // model: first corpus occurrence by (doc_id, seg_index)
+    val firstOcc = scala.collection.mutable.Map[String, (Long, Int)]()
+    for ((id, text) <- docRows; (seg, i) <- segsOf(text, size).zipWithIndex)
+      if (!firstOcc.contains(seg)) firstOcc(seg) = (id, i)
+    val expected = docRows.flatMap { case (id, text) =>
+      val kept = segsOf(text, size).zipWithIndex
+        .filter { case (seg, i) => firstOcc(seg) == (id, i) }
+      if (kept.isEmpty) None
+      else Some(id -> (kept.size.toLong,
+        kept.map(_._1.length.toLong).sum,
+        md5hex(kept.map(_._1).mkString)))
+    }.toMap
+
+    val got = TextOps.segmentDedup(docs, "doc_id", "text", size)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got == expected)
+    // and the corpus genuinely repeats at this granularity — some doc lost a segment
+    assert(got.exists { case (id, (_, chars, _)) =>
+      chars < docRows.toMap.apply(id).length },
+      "fixture has no duplicate segments at size 30 — the query certifies a no-op")
+  }
+
+  test("segmentDedup drops nothing when every segment is unique") {
+    import spark.implicits._
+    val unique = Seq((1L, "aaaabbbb"), (2L, "ccccdddd")).toDF("doc_id", "text")
+    val got = TextOps.segmentDedup(unique, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L))
+  }
+
+  test("segmentDedup erases a fully-duplicate later document") {
+    import spark.implicits._
+    val dup = Seq((1L, "xxxxyyyy"), (2L, "xxxxyyyy")).toDF("doc_id", "text")
+    val got = TextOps.segmentDedup(dup, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(got == Set(1L))
+  }
+
+  // --------------------------------------------------------- vocabTopK ---
+
+  test("vocabTopK matches an exact word-count model") {
+    val k = 10
+    val counts = scala.collection.mutable.Map[String, (Long, Long)]()
+    for ((_, text) <- docRows) {
+      val toks = text.trim.split(" +").toSeq
+      val tf = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      for ((t, c) <- tf) {
+        val (occ, df) = counts.getOrElse(t, (0L, 0L))
+        counts(t) = (occ + c, df + 1)
+      }
+    }
+    val expected = counts.toSeq
+      .sortBy { case (t, (occ, _)) => (-occ, t) }.take(k)
+      .map { case (t, (occ, df)) => (t, occ, df) }
+    val got = TextOps.vocabTopK(docs, "doc_id", "text", k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("vocabTopK plans a TakeOrderedAndProject, not a global sort") {
+    val plan = TextOps.vocabTopK(docs, "doc_id", "text", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  // ------------------------------------------------------- quotaSample ---
+
+  test("quotaSample caps over-quota groups near the quota and keeps under-quota groups whole") {
+    val quota = 10L
+    val kept = Splits.quotaSample(docs, "doc_id", "source", "qs", quota)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, n) <- totals) {
+      val k = kept.getOrElse(src, 0L)
+      if (n <= quota) assert(k == n, s"$src under quota but trimmed: $k != $n")
+      else {
+        // rate-capped: expectation = quota, binomial spread around it
+        assert(k <= 2 * quota && k >= 1, s"$src kept $k of $n at quota $quota")
+      }
+    }
+  }
+
+  test("quotaSample kept sets nest as the quota grows and survive repartitioning") {
+    def ids(df: DataFrame, quota: Long): Set[Long] =
+      Splits.quotaSample(df, "doc_id", "source", "qs", quota)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val q5 = ids(docs, 5)
+    val q15 = ids(docs, 15)
+    assert(q5.subsetOf(q15), s"${(q5 -- q15).size} ids leak when quota grows")
+    assert(ids(docs.repartition(13), 5) == q5)
+  }
+
+  test("quotaSample plans a broadcast of the thresholds, not a shuffle of the corpus by group") {
+    val plan = Splits.quotaSample(docs, "doc_id", "source", "qs", 10L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  // --------------------------------------------------------- keepFirst ---
+
+  test("keepFirst equals the window row_number()=1 form on events") {
+    val ev = Tables.events(spark, Sf0001).select(
+      col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"),
+      col("event_id"),
+      col("value"))
+    val got = Temporal.keepFirst(ev,
+      keyCols = Seq("user_id", "event_type"),
+      orderCols = Seq("us", "event_id"),
+      payloadCols = Seq("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    val expected = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("keepFirst plans a partial aggregate, no window sort of the duplicates") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, "a"), (1L, 5L, "b"), (2L, 7L, "c"))
+      .toDF("k", "ord", "payload")
+    val plan = Temporal.keepFirst(df, Seq("k"), Seq("ord"), Seq("payload"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"keepFirst must not window:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial min"),
+      s"missing map-side combine:\n$plan")
+  }
+
+  // ------------------------------------------------------ packingStats ---
+
+  test("packingStats conserves totals and computes exact per-shard layout") {
+    val shards = 4
+    val ctx = 64
+    val got = Packing.packingStats(docs, "doc_id", "text", "pk", shards, ctx)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+
+    // independent model: same hash, same order, plain Scala arithmetic
+    val prime = graft.operators.Sketches.MinhashPrime
+    def bucket(id: Long): Long =
+      (java.lang.Long.parseLong(md5hex(s"pk:$id").take(15), 16) % prime) % Splits.Buckets
+    def tokCount(text: String): Long = text.trim.split(" +").length.toLong
+    val byShard = docRows
+      .map { case (id, text) => (bucket(id) % shards, bucket(id), id, tokCount(text)) }
+      .groupBy(_._1)
+    val expected = byShard.map { case (shard, rows) =>
+      val ordered = rows.sortBy { case (_, b, id, _) => (b, id) }
+      val ends = ordered.scanLeft(0L)(_ + _._4).tail
+      val starts = ends.zip(ordered).map { case (e, (_, _, _, n)) => e - n }
+      val total = ends.last
+      val nSeq = (total + ctx - 1) / ctx
+      val boundary = starts.zip(ends).count { case (s, e) => s / ctx != (e - 1) / ctx }
+      shard -> (rows.size.toLong, total, nSeq, boundary.toLong, nSeq * ctx - total)
+    }
+    assert(got == expected)
+    assert(got.values.map(_._1).sum == docRows.size.toLong)
+  }
+
+  test("packingStats is stable across repartitioning") {
+    val a = Packing.packingStats(docs, "doc_id", "text", "pk", 4, 64)
+      .collect().map(_.toSeq).toSet
+    val b = Packing.packingStats(docs.repartition(13), "doc_id", "text", "pk", 4, 64)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("packingStats rejects a non-power-of-two context") {
+    intercept[IllegalArgumentException] {
+      Packing.packingStats(docs, "doc_id", "text", "pk", 4, 100)
+    }
+  }
+}
