@@ -379,6 +379,8 @@ object Queries {
     * just the survivor counts. */
   private def qSegDedup(s: SparkSession, dir: String): DataFrame =
     TextOps.segmentDedup(Tables.documents(s, dir), "doc_id", "text", SegDedupSize)
+      .select(col("doc_id"), col("kept_segs"), col("kept_chars"),
+        md5(col("dedup_text").cast("binary")).as("dedup_hash"))
       .orderBy("doc_id")
 
   private val qSegDedupSql: String =
@@ -1902,6 +1904,29 @@ object Queries {
        |FROM labeled GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Mergeable-sketch distinct counts ([[Sketches.mergedDistinct]]):
+    * per-(lang, source) HLL sketches union-merged per lang — the
+    * persistable-partial-sketch pattern that makes corpus stats
+    * incremental at 100 TB — tolerance-gated against the exact distinct
+    * (the [[qApproxStats]] contract: a drifting estimate flips an
+    * integer flag and fails the hash). */
+  private def qSketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merged = Sketches.mergedDistinct(docs, "lang", "source", "text")
+    val exact = docs.groupBy("lang").agg(countDistinct("text").as("exact_distinct"))
+    merged.join(exact, "lang")
+      .select(col("lang"), col("exact_distinct"),
+        (abs(col("merged_estimate") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.05 + 1.0).cast("int").as("merged_ok"))
+      .orderBy("lang")
+  }
+
+  private val qSketchMergeSql: String =
+    """SELECT lang,
+      |       CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct,
+      |       CAST(1 AS INTEGER) AS merged_ok
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   private val QuotaSalt = "mix1"
 
   /** Per-source document quota — below every fixture source's size ÷ 1.6,
@@ -1967,6 +1992,86 @@ object Queries {
        |cum AS (
        |  SELECT shard, n_tok,
        |         sum(n_tok) OVER (PARTITION BY shard ORDER BY bucket, doc_id
+       |                          ROWS UNBOUNDED PRECEDING) AS cend
+       |  FROM base)
+       |SELECT CAST(shard AS BIGINT) AS shard,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(max(cend) AS BIGINT) AS total_tokens,
+       |       CAST(max((cend + ${ctx - 1}) // $ctx) AS BIGINT) AS n_sequences,
+       |       CAST(sum(CASE WHEN (cend - n_tok) // $ctx <> (cend - 1) // $ctx
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+       |       CAST(max((cend + ${ctx - 1}) // $ctx) * $ctx - max(cend) AS BIGINT)
+       |         AS tail_waste_tokens
+       |FROM cum GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
+  /** The composed MIXTURE pipeline end-to-end, certified as ONE
+    * oracle-checked query (the [[qCorpusPipeline]] contract, extended to
+    * the round-5 stages): quality filter → segment-level dedup with
+    * reassembly ([[TextOps.segmentDedup]] — later stages consume the
+    * REASSEMBLED text) → per-source quota sampling
+    * ([[Splits.quotaSample]], thresholds computed on the post-dedup
+    * frame) → sequence packing layout ([[Packing.packingStats]] over
+    * the deduped text). Certifies that the stages COMPOSE: join keys,
+    * the dedup_text column flow, and the quota-before-packing ordering
+    * all survive assembly. */
+  private def qMixturePipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ok = TextOps.qualityMetrics(docs, "doc_id", "text", "n_chars")
+      .filter(col("quality_ok") === 1)
+      .select("doc_id")
+    val deduped = TextOps.segmentDedup(docs.join(ok, "doc_id"),
+      "doc_id", "text", SegDedupSize)
+      .select(col("doc_id"), col("dedup_text"))
+    val withSource = deduped.join(docs.select("doc_id", "source"), "doc_id")
+    val sampled = Splits.quotaSample(withSource, "doc_id", "source",
+      QuotaSalt, SourceQuota)
+    Packing.packingStats(sampled, "doc_id", "dedup_text",
+      PackSalt, PackShards, PackContext)
+      .orderBy("shard")
+  }
+
+  private val qMixturePipelineSql: String = {
+    val p = Sketches.MinhashPrime
+    val b = Splits.Buckets
+    val ctx = PackContext
+    def bucket(salt: String) =
+      s"((CAST('0x' || substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % $p) % $b)"
+    s"""WITH $qualityToksCteSql,
+       |ok AS (SELECT doc_id FROM t WHERE $qualityOkCaseSql = 1),
+       |kept AS (SELECT d.doc_id, d.text, d.source
+       |         FROM documents d JOIN ok USING (doc_id)),
+       |segs AS (
+       |  SELECT doc_id, CAST(gs.i AS BIGINT) AS seg_index,
+       |         substr(text, CAST(gs.i * $SegDedupSize + 1 AS INTEGER), $SegDedupSize) AS seg_text
+       |  FROM kept CROSS JOIN generate_series(0, ${MaxSegs - 1}) gs(i)
+       |  WHERE gs.i < greatest(CAST(ceil(length(text) / $SegDedupSize.0) AS BIGINT), 1)),
+       |firsts AS (
+       |  SELECT doc_id, seg_index, seg_text,
+       |         row_number() OVER (PARTITION BY md5(seg_text)
+       |                            ORDER BY doc_id, seg_index) AS rn
+       |  FROM segs),
+       |dd AS (
+       |  SELECT doc_id, string_agg(seg_text, '' ORDER BY seg_index) AS dedup_text
+       |  FROM firsts WHERE rn = 1 GROUP BY doc_id),
+       |wm AS (SELECT dd.doc_id, dd.dedup_text, k.source
+       |       FROM dd JOIN kept k USING (doc_id)),
+       |th AS (
+       |  SELECT source,
+       |         least($b, CAST(floor(CAST(${SourceQuota * b} AS DOUBLE) / count(*)) AS BIGINT))
+       |           AS keep_below
+       |  FROM wm GROUP BY source),
+       |qs AS (
+       |  SELECT wm.doc_id, wm.dedup_text FROM wm JOIN th USING (source)
+       |  WHERE ${bucket(QuotaSalt)} < th.keep_below),
+       |base AS (
+       |  SELECT doc_id, ${bucket(PackSalt)} AS pbucket,
+       |         ${bucket(PackSalt)} % $PackShards AS shard,
+       |         CAST(length(string_split_regex(trim(dedup_text), ' +')) AS BIGINT) AS n_tok
+       |  FROM qs),
+       |cum AS (
+       |  SELECT shard, n_tok,
+       |         sum(n_tok) OVER (PARTITION BY shard ORDER BY pbucket, doc_id
        |                          ROWS UNBOUNDED PRECEDING) AS cend
        |  FROM base)
        |SELECT CAST(shard AS BIGINT) AS shard,
@@ -2160,6 +2265,8 @@ object Queries {
     GraftQuery("q_corpus_pipeline", qCorpusPipeline, Some(qCorpusPipelineSql)),
     GraftQuery("q_quota_sample", qQuotaSample, Some(qQuotaSampleSql)),
     GraftQuery("q_pack_sequences", qPackSequences, Some(qPackSequencesSql)),
+    GraftQuery("q_mixture_pipeline", qMixturePipeline, Some(qMixturePipelineSql)),
+    GraftQuery("q_sketch_merge", qSketchMerge, Some(qSketchMergeSql)),
     GraftQuery("q_quantize", qQuantize, Some(qQuantizeSql)),
     GraftQuery("q_dim_reduce", qDimReduce, Some(qDimReduceSql)),
     GraftQuery("q_label_centroids", qLabelCentroids, Some(qLabelCentroidsSql)),

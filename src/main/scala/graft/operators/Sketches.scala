@@ -221,4 +221,30 @@ object Sketches {
     }.reduce(_ + _)
     agg.select(col(idCol), hash.as("simhash"))
   }
+
+  /** Mergeable distinct-count sketches (DataSketches HLL via Spark's
+    * `hll_sketch_agg`/`hll_union_agg`): per-`subCol` sketches of
+    * `valueCol`, then union-merged per `groupCol`. THIS shape — partial
+    * sketch as persistable DATA, merged later — is what makes corpus
+    * stats incremental at 100 TB: each ingest batch contributes a
+    * KB-sized sketch row, and "distinct docs this month" is a union over
+    * sketch rows, never a rescan (`approx_count_distinct` computes the
+    * same estimate but its sketch lives only inside one aggregation).
+    *
+    * Output: one row per group — `(groupCol, merged_estimate BIGINT)`.
+    * The sketches themselves stay an implementation column; callers
+    * persisting them should store the binary `sk` from
+    * [[sketchPerSub]]. */
+  def mergedDistinct(
+      df: DataFrame, groupCol: String, subCol: String, valueCol: String): DataFrame =
+    sketchPerSub(df, groupCol, subCol, valueCol)
+      .groupBy(groupCol)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_estimate"))
+
+  /** The partial stage of [[mergedDistinct]]: one binary HLL sketch per
+    * (groupCol, subCol) — the row you'd persist per ingest batch. */
+  def sketchPerSub(
+      df: DataFrame, groupCol: String, subCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(groupCol), col(subCol))
+      .agg(hll_sketch_agg(col(valueCol)).as("sk"))
 }

@@ -189,9 +189,9 @@ object TextOps {
     * arithmetic over a pruned parquet scan, and re-deriving them beats
     * materializing corpus-sized segment text between stages.
     *
-    * Output: `(idCol, kept_segs BIGINT, kept_chars BIGINT, dedup_hash
-    * STRING)` — `dedup_hash` = md5 of the reassembled text, which lets
-    * a caller (or test) confirm reassembly without shipping documents. */
+    * Output: `(idCol, kept_segs BIGINT, kept_chars BIGINT, dedup_text
+    * STRING)` — `dedup_text` is the reassembled document, ready for the
+    * downstream pipeline stages (token counts, packing, re-embedding). */
   /** Bits reserved for the segment index inside the packed position. */
   private val PosPackBits = 20
   private val PosPack = 1L << PosPackBits
@@ -212,9 +212,9 @@ object TextOps {
       .agg(
         count(lit(1)).as("kept_segs"),
         sum(length(col("seg_text"))).cast("long").as("kept_chars"),
-        md5(array_join(transform(
+        array_join(transform(
           array_sort(collect_list(struct(col("seg_index"), col("seg_text")))),
-          seg => seg("seg_text")), "").cast("binary")).as("dedup_hash"))
+          seg => seg("seg_text")), "").as("dedup_text"))
   }
 
   /** Marker-word profiles for the n-gram/stopword language-ID heuristic

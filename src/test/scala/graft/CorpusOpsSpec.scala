@@ -40,7 +40,7 @@ class CorpusOpsSpec extends SparkSpec {
       if (kept.isEmpty) None
       else Some(id -> (kept.size.toLong,
         kept.map(_._1.length.toLong).sum,
-        md5hex(kept.map(_._1).mkString)))
+        kept.map(_._1).mkString))
     }.toMap
 
     val got = TextOps.segmentDedup(docs, "doc_id", "text", size)

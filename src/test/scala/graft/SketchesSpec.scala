@@ -165,4 +165,37 @@ class SketchesSpec extends SparkSpec {
     val fp2 = Sketches.fingerprint(docs.repartition(7), "doc_id", "text", 8, 8)
     assert(fp.collect().map(_.toSeq).toSet == fp2.collect().map(_.toSeq).toSet)
   }
+
+  test("merged HLL sketches track the exact distinct within tolerance") {
+    val docs = Tables.documents(spark, Sf0001).cache()
+    val merged = Sketches.mergedDistinct(docs, "lang", "source", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = docs.groupBy("lang").agg(countDistinct("text").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.keySet == exact.keySet)
+    for ((lang, ex) <- exact) {
+      val est = merged(lang)
+      assert(math.abs(est - ex) <= ex * 0.05 + 1,
+        s"$lang: merged estimate $est vs exact $ex")
+    }
+  }
+
+  test("sketch union over sub-groups equals the single-pass sketch (merge correctness)") {
+    val docs = Tables.documents(spark, Sf0001)
+    val viaMerge = Sketches.mergedDistinct(docs, "lang", "source", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = docs.groupBy("lang")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("text"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaMerge == direct,
+      s"union-of-partials diverged from single-pass: $viaMerge vs $direct")
+  }
+
+  test("merged sketches are stable across repartitioning") {
+    val docs = Tables.documents(spark, Sf0001)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.mergedDistinct(df, "lang", "source", "text")
+        .collect().map(_.toSeq).toSet
+    assert(run(docs) == run(docs.repartition(13)))
+  }
 }
