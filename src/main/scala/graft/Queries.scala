@@ -2020,13 +2020,27 @@ object Queries {
     val ok = TextOps.qualityMetrics(docs, "doc_id", "text", "n_chars")
       .filter(col("quality_ok") === 1)
       .select("doc_id")
-    val deduped = TextOps.segmentDedup(docs.join(ok, "doc_id"),
-      "doc_id", "text", SegDedupSize)
-      .select(col("doc_id"), col("dedup_text"))
-    val withSource = deduped.join(docs.select("doc_id", "source"), "doc_id")
-    val sampled = Splits.quotaSample(withSource, "doc_id", "source",
+    // materialize the quality-filtered corpus once: the dedup vote and the
+    // join-back both read it, and re-deriving it would re-run the quality
+    // regexes and the join — the qJaccardPairs staging pattern (at scale
+    // this is the persisted output of the quality stage)
+    val kept = docs.join(ok, "doc_id")
+      .select("doc_id", "text", "source").localCheckpoint()
+    // the survivor frame also feeds two consumers (doc-id set + reassembly):
+    // one materialization, not two vote computations
+    val surv = TextOps.survivingSegments(kept, "doc_id", "text", SegDedupSize)
+      .localCheckpoint()
+    // quota-sample on DOC ids (post-dedup doc set = docs with a surviving
+    // segment), then reassemble ONLY the sampled docs — the ordered
+    // collect_list never runs for documents the mixture discards
+    val dedupDocs = surv.select("doc_id").distinct()
+      .join(kept.select("doc_id", "source"), "doc_id")
+    val sampledIds = Splits.quotaSample(dedupDocs, "doc_id", "source",
       QuotaSalt, SourceQuota)
-    Packing.packingStats(sampled, "doc_id", "dedup_text",
+      .select("doc_id")
+    val packedDocs = TextOps.reassembleSegments(
+      surv.join(sampledIds, "doc_id"), "doc_id")
+    Packing.packingStats(packedDocs, "doc_id", "dedup_text",
       PackSalt, PackShards, PackContext)
       .orderBy("shard")
   }

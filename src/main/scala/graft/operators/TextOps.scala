@@ -197,6 +197,16 @@ object TextOps {
   private val PosPack = 1L << PosPackBits
 
   def segmentDedup(
+      docs: DataFrame, idCol: String, textCol: String, segSize: Int): DataFrame =
+    reassembleSegments(survivingSegments(docs, idCol, textCol, segSize), idCol)
+
+  /** The dedup half of [[segmentDedup]]: the surviving `(idCol,
+    * seg_index, seg_text)` rows — each segment's first corpus occurrence.
+    * Split out so pipelines can push doc-level filters (quota sampling,
+    * split assignment) BELOW the reassembly: deciding which docs to keep
+    * needs only ids, so reassembling first and discarding after pays the
+    * ordered `collect_list` for rows that die anyway. */
+  def survivingSegments(
       docs: DataFrame, idCol: String, textCol: String, segSize: Int): DataFrame = {
     val segs = chunkDocuments(Partitioning.spread(docs), idCol, textCol, segSize)
       .withColumnRenamed("chunk_index", "seg_index")
@@ -208,14 +218,18 @@ object TextOps {
       .select(shiftright(col("first_pos"), PosPackBits).as(idCol),
         col("first_pos").bitwiseAND(PosPack - 1).as("seg_index"))
     segs.join(firsts, Seq(idCol, "seg_index"))
-      .groupBy(idCol)
+  }
+
+  /** The reassembly half of [[segmentDedup]]: surviving segments back
+    * into documents, in segment order. */
+  def reassembleSegments(segs: DataFrame, idCol: String): DataFrame =
+    segs.groupBy(idCol)
       .agg(
         count(lit(1)).as("kept_segs"),
         sum(length(col("seg_text"))).cast("long").as("kept_chars"),
         array_join(transform(
           array_sort(collect_list(struct(col("seg_index"), col("seg_text")))),
           seg => seg("seg_text")), "").as("dedup_text"))
-  }
 
   /** Marker-word profiles for the n-gram/stopword language-ID heuristic
     * (north star). Candidates scored by marker occurrences; ties break
