@@ -54,6 +54,13 @@ class CorpusOpsSpec extends SparkSpec {
       "fixture has no duplicate segments at size 30 — the query certifies a no-op")
   }
 
+  test("segmentDedup's first-occurrence vote is a HashAggregate (packed long), not a SortAggregate") {
+    val plan = TextOps.segmentDedup(docs, "doc_id", "text", 30)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"),
+      s"vote fell back to sort-based aggregation:\n$plan")
+  }
+
   test("segmentDedup drops nothing when every segment is unique") {
     import spark.implicits._
     val unique = Seq((1L, "aaaabbbb"), (2L, "ccccdddd")).toDF("doc_id", "text")
