@@ -1966,6 +1966,65 @@ object Queries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  private val TempSalt = "temp1"
+  private val TempTarget = 300L
+
+  /** Temperature-based (α=0.5) mixture resampling over the skewed lang
+    * distribution (en is ~40% of the corpus): expected kept ∝ √n_lang,
+    * so tail languages are upweighted relative to en —
+    * [[Splits.temperatureSample]], integer-exact thresholds. */
+  private def qTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    Splits.temperatureSample(Tables.documents(s, dir), "doc_id", "lang",
+      TempSalt, TempTarget)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+      .orderBy("lang")
+
+  private val qTemperatureMixSql: String = {
+    val p = Sketches.MinhashPrime
+    val b = Splits.Buckets
+    val bucket =
+      s"((CAST('0x' || substr(md5('$TempSalt:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % $p) % $b)"
+    s"""WITH c AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(floor(sqrt(count(*)) * 1000) AS BIGINT) AS w
+       |  FROM documents GROUP BY lang),
+       |t AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM c),
+       |th AS (
+       |  SELECT lang, least($b, ($TempTarget * w * $b) // (wsum * n)) AS keep_below
+       |  FROM c CROSS JOIN t)
+       |SELECT d.lang AS lang,
+       |       CAST(count(*) AS BIGINT) AS n_kept,
+       |       CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+       |FROM documents d JOIN th ON d.lang = th.lang
+       |WHERE $bucket < th.keep_below
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Per-group quantile quality cut: keep each language's top half by
+    * length ([[Splits.quantileFilter]] at p=0.5 on the integer
+    * `n_chars`) — the relative-to-group filter shape (no corpus window;
+    * exact integer percentile is bit-identical cross-engine). */
+  private def qQualityCut(s: SparkSession, dir: String): DataFrame =
+    Splits.quantileFilter(Tables.documents(s, dir), "lang", "n_chars", 0.5)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        sum("n_chars").as("char_sum"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("lang")
+
+  private val qQualityCutSql: String =
+    """WITH th AS (
+      |  SELECT lang, quantile_cont(n_chars, 0.5) AS q
+      |  FROM documents GROUP BY lang)
+      |SELECT d.lang AS lang,
+      |       CAST(count(*) AS BIGINT) AS n_kept,
+      |       CAST(sum(d.n_chars) AS BIGINT) AS char_sum,
+      |       CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+      |FROM documents d JOIN th ON d.lang = th.lang
+      |WHERE d.n_chars >= th.q
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val PackSalt = "pack1"
   private val PackShards = 8
   private val PackContext = 256
@@ -2278,6 +2337,8 @@ object Queries {
     GraftQuery("q_contamination", qContamination, Some(qContaminationSql)),
     GraftQuery("q_corpus_pipeline", qCorpusPipeline, Some(qCorpusPipelineSql)),
     GraftQuery("q_quota_sample", qQuotaSample, Some(qQuotaSampleSql)),
+    GraftQuery("q_temperature_mix", qTemperatureMix, Some(qTemperatureMixSql)),
+    GraftQuery("q_quality_cut", qQualityCut, Some(qQualityCutSql)),
     GraftQuery("q_pack_sequences", qPackSequences, Some(qPackSequencesSql)),
     GraftQuery("q_mixture_pipeline", qMixturePipeline, Some(qMixturePipelineSql)),
     GraftQuery("q_sketch_merge", qSketchMerge, Some(qSketchMergeSql)),

@@ -93,4 +93,53 @@ object Splits {
       .filter(hashBucket(col(idCol), salt) < col("__keep_below"))
       .drop("__keep_below")
   }
+
+  /** Temperature-based mixture resampling (the mC4/XLM-R α-sampling,
+    * α = 0.5): keep each group with probability proportional to
+    * `√n_g / n_g`, so the expected kept count per group is
+    * `target · √n_g / Σ√n_m` — big groups are downweighted toward the
+    * tail languages/domains instead of dominating the mix.
+    *
+    * α is FIXED at 0.5 because `sqrt` is IEEE-exact in every engine
+    * while `pow(x, α)` differs by ULPs between libm implementations —
+    * with weights then frozen to exact integers (`floor(√n·1000)`) the
+    * whole threshold chain is integer arithmetic and replays bit-for-bit
+    * in any SQL oracle. Same scale shape as [[quotaSample]]: group-sized
+    * aggregates, broadcast thresholds, per-row hash filter — zero corpus
+    * shuffle. */
+  def temperatureSample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      salt: String,
+      targetTotal: Long): DataFrame = {
+    val weighted = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n")) * 1000).cast("long"))
+    val wsum = weighted.agg(sum("__w").as("__wsum"))
+    val thresholds = weighted.crossJoin(broadcast(wsum))
+      .select(col(groupCol),
+        least(lit(Buckets),
+          expr(s"($targetTotal * __w * $Buckets) div (__wsum * __n)"))
+          .as("__keep_below"))
+    df.join(broadcast(thresholds), groupCol)
+      .filter(hashBucket(col(idCol), salt) < col("__keep_below"))
+      .drop("__keep_below")
+  }
+
+  /** Per-group quantile threshold filter: keep rows whose `valueCol` is
+    * at or above their group's p-quantile (e.g. "top half by length per
+    * language" — quality cuts relative to each group's own
+    * distribution). The thresholds are a group-sized exact `percentile`
+    * aggregate broadcast back; the cut itself is a per-row compare — no
+    * per-group window over the corpus. Exact percentile on INTEGER
+    * inputs is bit-identical across engines (shared rank-p·(n−1)
+    * interpolation); float inputs would be sum-order-sensitive. */
+  def quantileFilter(
+      df: DataFrame, groupCol: String, valueCol: String, p: Double): DataFrame = {
+    val th = df.groupBy(groupCol)
+      .agg(expr(s"percentile($valueCol, $p)").as("__q"))
+    df.join(broadcast(th), groupCol)
+      .filter(col(valueCol) >= col("__q"))
+      .drop("__q")
+  }
 }

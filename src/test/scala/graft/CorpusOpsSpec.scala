@@ -139,6 +139,54 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  // -------------------------------------------- temperature / quantile ---
+
+  test("temperatureSample flattens a skewed mixture toward sqrt weights") {
+    val target = 200L
+    val kept = Splits.temperatureSample(docs, "doc_id", "lang", "tm", target)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wsum = totals.values.map(math.sqrt(_)).sum
+    for ((lang, n) <- totals) {
+      val expected = target * math.sqrt(n.toDouble) / wsum
+      val k = kept.getOrElse(lang, 0L).toDouble
+      // binomial spread: allow 3 sigma + rounding slack
+      val sigma = math.sqrt(expected)
+      assert(math.abs(k - expected) <= 3 * sigma + 2,
+        s"$lang: kept $k, expected ~$expected (n=$n)")
+    }
+    // the big group's kept FRACTION must be strictly below a small group's
+    val (big, small) = ("en", "de")
+    assert(kept(big).toDouble / totals(big) < kept(small).toDouble / totals(small),
+      s"temperature failed to upweight the tail: $kept vs $totals")
+  }
+
+  test("temperatureSample is deterministic across repartitioning") {
+    def ids(df: DataFrame) =
+      Splits.temperatureSample(df, "doc_id", "lang", "tm", 200L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(docs) == ids(docs.repartition(13)))
+  }
+
+  test("quantileFilter keeps exactly the rows at or above the group quantile") {
+    val got = Splits.quantileFilter(docs, "lang", "n_chars", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // model: per-lang exact interpolated median over the collected rows
+    val byLang = docs.select("lang", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expected = byLang.values.flatMap { rows =>
+      val sorted = rows.map(_._3.toDouble).sorted
+      val rank = 0.5 * (sorted.length - 1)
+      val (lo, hi) = (sorted(rank.toInt), sorted(math.ceil(rank).toInt))
+      val q = lo + (rank - rank.toInt) * (hi - lo)
+      rows.filter(_._3 >= q).map(_._2)
+    }.toSet
+    assert(got == expected)
+  }
+
   // --------------------------------------------------------- keepFirst ---
 
   test("keepFirst equals the window row_number()=1 form on events") {
