@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Metric, VectorFunctions => VF}
-import graft.operators.{Lexical, Multimodal, Packing, Quantize, Rag, Sketches, Splits, Temporal, TextOps, VectorSearch}
+import graft.operators.{Lexical, Multimodal, Packing, Quantize, Rag, Sketches, Skew, Splits, Temporal, TextOps, VectorSearch}
 import graft.sources.{Compaction, Sources}
 import graft.streaming.Streaming
 
@@ -1153,6 +1153,40 @@ object Queries {
       |       CAST(count(*) AS BIGINT) AS n_events
       |FROM g GROUP BY user_id, sid
       |ORDER BY user_id, session_start_epoch""".stripMargin
+
+  private val SaltFactor = 8
+
+  /** Skew-mitigated hot-key join ([[Skew.saltedJoin]]): events joined to
+    * a per-type dimension on `event_type` — 5 distinct values, the
+    * classic everything-lands-on-5-reducers pathology. The salt spreads
+    * each hot key over [[SaltFactor]] reducers (replicating the 5-row
+    * dim ×salt); the RESULT is salt-independent — every left row matches
+    * its own salt exactly once — so the oracle is the plain join, and
+    * the hash gate certifies the rewrite loses/duplicates nothing. */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    val dim = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("type_total"))
+    Skew.saltedJoin(ev, dim, "event_type", "event_id", SaltFactor)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("user_id").as("user_sum"),
+        max("type_total").as("type_total"))
+      .orderBy("event_type")
+  }
+
+  private val qSaltedJoinSql: String =
+    """WITH dim AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS type_total
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_type AS event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(e.user_id) AS BIGINT) AS user_sum,
+      |       CAST(max(d.type_total) AS BIGINT) AS type_total
+      |FROM events e JOIN dim d ON e.event_type = d.event_type
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Keep-first-arrival dedup over events (DISTINCT ON) — the batch
     * analog of the streaming `dropDuplicatesWithinWatermark` ingest
@@ -2367,6 +2401,7 @@ object Queries {
     GraftQuery("q_events_sliding", qEventsSliding, Some(qEventsSlidingSql)),
     GraftQuery("q_sessionize", qSessionize, Some(qSessionizeSql)),
     GraftQuery("q_keep_first", qKeepFirst, Some(qKeepFirstSql)),
+    GraftQuery("q_salted_join", qSaltedJoin, Some(qSaltedJoinSql)),
     GraftQuery("q_event_props", qEventProps, Some(qEventPropsSql)),
     GraftQuery("q_event_pairs", qEventPairs, Some(qEventPairsSql)),
     GraftQuery("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
