@@ -783,6 +783,53 @@ object Queries {
        |FROM w ORDER BY doc_id, fp_pos""".stripMargin
   }
 
+  private val FpPairsMinShared = 3
+  private val FpPairsMaxDf = 10
+
+  /** Winnowing near-dup candidate pairs ([[Sketches.fingerprintPairs]]):
+    * the MOSS join stage — docs sharing ≥ [[FpPairsMinShared]] surviving
+    * fingerprints after boilerplate hashes (doc-freq > [[FpPairsMaxDf]])
+    * are dropped; the per-hash pair fan-out is bounded by maxDocFreq²
+    * like the LSH band join. Completes the dedup family: exact, minhash
+    * LSH, simhash, Jaccard verify, embedding-cosine, segment-level, and
+    * substring-localizing winnowing pairs. */
+  private def qFingerprintPairs(s: SparkSession, dir: String): DataFrame =
+    Sketches.fingerprintPairs(Tables.documents(s, dir), "doc_id", "text",
+      WinnowK, WinnowW, FpPairsMinShared, FpPairsMaxDf)
+      .orderBy("a_id", "b_id")
+
+  private val qFingerprintPairsSql: String = {
+    val p = Sketches.MinhashPrime
+    val r = Sketches.WinnowPosRange
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |           range(1, greatest(length(text) - ${WinnowK - 1}, 1) + 1),
+       |           si -> struct_pack(pos := si,
+       |                             gram := substr(text, CAST(si AS INTEGER), $WinnowK)))) AS u
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+       |         CAST('0x' || substr(md5(u.gram), 1, 15) AS BIGINT) % $p AS hm
+       |  FROM g),
+       |w AS (
+       |  SELECT doc_id, min(hm * $r + (${r - 1} - pos)) OVER
+       |           (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS key
+       |  FROM h),
+       |fp AS (SELECT DISTINCT doc_id, key // $r AS fp_hash FROM w),
+       |usable AS (
+       |  SELECT fp_hash FROM fp GROUP BY fp_hash
+       |  HAVING count(*) BETWEEN 2 AND $FpPairsMaxDf),
+       |pruned AS (SELECT fp.* FROM fp JOIN usable USING (fp_hash))
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |       CAST(count(*) AS BIGINT) AS n_shared
+       |FROM pruned a JOIN pruned b USING (fp_hash)
+       |WHERE a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING count(*) >= $FpPairsMinShared
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** North-star SimHash: 32-bit token-level sketch per doc (near-dups
     * differ in few bits; compare with bit_count(xor)). */
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
@@ -2388,6 +2435,7 @@ object Queries {
     GraftQuery("q_ann_ivf", qAnnIvf, Some(qAnnIvfSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
+    GraftQuery("q_fingerprint_pairs", qFingerprintPairs, Some(qFingerprintPairsSql)),
     GraftQuery("q_neardup_minhash", qNearDupMinhash, Some(qNearDupMinhashSql)),
     GraftQuery("q_simhash", qSimhash, Some(qSimhashSql)),
     GraftQuery("q_text_quality", qTextQuality, Some(qTextQualitySql)),

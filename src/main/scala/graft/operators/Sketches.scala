@@ -222,6 +222,44 @@ object Sketches {
     agg.select(col(idCol), hash.as("simhash"))
   }
 
+  /** Winnowing-based near-dup candidate pairs — the MOSS pipeline's
+    * join stage over [[fingerprint]]: pairs of documents sharing at
+    * least `minShared` surviving fingerprints. Complements the
+    * minhash-LSH path: fingerprints localize WHERE the overlap is
+    * (shared substrings ≥ k+w−1 chars) rather than estimating global
+    * Jaccard.
+    *
+    * Boilerplate control is load-bearing at scale: a fingerprint
+    * appearing in more than `maxDocFreq` documents is dropped BEFORE
+    * the self-join (it is evidence of boilerplate, not duplication, and
+    * its pair blow-up is quadratic); singleton fingerprints can pair
+    * with nothing and are dropped by the same frequency filter. The
+    * join input therefore carries only (hash, id) rows whose per-hash
+    * group is ≤ maxDocFreq — the per-bucket pair fan-out is bounded by
+    * maxDocFreq², independent of corpus size, exactly like the LSH band
+    * join. */
+  def fingerprintPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 8,
+      minShared: Int = 3, maxDocFreq: Int = 10): DataFrame = {
+    val fp = fingerprint(docs, idCol, textCol, k, w)
+      .select(col(idCol), col("fp_hash")).distinct()
+    val usable = fp.groupBy("fp_hash").agg(count(lit(1)).as("__df"))
+      .filter(col("__df").between(2, maxDocFreq))
+      .select("fp_hash")
+    // materialize the pruned (hash, id) table once — it feeds BOTH join
+    // sides, and re-deriving it would run the whole winnowing window
+    // twice (the minhashCandidates lesson); the frame is two longs/row
+    val pruned = fp.join(usable, "fp_hash").localCheckpoint()
+    val a = pruned.select(col("fp_hash"), col(idCol).as("a_id"))
+    val b = pruned.select(col("fp_hash"), col(idCol).as("b_id"))
+    a.join(b, "fp_hash")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Mergeable distinct-count sketches (DataSketches HLL via Spark's
     * `hll_sketch_agg`/`hll_union_agg`): per-`subCol` sketches of
     * `valueCol`, then union-merged per `groupCol`. THIS shape — partial

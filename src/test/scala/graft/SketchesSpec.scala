@@ -166,6 +166,28 @@ class SketchesSpec extends SparkSpec {
     assert(fp.collect().map(_.toSeq).toSet == fp2.collect().map(_.toSeq).toSet)
   }
 
+  test("fingerprintPairs surfaces the near-dup pair and only it") {
+    // docs 1 and 2 share long substrings (one char differs); 3 is unrelated
+    val pairs = Sketches.fingerprintPairs(corpus, "doc_id", "text",
+      k = 8, w = 8, minShared = 3, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"expected exactly the near-dup pair, got ${pairs.toSeq}")
+    assert(pairs.head._3 >= 3)
+  }
+
+  test("fingerprintPairs drops boilerplate fingerprints above the doc-freq cap") {
+    // 6 docs all sharing one boilerplate sentence: every cross pair would
+    // survive without the cap; with maxDocFreq=5 the shared hashes (df=6)
+    // are dropped and nothing pairs
+    val boiler = "subscribe to our newsletter for updates every single day"
+    val docs = (1L to 6L).map(i => (i, s"unique lead $i%02d then $boiler"))
+      .toDF("doc_id", "text")
+    val pairs = Sketches.fingerprintPairs(docs, "doc_id", "text",
+      k = 8, w = 8, minShared = 2, maxDocFreq = 5)
+    assert(pairs.count() == 0, "boilerplate-only overlap must not pair")
+  }
+
   test("merged HLL sketches track the exact distinct within tolerance") {
     val docs = Tables.documents(spark, Sf0001).cache()
     val merged = Sketches.mergedDistinct(docs, "lang", "source", "text")
