@@ -418,10 +418,19 @@ object VectorSearch {
       bits: Int = 8,
       bands: Int = 8,
       excludeSelf: Boolean = true): DataFrame = {
-    val qSpread = Partitioning.spread(queries)
-    val qi = lshBucketTable(qSpread, vecCol, idCol, metric, dim, bits, bands)
+    // self-knn fast path: when both sides are the same frame, bucket the
+    // corpus ONCE and materialize the scalar index (24-byte rows) — the
+    // two join sides are differently-named projections, so Catalyst
+    // cannot reuse the exchange and would run the bands·bits projection
+    // sweep twice
+    val self = queries eq data
+    val qSpread = if (self) Partitioning.spread(data) else Partitioning.spread(queries)
+    val qIdx = lshBucketTable(qSpread, vecCol, idCol, metric, dim, bits, bands)
+    val sharedIdx = if (self) qIdx.localCheckpoint() else qIdx
+    val qi = sharedIdx
       .select(col(idCol).as("query_id"), col("band"), col("bucket"))
-    val di = lshBucketTable(data, vecCol, idCol, metric, dim, bits, bands)
+    val di = (if (self) sharedIdx
+              else lshBucketTable(data, vecCol, idCol, metric, dim, bits, bands))
       .select(col(idCol).as("neighbor_id"), col("band"), col("bucket"))
     val joined = qi.join(di, Seq("band", "bucket"))
     val nonSelf =
