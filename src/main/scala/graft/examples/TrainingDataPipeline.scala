@@ -1,0 +1,44 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+
+import graft.Tables
+import graft.syntax._
+
+/** The training-data pipeline as a user would write it with the fluent
+  * facade: quality filter → segment-level dedup → temperature-balanced
+  * mixture → packing layout, plus the two near-dup candidate reports.
+  *
+  * Run: `sbt "runMain graft.examples.TrainingDataPipeline [sfDir]"`.
+  */
+object TrainingDataPipeline {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Tables.documents(spark, sfDir)
+
+    // corpus prep: quality gate, then cut every repeated 30-char segment
+    val clean = docs.qualityFiltered().segmentDeduped(segSize = 30)
+    println(s"quality+dedup kept ${clean.count()} of ${docs.count()} docs")
+
+    // mixture: α=0.5 temperature balance over languages, then the
+    // per-shard sequence-packing layout for 256-token contexts
+    val mixed = docs.temperatureSampled("lang", salt = "demo", targetTotal = 200)
+    mixed.packingLayout(salt = "demo", shards = 4, contextLen = 256)
+      .show(truncate = false)
+
+    // near-dup reports: banded minhash candidates + winnowing pairs
+    println(s"minhash candidate pairs: " +
+      s"${docs.nearDupCandidates(k = 8, m = 16, bands = 4).count()}")
+    println(s"winnowing fingerprint pairs: ${docs.fingerprintPairs().count()}")
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators._
+
+/** Fluent facade over the operator library — `import graft.syntax._`
+  * gives DataFrame extension methods so a pipeline reads as a chain:
+  *
+  * {{{
+  * import graft.syntax._
+  * docs.qualityFiltered()
+  *     .segmentDeduped(segSize = 30)
+  *     .quotaSampled("source", salt = "mix", quota = 1000)
+  * }}}
+  *
+  * Every method DELEGATES to the same Column-level operator the declared
+  * queries use — zero lambdas, zero extra plan nodes (spec-asserted), so
+  * codegen and pushdown behave identically to the explicit calls. Column
+  * names default to the reference schema (`doc_id`, `text`). */
+package object syntax {
+
+  implicit final class GraftCorpusOps(private val df: DataFrame) extends AnyVal {
+
+    /** [[TextOps.dedupExact]]: one row per distinct text (min-id keeper). */
+    def dedupedExact(id: String = "doc_id", text: String = "text"): DataFrame =
+      TextOps.dedupExact(df, id, text)
+
+    /** [[TextOps.segmentDedup]]: segment-level dedup + reassembly. */
+    def segmentDeduped(segSize: Int, id: String = "doc_id",
+        text: String = "text"): DataFrame =
+      TextOps.segmentDedup(df, id, text, segSize)
+
+    /** [[TextOps.qualityMetrics]] filtered to `quality_ok = 1`, original
+      * columns preserved. */
+    def qualityFiltered(id: String = "doc_id", text: String = "text",
+        nChars: String = "n_chars"): DataFrame = {
+      import org.apache.spark.sql.functions.col
+      val ok = TextOps.qualityMetrics(df, id, text, nChars)
+        .filter(col("quality_ok") === 1).select(id)
+      df.join(ok, id)
+    }
+
+    /** [[Splits.assignSplit]]: deterministic labeled split column. */
+    def withSplit(salt: String, weights: Seq[(String, Double)],
+        id: String = "doc_id"): DataFrame =
+      Splits.assignSplit(df, id, salt, weights)
+
+    /** [[Splits.quotaSample]]: rate-capped per-group quota. */
+    def quotaSampled(group: String, salt: String, quota: Long,
+        id: String = "doc_id"): DataFrame =
+      Splits.quotaSample(df, id, group, salt, quota)
+
+    /** [[Splits.temperatureSample]]: α=0.5 mixture resampling. */
+    def temperatureSampled(group: String, salt: String, targetTotal: Long,
+        id: String = "doc_id"): DataFrame =
+      Splits.temperatureSample(df, id, group, salt, targetTotal)
+
+    /** [[Splits.quantileFilter]]: keep rows ≥ their group's p-quantile. */
+    def quantileFiltered(group: String, value: String, p: Double): DataFrame =
+      Splits.quantileFilter(df, group, value, p)
+
+    /** [[Temporal.keepFirst]]: DISTINCT ON by (order, tie-break). */
+    def keptFirst(keys: Seq[String], order: Seq[String],
+        payload: Seq[String]): DataFrame =
+      Temporal.keepFirst(df, keys, order, payload)
+
+    /** [[TextOps.vocabTopK]]: corpus heavy hitters. */
+    def vocabTop(k: Int, id: String = "doc_id",
+        text: String = "text"): DataFrame =
+      TextOps.vocabTopK(df, id, text, k)
+
+    /** [[Packing.packingStats]]: per-shard sequence-packing layout. */
+    def packingLayout(salt: String, shards: Int, contextLen: Int,
+        id: String = "doc_id", text: String = "text"): DataFrame =
+      Packing.packingStats(df, id, text, salt, shards, contextLen)
+
+    /** [[Sketches.minhashCandidates]]: banded LSH near-dup candidates. */
+    def nearDupCandidates(k: Int, m: Int, bands: Int,
+        id: String = "doc_id", text: String = "text"): DataFrame =
+      Sketches.minhashCandidates(df, id, text, k, m, bands)
+
+    /** [[Sketches.fingerprintPairs]]: winnowing near-dup pairs. */
+    def fingerprintPairs(minShared: Int = 3, maxDocFreq: Int = 10,
+        id: String = "doc_id", text: String = "text"): DataFrame =
+      Sketches.fingerprintPairs(df, id, text,
+        minShared = minShared, maxDocFreq = maxDocFreq)
+  }
+}

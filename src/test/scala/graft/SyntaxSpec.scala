@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.{Splits, TextOps}
+import graft.syntax._
+
+/** The fluent facade must be a zero-cost delegation: identical analyzed
+  * plans to the explicit operator calls (no extra nodes, no lambdas). */
+class SyntaxSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, Sf0001)
+
+  private def samePlan(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Boolean =
+    a.queryExecution.analyzed.sameResult(b.queryExecution.analyzed)
+
+  test("syntax methods produce the same analyzed plan as the explicit calls") {
+    assert(samePlan(docs.dedupedExact(),
+      TextOps.dedupExact(docs, "doc_id", "text")))
+    assert(samePlan(docs.segmentDeduped(30),
+      TextOps.segmentDedup(docs, "doc_id", "text", 30)))
+    assert(samePlan(docs.quotaSampled("source", "s", 10),
+      Splits.quotaSample(docs, "doc_id", "source", "s", 10)))
+    assert(samePlan(docs.vocabTop(5),
+      TextOps.vocabTopK(docs, "doc_id", "text", 5)))
+  }
+
+  test("a chained pipeline composes and runs") {
+    val out = docs
+      .qualityFiltered()
+      .segmentDeduped(30)
+      .count()
+    assert(out > 0)
+  }
+}
