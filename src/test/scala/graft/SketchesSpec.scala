@@ -213,6 +213,21 @@ class SketchesSpec extends SparkSpec {
       s"union-of-partials diverged from single-pass: $viaMerge vs $direct")
   }
 
+  test("sketch rows survive a parquet round-trip and still merge exactly") {
+    val docs = Tables.documents(spark, Sf0001)
+    val path = "/root/repo/target/tmp/sketch_rt"
+    Sketches.sketchPerSub(docs, "lang", "source", "text")
+      .write.mode("overwrite").parquet(path)
+    val reloaded = spark.read.parquet(path)
+      .groupBy("lang")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_estimate"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Sketches.mergedDistinct(docs, "lang", "source", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reloaded == direct,
+      "persisted sketches must merge to the same estimates as in-flight ones")
+  }
+
   test("merged sketches are stable across repartitioning") {
     val docs = Tables.documents(spark, Sf0001)
     def run(df: org.apache.spark.sql.DataFrame) =
