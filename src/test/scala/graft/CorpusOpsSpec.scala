@@ -69,6 +69,15 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 2L, 2L -> 2L))
   }
 
+  test("segmentDedup collapses empty documents to the first one (empty -> one empty segment)") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, ""), (3L, "some real text here")).toDF("doc_id", "text")
+    val got = TextOps.segmentDedup(df, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got.keySet == Set(1L, 3L), s"got $got")
+    assert(got(1L) == "")
+  }
+
   test("segmentDedup erases a fully-duplicate later document") {
     import spark.implicits._
     val dup = Seq((1L, "xxxxyyyy"), (2L, "xxxxyyyy")).toDF("doc_id", "text")
