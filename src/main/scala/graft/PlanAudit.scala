@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-shot plan sweep over EVERY declared query — prints a line per
+  * query whose physical plan contains a scale red flag:
+  *
+  *  - `CARTESIAN`: CartesianProduct anywhere (always a bug here;
+  *    PlanSpec enforces this subset as a hard test)
+  *  - `BNLJ`: BroadcastNestedLoopJoin — allowed ONLY for 1-row
+  *    broadcast query frames (single-query knn / rag / bm25 corpus
+  *    stats); anything else needs a key
+  *  - `GLOBALWIN`: a Window with an EMPTY partition spec — the whole
+  *    input funnels through one task (allowed only on already-cut ≤k-row
+  *    frames, e.g. hybrid-search rank-10)
+  *  - `SORTAGG`: sort-based aggregation — expected only where the
+  *    aggregate buffer is non-mutable by design (keep-first's
+  *    struct-min); a long buffer appearing here is a regression
+  *
+  * Run per round after adding queries:
+  * `sbt "runMain graft.PlanAudit"` — review any NEW line against the
+  * allowances above.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    Queries.all.foreach { q =>
+      try {
+        val p = q.run(spark, dir).queryExecution.executedPlan.toString
+        val flags = Seq(
+          "CARTESIAN" -> p.contains("CartesianProduct"),
+          "BNLJ" -> p.contains("BroadcastNestedLoopJoin"),
+          "GLOBALWIN" -> p.linesIterator.exists(l =>
+            l.contains("Window ") && l.contains("], [], [")),
+          "SORTAGG" -> p.contains("SortAggregate")
+        ).collect { case (n, true) => n }
+        if (flags.nonEmpty) println(s"AUDIT ${q.name}: ${flags.mkString(",")}")
+      } catch {
+        case e: Throwable =>
+          println(s"AUDIT ${q.name}: ERROR ${Option(e.getMessage).getOrElse("").take(60)}")
+      }
+    }
+    spark.stop()
+  }
+}
