@@ -137,4 +137,57 @@ class PropertySpec extends SparkSpec {
       assert(got == model(r.getString(0)), s"mismatch on '${r.getString(0)}'")
     }
   }
+
+  /** Generated corpora for the round-5 dedup/packing properties: short
+    * alphabets force segment collisions; unicode and blanks probe the
+    * boundary rules. */
+  private val docGen: Gen[String] = for {
+    len <- Gen.choose(0, 120)
+    cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', ' ', 'µ', '中'))
+  } yield cs.mkString
+
+  test("segmentDedup conservation laws on generated corpora") {
+    val texts = samples(docGen, 80, 23L)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val segSize = 5
+    val out = TextOps.segmentDedup(df, "doc_id", "text", segSize).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // 1. each surviving doc's kept_chars == length of its reassembled text
+    out.foreach { case (id, (_, chars, text)) =>
+      assert(chars == text.length, s"doc $id: chars $chars != len ${text.length}")
+    }
+    // 2. kept never exceeds the original; doc 0 (first) is fully intact
+    val orig = texts.zipWithIndex.map { case (t, i) => i.toLong -> t }.toMap
+    out.foreach { case (id, (_, chars, _)) =>
+      assert(chars <= math.max(orig(id).length, 1))
+    }
+    assert(out(0L)._3 == (if (orig(0L).isEmpty) "" else orig(0L)),
+      "the first document must survive unmodified")
+    // 3. kept segments across the corpus == distinct segments in it
+    // (each distinct segment survives exactly once — its first
+    // occurrence; per-doc model parity lives in CorpusOpsSpec)
+    def segs(t: String) = if (t.isEmpty) Seq("") else t.grouped(segSize).toSeq
+    val distinctIn = texts.flatMap(segs).toSet
+    val totalKept = out.values.map(_._1).sum
+    assert(totalKept == distinctIn.size,
+      s"kept segments $totalKept != distinct segments ${distinctIn.size}")
+  }
+
+  test("packingStats conserves docs and tokens over generated corpora") {
+    val texts = samples(docGen, 60, 29L).filter(_.nonEmpty)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val ctx = 16
+    val out = graft.operators.Packing.packingStats(df, "doc_id", "text", "pp", 4, ctx)
+      .collect()
+    val nDocs = out.map(_.getLong(1)).sum
+    val totTok = out.map(_.getLong(2)).sum
+    val expTok = texts.map(t => math.max(t.trim.split(" +").length, 1).toLong).sum
+    assert(nDocs == texts.size.toLong)
+    assert(totTok == expTok, s"token totals drifted: $totTok != $expTok")
+    out.foreach { r =>
+      val (tot, nSeq, waste) = (r.getLong(2), r.getLong(3), r.getLong(5))
+      assert(nSeq == (tot + ctx - 1) / ctx)
+      assert(waste >= 0 && waste < ctx)
+    }
+  }
 }
