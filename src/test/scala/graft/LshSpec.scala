@@ -96,6 +96,23 @@ class LshSpec extends SparkSpec {
     assert(recall >= 0.8, f"recall below the HNSW-replacement floor: $recall%.3f")
   }
 
+  test("multiband top-1 agreement with brute force (the reference's own ANN contract)") {
+    // test_v3_features.py:29-46 pins HNSW top-1 == brute-force top-1;
+    // the batch replacement should agree for MOST queries (argmax
+    // collisions are the hardest case for LSH on near-uniform vectors)
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.filter(col("rank") === 1).select("query_id", "neighbor_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = top1(VectorSearch.knnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = 1, excludeSelf = true, broadcastData = true))
+    val approx = top1(VectorSearch.multibandKnnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = 1, dim = Dim, bits = 4, bands = 16))
+    val agree = exact.count { case (q, n) => approx.get(q).contains(n) }
+    val rate = agree.toDouble / exact.size
+    info(f"top-1 agreement: $rate%.3f ($agree/${exact.size})")
+    assert(rate >= 0.85, f"top-1 agreement collapsed: $rate%.3f (0.908 measured)")
+  }
+
   test("incremental LSH index append equals a full rebuild (O12 batch analog, ann.py:78-91)") {
     val existing = emb.filter(col("vec_id") < 400)
     val appended = emb.filter(col("vec_id") >= 400)
