@@ -217,6 +217,43 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_stream").select("event_id").distinct().count() == nEvents)
   }
 
+  test("streaming HLL sketch aggregation converges to the batch estimates (incremental corpus stats)") {
+    // the mergeable-sketch story end-to-end: documents arrive in
+    // micro-batches, the per-lang distinct estimate is maintained as
+    // streaming state (complete mode), and after the last batch it
+    // equals the batch-computed estimate exactly
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "lang", "text")
+    val dir = "/root/repo/target/stream_sketch_test"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    docs.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b0")
+    Thread.sleep(20)
+    docs.filter(col("doc_id") % 2 === 1)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b1")
+
+    val schema = docs.schema
+    val streamed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/b*")
+      .groupBy("lang")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("text"))).as("est"))
+    val q = streamed.writeStream
+      .format("memory").queryName("sketch_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("sketch_stream").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = docs.groupBy("lang")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("text"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"streaming sketch state diverged from batch: $got vs $expected")
+  }
+
   test("sessions respect the 30-minute gap (no intra-session gap ≥ gap)") {
     // max intra-session gap must be < 30 min: recompute with islands and compare counts
     val sessions = Streaming.sessionize(Tables.events(spark, Sf0001))
