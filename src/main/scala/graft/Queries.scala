@@ -2051,6 +2051,59 @@ object Queries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  private val SnapOldSalt = "snapA"
+  private val SnapNewSalt = "snapB"
+  private val SnapModSalt = "snapC"
+  private val SnapKeep = 9000L // 90% of the hash space per snapshot
+  private val SnapMod = 1000L  // 10% of new-snapshot docs get edited text
+
+  /** Snapshot reconciliation ([[Sources.snapshotDiff]]): two
+    * deterministically-derived crawls of the corpus (90% samples under
+    * independent salts; 10% of the new crawl's docs edited) reconciled
+    * into added/removed/changed/unchanged — certified by per-status
+    * counts and id checksums. The diff exchange carries (id, md5) only. */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val oldSnap = docs
+      .filter(Splits.hashBucket(col("doc_id"), SnapOldSalt) < SnapKeep)
+    val newSnap = docs
+      .filter(Splits.hashBucket(col("doc_id"), SnapNewSalt) < SnapKeep)
+      .withColumn("text",
+        when(Splits.hashBucket(col("doc_id"), SnapModSalt) < SnapMod,
+          concat(col("text"), lit("!"))).otherwise(col("text")))
+    Sources.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+      .orderBy("status")
+  }
+
+  private val qSnapshotDiffSql: String = {
+    val p = Sketches.MinhashPrime
+    val b = Splits.Buckets
+    def bucket(salt: String) =
+      s"((CAST('0x' || substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % $p) % $b)"
+    s"""WITH o AS (
+       |  SELECT doc_id, md5(text) AS h FROM documents
+       |  WHERE ${bucket(SnapOldSalt)} < $SnapKeep),
+       |n AS (
+       |  SELECT doc_id,
+       |         md5(CASE WHEN ${bucket(SnapModSalt)} < $SnapMod
+       |                  THEN text || '!' ELSE text END) AS h
+       |  FROM documents
+       |  WHERE ${bucket(SnapNewSalt)} < $SnapKeep),
+       |d AS (
+       |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       |         CASE WHEN o.h IS NULL THEN 'added'
+       |              WHEN n.h IS NULL THEN 'removed'
+       |              WHEN o.h = n.h THEN 'unchanged'
+       |              ELSE 'changed' END AS status
+       |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+       |SELECT status,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private val TempSalt = "temp1"
   private val TempTarget = 300L
 
@@ -2423,6 +2476,7 @@ object Queries {
     GraftQuery("q_corpus_pipeline", qCorpusPipeline, Some(qCorpusPipelineSql)),
     GraftQuery("q_quota_sample", qQuotaSample, Some(qQuotaSampleSql)),
     GraftQuery("q_temperature_mix", qTemperatureMix, Some(qTemperatureMixSql)),
+    GraftQuery("q_snapshot_diff", qSnapshotDiff, Some(qSnapshotDiffSql)),
     GraftQuery("q_quality_cut", qQualityCut, Some(qQualityCutSql)),
     GraftQuery("q_pack_sequences", qPackSequences, Some(qPackSequencesSql)),
     GraftQuery("q_mixture_pipeline", qMixturePipeline, Some(qMixturePipelineSql)),

@@ -72,4 +72,37 @@ object Sources {
 
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** Snapshot reconciliation between two corpus crawls — the CDC-style
+    * accounting every periodic re-crawl needs before incremental
+    * processing: which documents were `added`, `removed`, `changed`
+    * (same id, different content), or `unchanged`.
+    *
+    * Scale shape: both sides reduce to `(id, md5)` BEFORE the
+    * reconciling full-outer join, so the exchange carries 40-byte rows
+    * — never documents — and the join is a plain hash-keyed equi-join.
+    * Changed/unchanged is a digest compare on the joined row. The result
+    * keeps ids (status + id), so a downstream stage can semi-join back
+    * to either snapshot to fetch content for exactly the rows it needs
+    * (the added/changed set — the whole point of incremental runs).
+    *
+    * Output: `(idCol, status STRING)` with status ∈
+    * {added, removed, changed, unchanged}. */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = oldSnap.select(col(idCol),
+      md5(col(textCol).cast("binary")).as("__oh"))
+    val n = newSnap.select(col(idCol),
+      md5(col(textCol).cast("binary")).as("__nh"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__oh").isNull, lit("added"))
+          .when(col("__nh").isNull, lit("removed"))
+          .when(col("__oh") === col("__nh"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

@@ -67,6 +67,18 @@ class SourcesSpec extends SparkSpec {
       docs.agg(org.apache.spark.sql.functions.sum("doc_id")).collect()(0).getLong(0))
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "same"), (2L, "before"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, "same"), (2L, "after"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val got = Sources.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("documents round-trip parquet -> jsonl/csv -> DataFrame losslessly") {
     val docs = Tables.documents(spark, Sf0001)
     val dir = tmp()
