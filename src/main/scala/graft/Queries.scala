@@ -405,6 +405,30 @@ object Queries {
     * boundary below the corpus's handful of boilerplate tokens. */
   private val VocabK = 25
 
+  private val TrigramN = 3
+
+  /** Corpus trigram heavy hitters ([[TextOps.ngramTopK]]): the
+    * KenLM-style LM count table's top slice — word n-grams, exact doc
+    * frequencies, `TakeOrderedAndProject` final. */
+  private def qTrigramTopk(s: SparkSession, dir: String): DataFrame =
+    TextOps.ngramTopK(Tables.documents(s, dir), "doc_id", "text", TrigramN, VocabK)
+
+  private val qTrigramTopkSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+       |ng AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(t) - ${TrigramN - 1}, 0) + 1),
+       |           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS ngram
+       |  FROM toks),
+       |per_doc AS (
+       |  SELECT ngram, doc_id, count(*) AS c FROM ng GROUP BY 1, 2)
+       |SELECT ngram,
+       |       CAST(sum(c) AS BIGINT) AS n_occurrences,
+       |       CAST(count(*) AS BIGINT) AS n_docs
+       |FROM per_doc GROUP BY ngram
+       |ORDER BY n_occurrences DESC, ngram LIMIT $VocabK""".stripMargin
+
   /** North-star vocabulary heavy hitters: top-[[VocabK]] tokens by
     * occurrence with document frequencies ([[TextOps.vocabTopK]]) — the
     * distributed word count every new crawl gets first. Ties break on
@@ -2463,6 +2487,7 @@ object Queries {
     GraftQuery("q_dedup_exact", qDedupExact, Some(qDedupExactSql)),
     GraftQuery("q_seg_dedup", qSegDedup, Some(qSegDedupSql)),
     GraftQuery("q_vocab_topk", qVocabTopk, Some(qVocabTopkSql)),
+    GraftQuery("q_trigram_topk", qTrigramTopk, Some(qTrigramTopkSql)),
     GraftQuery("q_neardup_pairs", qNearDupPairs, Some(qNearDupPairsSql)),
     GraftQuery("q_text_stats", qTextStats, Some(qTextStatsSql)),
     GraftQuery("q_multimodal", qMultimodal, Some(qMultimodalSql)),

@@ -265,6 +265,34 @@ object TextOps {
       .limit(k)
   }
 
+  /** Word n-grams of `text` in document order (empty for docs with
+    * fewer than `n` tokens). Guarded against Spark's descending
+    * `sequence` when `stop < start`. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Corpus n-gram heavy hitters — the KenLM-style language-model count
+    * table, top-k slice: same two-level (ngram, doc) → ngram shape as
+    * [[vocabTopK]] (exact doc frequency without a count-distinct
+    * expand; both exchanges carry counts, the final top-k is a
+    * `TakeOrderedAndProject`). */
+  def ngramTopK(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val perDoc = Partitioning.spread(docs)
+      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("ngram"))
+      .groupBy("ngram", idCol)
+      .agg(count(lit(1)).as("__tf"))
+    perDoc.groupBy("ngram")
+      .agg(sum("__tf").as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .orderBy(desc("n_occurrences"), asc("ngram"))
+      .limit(k)
+  }
+
   /** Predicted language per document: the candidate with the most marker
     * hits (tie → alphabetically first). Output: (idCol, predicted). */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

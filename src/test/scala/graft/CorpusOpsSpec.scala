@@ -107,6 +107,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("ngramTopK matches an exact trigram-count model (short docs yield none)") {
+    val k = 10
+    val counts = scala.collection.mutable.Map[String, (Long, Long)]()
+    for ((_, text) <- docRows) {
+      val toks = text.trim.split(" +").toSeq
+      val tris =
+        if (toks.size < 3) Seq.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSeq
+      val tf = tris.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      for ((t, c) <- tf) {
+        val (occ, df) = counts.getOrElse(t, (0L, 0L))
+        counts(t) = (occ + c, df + 1)
+      }
+    }
+    val expected = counts.toSeq
+      .sortBy { case (t, (occ, _)) => (-occ, t) }.take(k)
+      .map { case (t, (occ, df)) => (t, occ, df) }
+    val got = TextOps.ngramTopK(docs, "doc_id", "text", 3, k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
   test("vocabTopK plans a TakeOrderedAndProject, not a global sort") {
     val plan = TextOps.vocabTopK(docs, "doc_id", "text", 10)
       .queryExecution.executedPlan.toString
