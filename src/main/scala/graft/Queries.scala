@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Metric, VectorFunctions => VF}
-import graft.operators.{Lexical, Multimodal, Packing, Quantize, Rag, Sketches, Skew, Splits, Temporal, TextOps, VectorSearch}
+import graft.operators.{Graph, Lexical, Multimodal, Packing, Quantize, Rag, Sketches, Skew, Splits, Temporal, TextOps, VectorSearch}
 import graft.sources.{Compaction, Sources}
 import graft.streaming.Streaming
 
@@ -429,6 +429,41 @@ object Queries {
        |FROM per_doc GROUP BY ngram
        |ORDER BY n_occurrences DESC, ngram LIMIT $VocabK""".stripMargin
 
+  /** North-star LM quality score ([[TextOps.lmScore]]): per-doc average
+    * trigram log-probability under the corpus's own count LM — the
+    * KenLM-style perplexity proxy every corpus-quality cut uses. Exact
+    * integer-micro log sums keep the doubles deterministic; n-grams
+    * travel as 60-bit hashes. */
+  private def qLmScore(s: SparkSession, dir: String): DataFrame =
+    TextOps.lmScore(Tables.documents(s, dir), "doc_id", "text", TrigramN)
+      .orderBy("doc_id")
+
+  private val qLmScoreSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+       |ng AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(t) - ${TrigramN - 1}, 0) + 1),
+       |           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS ngram
+       |  FROM toks),
+       |g AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(ngram), 1, 15) AS BIGINT) AS gh
+       |  FROM ng),
+       |counts AS (SELECT gh, count(*) AS c FROM g GROUP BY gh),
+       |tot AS (SELECT sum(c) AS t FROM counts),
+       |per_doc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+       |         sum(CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS sum_ln_c
+       |  FROM g JOIN counts USING (gh) GROUP BY doc_id),
+       |scored AS (
+       |  SELECT doc_id, n_ngrams,
+       |         sum_ln_c - n_ngrams * CAST(floor(ln(CAST(t AS DOUBLE)) * 1e6) AS BIGINT)
+       |           AS logprob_micro
+       |  FROM per_doc, tot)
+       |SELECT doc_id, n_ngrams, logprob_micro,
+       |       CAST(logprob_micro AS DOUBLE) / 1e6 / n_ngrams AS avg_logprob
+       |FROM scored ORDER BY doc_id""".stripMargin
+
   /** North-star vocabulary heavy hitters: top-[[VocabK]] tokens by
     * occurrence with document frequencies ([[TextOps.vocabTopK]]) — the
     * distributed word count every new crawl gets first. Ties break on
@@ -770,6 +805,54 @@ object Queries {
        |FROM bands a
        |JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** North-star dedup clustering: connected components over the minhash
+    * candidate pair graph ([[Graph.connectedComponents]]) — the stage
+    * between near-dup PAIRS and keep-one GROUPS. Every doc that collided
+    * with any other gets its transitive component's min doc_id as the
+    * canonical id, plus the component size; keep-one dedup is then
+    * `WHERE doc_id = component_id`. Pointer-jumped label propagation
+    * converges in O(log n) rounds; each round shuffles (long, long)
+    * rows only. */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val cand = Sketches.minhashCandidates(Tables.documents(s, dir),
+      "doc_id", "text", k = ShingleK, m = MinhashM, bands = MinhashBands)
+    Graph.componentSizes(Graph.connectedComponents(cand, "a_id", "b_id"))
+      .select(col("id").as("doc_id"), col("component_id"), col("csize"))
+      .orderBy("doc_id")
+  }
+
+  private val qDedupClustersSql: String = {
+    val rows = MinhashM / MinhashBands
+    val bandSelects = (0 until MinhashBands).map { b =>
+      val cols = (0 until rows).map(r => s"mh_${b * rows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS band_key FROM mh"
+    }.mkString("\n  UNION ALL ")
+    // transitive closure via recursive CTE (UNION dedups → terminates);
+    // component id = min reachable vertex (incl. self via `least`)
+    s"""WITH RECURSIVE $minhashCte,
+       |bands AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a
+       |  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+       |              AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT a_id AS u, b_id AS v FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (
+       |  SELECT u AS doc_id, least(u, min(v)) AS component_id
+       |  FROM reach GROUP BY u)
+       |SELECT doc_id, component_id,
+       |       CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS csize
+       |FROM comp ORDER BY doc_id""".stripMargin
   }
 
   private val WinnowK = 8
@@ -2488,6 +2571,7 @@ object Queries {
     GraftQuery("q_seg_dedup", qSegDedup, Some(qSegDedupSql)),
     GraftQuery("q_vocab_topk", qVocabTopk, Some(qVocabTopkSql)),
     GraftQuery("q_trigram_topk", qTrigramTopk, Some(qTrigramTopkSql)),
+    GraftQuery("q_lm_score", qLmScore, Some(qLmScoreSql)),
     GraftQuery("q_neardup_pairs", qNearDupPairs, Some(qNearDupPairsSql)),
     GraftQuery("q_text_stats", qTextStats, Some(qTextStatsSql)),
     GraftQuery("q_multimodal", qMultimodal, Some(qMultimodalSql)),
@@ -2520,6 +2604,7 @@ object Queries {
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
     GraftQuery("q_fingerprint_pairs", qFingerprintPairs, Some(qFingerprintPairsSql)),
     GraftQuery("q_neardup_minhash", qNearDupMinhash, Some(qNearDupMinhashSql)),
+    GraftQuery("q_dedup_clusters", qDedupClusters, Some(qDedupClustersSql)),
     GraftQuery("q_simhash", qSimhash, Some(qSimhashSql)),
     GraftQuery("q_text_quality", qTextQuality, Some(qTextQualitySql)),
     GraftQuery("q_repetition", qRepetition, Some(qRepetitionSql)),

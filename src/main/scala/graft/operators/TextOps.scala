@@ -293,6 +293,57 @@ object TextOps {
       .limit(k)
   }
 
+  /** Per-document n-gram language-model score — the KenLM-style quality
+    * filter: train the count LM on the corpus itself, score each doc by
+    * the average log-probability of its word n-grams,
+    * `avg over g of ln(count(g) / T)` where `T` is the total corpus
+    * n-gram occurrence count. Boilerplate-heavy docs (common n-grams)
+    * score high; rare/garbled text scores low — the standard cheap
+    * perplexity proxy for corpus filtering.
+    *
+    * Output: `(idCol, n_ngrams, logprob_micro, avg_logprob)`; docs with
+    * fewer than `n` tokens have no n-grams and are absent.
+    *
+    * Scale shape: n-grams reduce to 60-bit md5-derived BIGINT keys
+    * BEFORE any shuffle (the count agg and the count join both carry
+    * 8-byte keys, never n-gram text); the count table aggregates with a
+    * map-side partial; the per-doc roll-up is one hash agg. The gram
+    * frame feeds both the count table and the join side, so it is
+    * materialized once (`localCheckpoint` — the in-query analog of the
+    * persisted LM-count pipeline stage). Hash collisions merge two
+    * n-grams' counts — the standard sketch trade, deterministic and
+    * mirrored by the oracle.
+    *
+    * Float parity: per-gram `ln(count)` is floored to integer MICROS and
+    * summed exactly (a double sum would be partition-order-dependent);
+    * `ln` is [[graft.expressions.VectorExpressions.PlatformLn]] (libm
+    * parity). `logprob_micro = Σ⌊ln(c)·10⁶⌋ − n·⌊ln(T)·10⁶⌋` is exact;
+    * the reported `avg_logprob = (logprob_micro / 10⁶) / n` divides
+    * exact integers in a fixed order. */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val lnMicro = (x: Column) =>
+      floor(graft.expressions.VectorExpressions.platformLn(
+        x.cast("double")) * lit(1e6)).cast("long")
+    val grams = Partitioning.spread(docs)
+      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("ngram"))
+      .select(col(idCol),
+        conv(substring(md5(col("ngram")), 1, 15), 16, 10).cast("long").as("gh"))
+      .localCheckpoint()
+    val counts = grams.groupBy("gh").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("t"))
+    val perDoc = grams.join(counts, "gh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(lnMicro(col("c"))).as("__sum_ln_c"))
+    perDoc.crossJoin(broadcast(total))
+      .select(col(idCol), col("n_ngrams"),
+        (col("__sum_ln_c") - col("n_ngrams") * lnMicro(col("t")))
+          .as("logprob_micro"))
+      .withColumn("avg_logprob",
+        col("logprob_micro").cast("double") / lit(1e6) / col("n_ngrams"))
+  }
+
   /** Predicted language per document: the candidate with the most marker
     * hits (tie → alphabetically first). Output: (idCol, predicted). */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -129,6 +129,62 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("lmScore matches hand-computed trigram log-probs on a tiny corpus") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "a b c a b c"), // trigrams: "a b c"×2, "b c a", "c a b"
+      (2L, "x y z"),       // one trigram
+      (3L, "too short"))   // 2 tokens → absent
+    val got = TextOps.lmScore(tiny.toDF("doc_id", "text"), "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_ngrams", "logprob_micro")
+      .as[(Long, Long, Long)].collect().toSeq
+    // T = 5 total occurrences; ln in micros, floored
+    val ln2 = math.floor(math.log(2.0) * 1e6).toLong // 693147
+    val ln5 = math.floor(math.log(5.0) * 1e6).toLong // 1609437
+    assert(got == Seq(
+      (1L, 4L, 2 * ln2 - 4 * ln5), // two c=2 grams, two c=1 grams
+      (2L, 1L, 0 - ln5)))
+    assert(!got.exists(_._1 == 3L))
+  }
+
+  test("lmScore matches a sequential count-LM model on sf0.001") {
+    // corpus trigram counts on the raw strings (60-bit hash collisions
+    // would diverge here — none at this scale, which this test also pins)
+    val counts = scala.collection.mutable.Map[String, Long]()
+    val perDocTris = docRows.map { case (id, text) =>
+      val toks = text.trim.split(" +").toSeq
+      val tris =
+        if (toks.size < 3) Seq.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSeq
+      tris.foreach(t => counts(t) = counts.getOrElse(t, 0L) + 1)
+      id -> tris
+    }
+    val total = counts.values.sum
+    val lnT = math.floor(math.log(total.toDouble) * 1e6).toLong
+    val expected = perDocTris.filter(_._2.nonEmpty).map { case (id, tris) =>
+      val sumLnC = tris.map(t =>
+        math.floor(math.log(counts(t).toDouble) * 1e6).toLong).sum
+      (id, tris.size.toLong, sumLnC - tris.size * lnT)
+    }
+    val got = TextOps.lmScore(docs, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_ngrams", "logprob_micro")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // every score is a real log-prob: strictly negative (no gram covers
+    // the whole corpus)
+    assert(got.forall(_._3 < 0L))
+  }
+
+  test("lmScore's count join carries hashed grams, not n-gram strings") {
+    val plan = TextOps.lmScore(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    // the count-table join is keyed on the 60-bit gh column
+    assert(plan.contains("gh"))
+    assert(!plan.toLowerCase.contains("cartesian"))
+  }
+
   test("vocabTopK plans a TakeOrderedAndProject, not a global sort") {
     val plan = TextOps.vocabTopK(docs, "doc_id", "text", 10)
       .queryExecution.executedPlan.toString
