@@ -77,7 +77,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // 1-minute system load average at exit: wall times on a co-tenant
+    // host inflate multiplicatively (BENCH_r04's 170s total re-benched
+    // idle at 36s) — record the contention so a reader can tell a slow
+    // engine from a busy machine. -1.0 if the platform can't report it.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load_avg":$loadAvg,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -695,6 +695,47 @@ object Queries {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
 
+  /** Similarity threshold for [[qSemanticDedup]]: within-cluster
+    * max-lower-sim on the fixture spans ~0.06–0.49 (median 0.27), so
+    * 0.3 exercises both keep and drop at every scale. */
+  private val SemDedupTau = 0.3
+
+  /** North-star semantic dedup ([[VectorSearch.semanticDedup]]):
+    * SemDeDup-style cluster-then-prune over the embedding space — the
+    * dedup family text hashing cannot catch. Same memoized centroids as
+    * [[qAnnIvf]]. */
+  private def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val centroids = centroidCache.computeIfAbsent(s"$dir#16",
+      _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine))
+    VectorSearch.semanticDedup(emb, "embedding", "vec_id", Metric.Cosine,
+      tau = SemDedupTau, c = 16, centroids = Some(centroids))
+      .orderBy("vec_id")
+  }
+
+  private val qSemanticDedupSql: String = {
+    val assign = Oracle.dot("v.nemb", "c.cvec", EmbeddingDim)
+    val sim = Oracle.dot("a.nemb", "b.nemb", EmbeddingDim)
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |c AS (SELECT vec_id AS cid, nemb AS cvec FROM n ORDER BY vec_id LIMIT 16),
+       |da AS (
+       |  SELECT vec_id, nemb, cid FROM (
+       |    SELECT v.vec_id, v.nemb, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |                              ORDER BY $assign DESC, c.cid ASC) AS rn
+       |    FROM n v CROSS JOIN c) WHERE rn = 1),
+       |p AS (
+       |  SELECT a.vec_id, max($sim) AS max_lower_sim
+       |  FROM da a JOIN da b ON a.cid = b.cid AND b.vec_id < a.vec_id
+       |  GROUP BY 1)
+       |SELECT d.vec_id, d.cid AS centroid_id, p.max_lower_sim,
+       |       (p.max_lower_sim IS NULL
+       |        OR p.max_lower_sim <= CAST($SemDedupTau AS DOUBLE)) AS keep
+       |FROM da d LEFT JOIN p ON d.vec_id = p.vec_id
+       |ORDER BY d.vec_id""".stripMargin
+  }
+
   /** Approximate batch knn via IVF (the second ANN scale path): 16
     * deterministic coarse centroids, per-row argmin assignment with no
     * shuffle, 2-probe queries, bucket equi-join. */
@@ -2600,6 +2641,7 @@ object Queries {
     GraftQuery("q_ann_lsh_multi", qAnnLshMulti, Some(qAnnLshMultiSql)),
     GraftQuery("q_index_append", qIndexAppend, Some(qIndexAppendSql)),
     GraftQuery("q_ann_ivf", qAnnIvf, Some(qAnnIvfSql)),
+    GraftQuery("q_semantic_dedup", qSemanticDedup, Some(qSemanticDedupSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
     GraftQuery("q_fingerprint_pairs", qFingerprintPairs, Some(qFingerprintPairsSql)),

@@ -294,6 +294,54 @@ object VectorSearch {
     rankTopK(pairs, k, excludeSelf)
   }
 
+  /** SemDeDup-style embedding-space near-dup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster vectors by nearest centroid, compute
+    * pairwise similarity WITHIN each cluster only, and flag every row
+    * whose similarity to a LOWER-id cluster-mate exceeds `tau`
+    * (keep-first by id — the deterministic analog of the paper's
+    * keep-one rule). This is the dedup family that catches semantic
+    * duplicates exact/minhash text dedup cannot (same meaning, different
+    * words).
+    *
+    * Output: `(idCol, centroid_id, max_lower_sim, keep)` — one row per
+    * input; `max_lower_sim` is null for the cluster's min-id row (no
+    * lower mate), `keep = max_lower_sim is null or ≤ tau`.
+    *
+    * Scale shape: the quadratic is confined within clusters by design —
+    * SemDeDup's own cost model: c scales with N (fixed expected cluster
+    * size), so Σ n_c² stays ~N·(N/c). One shuffle by centroid id; the
+    * assignment itself is a per-row `array_min` over codegen dots (zero
+    * shuffle). The assigned frame feeds both self-join sides and the
+    * join-back, so it materializes once (`localCheckpoint`). `max` of
+    * doubles is partition-order-independent — no FP drift. */
+  def semanticDedup(
+      data: DataFrame,
+      vecCol: String,
+      idCol: String,
+      metric: Metric,
+      tau: Double,
+      c: Int = 16,
+      centroids: Option[Seq[(Long, Seq[Double])]] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(data, vecCol, idCol, c, metric))
+    val d = prepareColumn(Partitioning.spread(data), vecCol, metric)
+      .select(col(idCol), col(vecCol).as("__vec"))
+      .withColumn("centroid_id", ivfAssign(col("__vec"), cents, metric))
+      .localCheckpoint()
+    val a = d.select(col("centroid_id"), col(idCol).as("__aid"),
+      col("__vec").as("__avec"))
+    val b = d.select(col("centroid_id"), col(idCol).as("__bid"),
+      col("__vec").as("__bvec"))
+    val maxLower = a.join(b, Seq("centroid_id"))
+      .filter(col("__bid") < col("__aid"))
+      .groupBy(col("__aid").as(idCol))
+      .agg(max(metric.scorePrenormalized(col("__avec"), col("__bvec")))
+        .as("max_lower_sim"))
+    d.join(maxLower, Seq(idCol), "left")
+      .select(col(idCol), col("centroid_id"), col("max_lower_sim"),
+        (col("max_lower_sim").isNull || col("max_lower_sim") <= lit(tau))
+          .as("keep"))
+  }
+
   /** Approximate knn join — the 100 TB path: pairs are only scored within
     * the same LSH bucket, turning O(N·M) pairs into O(N·M / 2^bits)
     * expected. The bucket equi-join shuffles both sides by bucket id

@@ -60,4 +60,57 @@ class VectorSearchSpec extends SparkSpec {
       .filter(col("n") =!= 5 || col("lo") =!= 1 || col("hi") =!= 5)
     assert(perQuery.count() == 0)
   }
+
+  test("semanticDedup matches a sequential cluster-then-prune model") {
+    val tau = 0.3
+    val cents = VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine)
+    val got = VectorSearch.semanticDedup(emb, "embedding", "vec_id",
+      Metric.Cosine, tau = tau, centroids = Some(cents))
+      .select("vec_id", "centroid_id", "keep")
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+
+    // sequential model over the same vectors and centroids
+    def norm(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum) + 1e-12
+      v.map(_ / n)
+    }
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> norm(r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    val cn = cents.map { case (cid, cv) => cid -> cv }
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val assigned = vecs.map { case (id, v) =>
+      val best = cn.map { case (cid, cv) => (-dot(v, cv), cid) }.min
+      (id, best._2, v)
+    }
+    val expected = assigned.map { case (id, cid, v) =>
+      val lower = assigned.filter(o => o._2 == cid && o._1 < id)
+      val keep = lower.isEmpty ||
+        lower.map(o => dot(v, o._3)).max <= tau + 1e-9
+      (id, cid, keep)
+    }
+    // FP tolerance only matters AT the threshold; no fixture value sits
+    // within 1e-9 of tau, so the boolean sets must agree exactly
+    assert(got.map(t => (t._1, t._2)) == expected.map(t => (t._1, t._2)))
+    assert(got.map(_._3) == expected.map(_._3))
+    assert(got.count(!_._3) > 0, "tau should actually drop something")
+    assert(got.count(_._3) > 0, "tau should actually keep something")
+  }
+
+  test("semanticDedup emits one row per input and null sim for cluster minima") {
+    val out = VectorSearch.semanticDedup(emb, "embedding", "vec_id",
+      Metric.Cosine, tau = 0.3)
+    assert(out.count() == emb.count())
+    // per cluster: exactly one null-sim row, and it is the min id
+    val mins = out.groupBy("centroid_id")
+      .agg(min("vec_id").as("min_id"),
+        sum(when(col("max_lower_sim").isNull, 1).otherwise(0)).as("n_null"))
+    assert(mins.filter(col("n_null") =!= 1).count() == 0)
+    val nullRows = out.filter(col("max_lower_sim").isNull)
+      .join(mins, "centroid_id")
+      .filter(col("vec_id") =!= col("min_id"))
+    assert(nullRows.count() == 0)
+    // null-sim rows are always kept
+    assert(out.filter(col("max_lower_sim").isNull && !col("keep")).count() == 0)
+  }
 }
