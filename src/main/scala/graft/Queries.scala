@@ -695,6 +695,63 @@ object Queries {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
 
+  private val PqM = 8
+  private val PqKsub = 16
+
+  /** Memoized PQ codebooks per fixture dir — same rationale as
+    * [[centroidCache]]: a real deployment stores codebooks with the
+    * index. */
+  private val pqCodebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[(Int, Seq[Double])]]]()
+
+  /** North-star product quantization ([[VectorSearch.pqSearch]]): ADC
+    * top-10 — the query scored against 32-bit PQ codes instead of
+    * 512-byte vectors (the FAISS-IVFPQ serving layout). Deterministic
+    * first-16-rows-per-subspace codebooks keep the whole path
+    * oracle-replayable. */
+  private def qPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val cbs = pqCodebookCache.computeIfAbsent(dir, _ =>
+      VectorSearch.pqCodebooks(emb, "embedding", "vec_id", PqM, PqKsub, Metric.Cosine))
+    VectorSearch.pqSearch(emb, "embedding", "vec_id",
+      queryVecFrame(s, dir), "qvec", cbs, K, Metric.Cosine)
+  }
+
+  private val qPqSearchSql: String = {
+    val s = EmbeddingDim / PqM
+    val subA = s"list_slice(v.nemb, gs.j * $s + 1, gs.j * $s + $s)"
+    val subC = s"list_slice(c.nemb, gs.j * $s + 1, gs.j * $s + $s)"
+    val dist = Oracle.euclideanDistance(subA, subC, s)
+    val qSub = s"list_slice(q.qemb, a.j * $s + 1, a.j * $s + $s)"
+    val cSub = s"list_slice(c.nemb, a.j * $s + 1, a.j * $s + $s)"
+    val subdot = Oracle.dot(qSub, cSub, s)
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |cb AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS code, nemb
+       |  FROM (SELECT vec_id, nemb FROM n ORDER BY vec_id LIMIT $PqKsub)),
+       |d AS (
+       |  SELECT v.vec_id, gs.j, c.code, $dist AS dist
+       |  FROM n v CROSS JOIN cb c CROSS JOIN generate_series(0, ${PqM - 1}) gs(j)),
+       |a AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT vec_id, j, code,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, j
+       |                              ORDER BY dist ASC, code ASC) AS rn
+       |    FROM d) WHERE rn = 1),
+       |q AS (SELECT nemb AS qemb FROM n WHERE vec_id = 0),
+       |sub AS (
+       |  SELECT a.vec_id, a.j, $subdot AS sd
+       |  FROM a JOIN cb c ON a.code = c.code CROSS JOIN q),
+       |sc AS (
+       |  SELECT vec_id,
+       |         list_reduce(list_prepend(0.0, list(sd ORDER BY j)),
+       |                     (acc, x) -> acc + x) AS score
+       |  FROM sub GROUP BY vec_id)
+       |SELECT vec_id, score FROM sc
+       |ORDER BY score DESC, vec_id ASC LIMIT $K""".stripMargin
+  }
+
   /** Similarity threshold for [[qSemanticDedup]]: within-cluster
     * max-lower-sim on the fixture spans ~0.06–0.49 (median 0.27), so
     * 0.3 exercises both keep and drop at every scale. */
@@ -2642,6 +2699,7 @@ object Queries {
     GraftQuery("q_index_append", qIndexAppend, Some(qIndexAppendSql)),
     GraftQuery("q_ann_ivf", qAnnIvf, Some(qAnnIvfSql)),
     GraftQuery("q_semantic_dedup", qSemanticDedup, Some(qSemanticDedupSql)),
+    GraftQuery("q_pq_search", qPqSearch, Some(qPqSearchSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
     GraftQuery("q_fingerprint_pairs", qFingerprintPairs, Some(qFingerprintPairsSql)),

@@ -294,6 +294,119 @@ object VectorSearch {
     rankTopK(pairs, k, excludeSelf)
   }
 
+  // -------------------------------------------------- product quantization ---
+
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the vector space splits
+    * into `m` subspaces of `dim/m` dims; each subspace gets `ksub`
+    * centroids, and a vector compresses to `m` small codes — at
+    * m=8, ksub=16 a 64-dim double vector (512 bytes) becomes one packed
+    * 32-bit code, the layout FAISS-style IVFPQ serves billions with.
+    *
+    * Centroids are the subvectors of the first `ksub` rows by id over
+    * the metric-prepared (cosine: L2-normalized) vectors — the same
+    * deterministic first-c rule as [[ivfCentroids]], so the whole PQ
+    * path replays in the SQL oracle. Returns, per subspace j, the
+    * (code, subvector) list with codes 0..ksub−1 in id order. */
+  def pqCodebooks(
+      data: DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int = 8,
+      ksub: Int = 16,
+      metric: Metric = Metric.Cosine): Seq[Seq[(Int, Seq[Double])]] = {
+    val rows = prepareColumn(data, vecCol, metric)
+      .orderBy(idCol).limit(ksub)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq)
+    val dim = rows.headOption.map(_.length)
+      .getOrElse(throw new IllegalArgumentException("pqCodebooks: empty input"))
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
+    val s = dim / m
+    (0 until m).map { j =>
+      rows.toSeq.zipWithIndex.map { case (v, code) =>
+        code -> v.slice(j * s, (j + 1) * s).toSeq
+      }
+    }
+  }
+
+  /** Per-subspace code assignment columns `__code_0..__code_{m-1}` for a
+    * metric-prepared vector column: argmin L2 distance to the subspace's
+    * centroids, ties → lowest code (struct-min, the [[ivfAssign]]
+    * pattern). Pure per-row projection over codegen kernels — zero
+    * shuffle, the index build of the PQ path. */
+  private def pqCodeColumns(
+      vec: Column, codebooks: Seq[Seq[(Int, Seq[Double])]]): Seq[Column] = {
+    val m = codebooks.length
+    val s = codebooks.head.head._2.length
+    (0 until m).map { j =>
+      val sub = slice(vec, j * s + 1, s)
+      array_min(array(codebooks(j).map { case (code, cvec) =>
+        struct(
+          VectorExpressions.euclideanDistance(sub, typedlit(cvec)).as("d"),
+          lit(code.toLong).as("code"))
+      }: _*)).getField("code")
+    }
+  }
+
+  /** PQ-encode: `(idCol, pq_code)` with all m codes packed into ONE
+    * BIGINT (code_j in bits 4j..4j+3 at ksub=16) — the persistable
+    * index-as-data table ([[lshBucketTable]] analog): serving scans
+    * 8-byte codes, never vectors. */
+  def pqEncode(
+      data: DataFrame,
+      vecCol: String,
+      idCol: String,
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      metric: Metric = Metric.Cosine): DataFrame = {
+    val ksub = codebooks.head.length
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros((ksub - 1).toLong)
+    val codes = pqCodeColumns(col(vecCol), codebooks)
+    prepareColumn(data, vecCol, metric)
+      .select(col(idCol),
+        codes.zipWithIndex
+          .map { case (c, j) => shiftleft(c, bits.toInt * j) }
+          .reduceLeft(_.bitwiseOR(_)).as("pq_code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k by PQ: score every data row against
+    * the 1-row query frame as `Σ_j dot(q_sub_j, centroid_j[code_j])` —
+    * the query stays exact, the data side is its code. The fold runs in
+    * fixed subspace order seeded with 0.0, so the double is
+    * deterministic and oracle-replayable. Per-row projection + one
+    * `TakeOrderedAndProject`: the scan reads codes, not vectors —
+    * PQ's 100 TB story. */
+  def pqSearch(
+      data: DataFrame,
+      vecCol: String,
+      idCol: String,
+      query: DataFrame,
+      queryVecCol: String,
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      k: Int,
+      metric: Metric = Metric.Cosine): DataFrame = {
+    val m = codebooks.length
+    val s = codebooks.head.head._2.length
+    val codes = pqCodeColumns(col(vecCol), codebooks)
+    val withCodes = prepareColumn(Partitioning.spread(data), vecCol, metric)
+      .select(col(idCol) +: codes.zipWithIndex
+        .map { case (c, j) => c.as(s"__code_$j") }: _*)
+    val q = prepareColumn(query, queryVecCol, metric)
+    val score = (0 until m)
+      .map { j =>
+        val qsub = slice(col(queryVecCol), j * s + 1, s)
+        val cvecs = typedlit(codebooks(j).map(_._2))
+        VectorExpressions.dot(qsub,
+          element_at(cvecs, (col(s"__code_$j") + 1).cast("int")))
+      }
+      .foldLeft(lit(0.0))(_ + _)
+    withCodes.crossJoin(broadcast(q))
+      .withColumn("score", score)
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol).asc)
+      .limit(k)
+  }
+
   /** SemDeDup-style embedding-space near-dup (Abbas et al. 2023,
     * arXiv:2303.09540): cluster vectors by nearest centroid, compute
     * pairwise similarity WITHIN each cluster only, and flag every row

@@ -234,4 +234,72 @@ class LshSpec extends SparkSpec {
     val bad = prepared.filter(c("cid") =!= c("vec_id")).count()
     assert(bad == 0, "a centroid's nearest centroid must be itself")
   }
+
+  // ------------------------------------------------ product quantization ---
+
+  private lazy val pqCbs =
+    VectorSearch.pqCodebooks(emb, "embedding", "vec_id", 8, 16, Metric.Cosine)
+
+  test("PQ codebooks: 8 subspaces x 16 centroids of 8 dims each") {
+    assert(pqCbs.length == 8)
+    assert(pqCbs.forall(_.length == 16))
+    assert(pqCbs.forall(_.forall(_._2.length == 8)))
+    assert(pqCbs.forall(cb => cb.map(_._1) == (0 until 16)))
+  }
+
+  test("PQ packed codes match the sequential per-subspace argmin model") {
+    import spark.implicits._
+    val got = VectorSearch.pqEncode(emb, "embedding", "vec_id", pqCbs, Metric.Cosine)
+      .as[(Long, Long)].collect().toMap
+    def norm(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum) + 1e-12
+      v.map(_ / n)
+    }
+    val vecs = emb.collect().map(r => r.getLong(0) -> norm(r.getSeq[Double](1)))
+    val expected = vecs.map { case (id, v) =>
+      val packed = (0 until 8).map { j =>
+        val sub = v.slice(j * 8, (j + 1) * 8)
+        val best = pqCbs(j).map { case (code, cv) =>
+          val d = math.sqrt(
+            sub.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum)
+          (d, code)
+        }.min
+        best._2.toLong << (4 * j)
+      }.reduce(_ | _)
+      id -> packed
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("PQ encoding is deterministic across repartitioning") {
+    import spark.implicits._
+    val a = VectorSearch.pqEncode(emb, "embedding", "vec_id", pqCbs)
+      .as[(Long, Long)].collect().toMap
+    val b = VectorSearch.pqEncode(emb.repartition(7), "embedding", "vec_id", pqCbs)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("PQ ADC search approximates exact cosine top-10 (mean recall floor)") {
+    import spark.implicits._
+    val k = 10
+    val recalls = Seq(0L, 7L, 123L, 250L, 400L).map { qid =>
+      val q = emb.filter(col("vec_id") === qid)
+        .select(col("embedding").as("qvec"))
+      val exact = VectorSearch.topK(emb, "embedding", "vec_id",
+        q, "qvec", Metric.Cosine, k)
+        .select("vec_id").as[Long].collect().toSet
+      val approx = VectorSearch.pqSearch(emb, "embedding", "vec_id",
+        q, "qvec", pqCbs, k, Metric.Cosine)
+        .select("vec_id").as[Long].collect().toSet
+      (exact intersect approx).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ ADC mean recall@$k over 5 queries: $mean%.3f " +
+      f"(per-query: ${recalls.map(r => f"$r%.2f").mkString(", ")})")
+    // 8x16 PQ on near-uniform random vectors is a coarse 32-bit sketch;
+    // chance overlap is k/N = 0.02. Measured 0.300 — deterministic
+    // (fixed codebooks, fixed fixture), so the floor pins just below it.
+    assert(mean >= 0.25, f"PQ recall regressed: $mean%.3f")
+  }
 }
