@@ -244,4 +244,22 @@ object Streaming {
       .parquet(landingDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Schema-explicit embeddings FileStreamSource with the same
+    * float→double widening as [[graft.Tables.embeddings]] — the
+    * streaming-ingest side of index maintenance: freshly arrived vectors
+    * flow through the SAME stateless bucket/code assignment the batch
+    * index build uses (assignments are pure per-row functions, so
+    * stream-maintained index tables equal a batch rebuild — pinned in
+    * StreamingSpec). */
+  def embeddingsStream(spark: SparkSession, landingDir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+  }
 }

@@ -254,6 +254,41 @@ class StreamingSpec extends SparkSpec {
       s"streaming sketch state diverged from batch: $got vs $expected")
   }
 
+  test("streaming index maintenance: stream-assigned LSH buckets and PQ codes == batch") {
+    import graft.operators.VectorSearch
+    import graft.functions.Metric
+    // land the embeddings parquet for FileStreamSource
+    val dir = java.nio.file.Paths.get("/root/repo/target/stream_emb_sf0001")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/embeddings.parquet"),
+      dir.resolve("embeddings.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+
+    val batchEmb = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val cbs = VectorSearch.pqCodebooks(batchEmb, "embedding", "vec_id")
+    def indexOf(df: org.apache.spark.sql.DataFrame) = {
+      val buckets = VectorSearch.lshBucketTable(df, "embedding", "vec_id",
+        Metric.Cosine, Tables.EmbeddingDim, bits = 4, bands = 4)
+      val codes = VectorSearch.pqEncode(df, "embedding", "vec_id", cbs)
+      buckets.join(codes, "vec_id")
+    }
+    val batch = indexOf(batchEmb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+
+    val q = indexOf(
+      Streaming.embeddingsStream(spark, dir.toString).select("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("index_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val stream = spark.table("index_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stream == batch, "stream-maintained index diverged from batch rebuild")
+    assert(batch.nonEmpty)
+  }
+
   test("sessions respect the 30-minute gap (no intra-session gap ≥ gap)") {
     // max intra-session gap must be < 30 min: recompute with islands and compare counts
     val sessions = Streaming.sessionize(Tables.events(spark, Sf0001))
