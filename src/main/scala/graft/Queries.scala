@@ -752,6 +752,77 @@ object Queries {
        |ORDER BY score DESC, vec_id ASC LIMIT $K""".stripMargin
   }
 
+  /** Probes for [[qIvfPqSearch]]: 2 of 16 cells — the same routing
+    * budget as [[qAnnIvf]], composed with PQ's compressed scan. */
+  private val IvfPqProbes = 2
+
+  /** Composed IVF+PQ search ([[VectorSearch.ivfPqSearch]], the full
+    * FAISS-IVFPQ serving path): coarse-quantizer routing to 2 of 16
+    * cells, then the [[qPqSearch]] ADC ranking over ONLY those cells'
+    * packed codes. Shares [[centroidCache]] and [[pqCodebookCache]] —
+    * both index artifacts persist with a real deployment's index. */
+  private def qIvfPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val centroids = centroidCache.computeIfAbsent(s"$dir#16",
+      _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine))
+    val cbs = pqCodebookCache.computeIfAbsent(dir, _ =>
+      VectorSearch.pqCodebooks(emb, "embedding", "vec_id", PqM, PqKsub, Metric.Cosine))
+    VectorSearch.ivfPqSearch(emb, "embedding", "vec_id",
+      queryVecFrame(s, dir), "qvec", centroids, cbs,
+      nProbes = IvfPqProbes, k = K, metric = Metric.Cosine)
+  }
+
+  private val qIvfPqSearchSql: String = {
+    val s = EmbeddingDim / PqM
+    val assign = Oracle.dot("v.nemb", "c.cvec", EmbeddingDim)
+    val subA = s"list_slice(v.nemb, gs.j * $s + 1, gs.j * $s + $s)"
+    val subC = s"list_slice(c.nemb, gs.j * $s + 1, gs.j * $s + $s)"
+    val dist = Oracle.euclideanDistance(subA, subC, s)
+    val qSub = s"list_slice(q.qemb, a.j * $s + 1, a.j * $s + $s)"
+    val cSub = s"list_slice(c.nemb, a.j * $s + 1, a.j * $s + $s)"
+    val subdot = Oracle.dot(qSub, cSub, s)
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |cc AS (SELECT vec_id AS cid, nemb AS cvec FROM n ORDER BY vec_id LIMIT 16),
+       |da AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |                              ORDER BY $assign DESC, c.cid ASC) AS rn
+       |    FROM n v CROSS JOIN cc c) WHERE rn = 1),
+       |qa AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid,
+       |           ROW_NUMBER() OVER (ORDER BY $assign DESC, c.cid ASC) AS rn
+       |    FROM n v CROSS JOIN cc c WHERE v.vec_id = 0)
+       |  WHERE rn <= $IvfPqProbes),
+       |cb AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS code, nemb
+       |  FROM (SELECT vec_id, nemb FROM n ORDER BY vec_id LIMIT $PqKsub)),
+       |d AS (
+       |  SELECT v.vec_id, gs.j, c.code, $dist AS dist
+       |  FROM n v CROSS JOIN cb c CROSS JOIN generate_series(0, ${PqM - 1}) gs(j)
+       |  WHERE v.vec_id IN (SELECT da.vec_id FROM da JOIN qa ON da.cid = qa.cid)),
+       |a AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT vec_id, j, code,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, j
+       |                              ORDER BY dist ASC, code ASC) AS rn
+       |    FROM d) WHERE rn = 1),
+       |q AS (SELECT nemb AS qemb FROM n WHERE vec_id = 0),
+       |sub AS (
+       |  SELECT a.vec_id, a.j, $subdot AS sd
+       |  FROM a JOIN cb c ON a.code = c.code CROSS JOIN q),
+       |sc AS (
+       |  SELECT vec_id,
+       |         list_reduce(list_prepend(0.0, list(sd ORDER BY j)),
+       |                     (acc, x) -> acc + x) AS score
+       |  FROM sub GROUP BY vec_id)
+       |SELECT sc.vec_id, da.cid AS centroid_id, sc.score
+       |FROM sc JOIN da ON sc.vec_id = da.vec_id
+       |ORDER BY sc.score DESC, sc.vec_id ASC LIMIT $K""".stripMargin
+  }
+
   /** Similarity threshold for [[qSemanticDedup]]: within-cluster
     * max-lower-sim on the fixture spans ~0.06–0.49 (median 0.27), so
     * 0.3 exercises both keep and drop at every scale. */
@@ -2700,6 +2771,7 @@ object Queries {
     GraftQuery("q_ann_ivf", qAnnIvf, Some(qAnnIvfSql)),
     GraftQuery("q_semantic_dedup", qSemanticDedup, Some(qSemanticDedupSql)),
     GraftQuery("q_pq_search", qPqSearch, Some(qPqSearchSql)),
+    GraftQuery("q_ivfpq_search", qIvfPqSearch, Some(qIvfPqSearchSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
     GraftQuery("q_fingerprint_pairs", qFingerprintPairs, Some(qFingerprintPairsSql)),

@@ -407,6 +407,60 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Composed IVF+PQ serving path (Jégou et al. 2011 §V — the full
+    * FAISS-IVFPQ layout): the coarse quantizer routes the query to its
+    * `nProbes` nearest IVF cells, and ADC ranks ONLY the codes stored
+    * in those cells. Relative to flat [[pqSearch]] this cuts the scan
+    * to ~nProbes/c of the code table, and each scanned row is still a
+    * handful of small codes, not the vector — the two index layouts
+    * ([[ivfAssign]] cells + [[pqEncode]] codes) compose into one
+    * `(id, centroid_id, codes…)` index-as-data table.
+    *
+    * The cell restriction is an equi-join on `centroid_id` against the
+    * broadcast ≤nProbes-row probe frame — on a persisted index table
+    * partitioned by `centroid_id` the same join prunes partitions, so
+    * unprobed cells cost zero IO and zero tasks. Scoring and
+    * tie-breaks are bit-identical to [[pqSearch]] (same fixed-order
+    * ADC fold), so the whole path replays in the SQL oracle. */
+  def ivfPqSearch(
+      data: DataFrame,
+      vecCol: String,
+      idCol: String,
+      query: DataFrame,
+      queryVecCol: String,
+      centroids: Seq[(Long, Seq[Double])],
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      nProbes: Int,
+      k: Int,
+      metric: Metric = Metric.Cosine): DataFrame = {
+    val m = codebooks.length
+    val s = codebooks.head.head._2.length
+    val codes = pqCodeColumns(col(vecCol), codebooks)
+    val index = prepareColumn(Partitioning.spread(data), vecCol, metric)
+      .select(col(idCol) +:
+        ivfAssign(col(vecCol), centroids, metric).as("centroid_id") +:
+        codes.zipWithIndex.map { case (c, j) => c.as(s"__code_$j") }: _*)
+    val q = prepareColumn(query, queryVecCol, metric)
+      .withColumn("probe",
+        explode(slice(
+          sort_array(centroidStructs(col(queryVecCol), centroids, metric)),
+          1, nProbes)))
+      .select(col(queryVecCol), col("probe.cid").as("centroid_id"))
+    val score = (0 until m)
+      .map { j =>
+        val qsub = slice(col(queryVecCol), j * s + 1, s)
+        val cvecs = typedlit(codebooks(j).map(_._2))
+        VectorExpressions.dot(qsub,
+          element_at(cvecs, (col(s"__code_$j") + 1).cast("int")))
+      }
+      .foldLeft(lit(0.0))(_ + _)
+    index.join(broadcast(q), Seq("centroid_id"))
+      .withColumn("score", score)
+      .select(col(idCol), col("centroid_id"), col("score"))
+      .orderBy(desc("score"), col(idCol).asc)
+      .limit(k)
+  }
+
   /** SemDeDup-style embedding-space near-dup (Abbas et al. 2023,
     * arXiv:2303.09540): cluster vectors by nearest centroid, compute
     * pairwise similarity WITHIN each cluster only, and flag every row

@@ -302,4 +302,57 @@ class LshSpec extends SparkSpec {
     // (fixed codebooks, fixed fixture), so the floor pins just below it.
     assert(mean >= 0.25, f"PQ recall regressed: $mean%.3f")
   }
+
+  test("IVF+PQ: results live in probed cells and score exactly as flat PQ there") {
+    import spark.implicits._
+    val k = 10
+    val cents = VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val got = VectorSearch.ivfPqSearch(emb, "embedding", "vec_id",
+      q, "qvec", cents, pqCbs, nProbes = 2, k = k, metric = Metric.Cosine)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == k)
+    // routing invariant: every hit's cell is one of the query's 2 probes
+    val probes = got.map(_._2).toSet
+    assert(probes.size <= 2, s"hits span ${probes.size} cells: $probes")
+    // composition invariant: restricting flat-PQ ADC to the probed
+    // cells' members reproduces the IVF+PQ ranking bit-for-bit
+    val assigned = emb
+      .withColumn("cid", VectorSearch.ivfAssign(
+        graft.functions.VectorFunctions.l2Normalize(col("embedding")),
+        cents, Metric.Cosine))
+    val memberIds = assigned.filter(col("cid").isin(probes.toSeq: _*))
+      .select("vec_id").as[Long].collect().toSet
+    val flat = VectorSearch.pqSearch(
+      emb.filter(col("vec_id").isin(memberIds.toSeq: _*)),
+      "embedding", "vec_id", q, "qvec", pqCbs, k, Metric.Cosine)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(r => (r._1, r._3)).toSeq == flat.toSeq,
+      "IVF+PQ ranking diverged from flat PQ restricted to probed cells")
+  }
+
+  test("IVF+PQ recall@10 vs exact (2 of 16 probes, coarse codes — above chance)") {
+    import spark.implicits._
+    val k = 10
+    val cents = VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine)
+    val recalls = Seq(0L, 7L, 123L, 250L, 400L).map { qid =>
+      val q = emb.filter(col("vec_id") === qid)
+        .select(col("embedding").as("qvec"))
+      val exact = VectorSearch.topK(emb, "embedding", "vec_id",
+        q, "qvec", Metric.Cosine, k)
+        .select("vec_id").as[Long].collect().toSet
+      val approx = VectorSearch.ivfPqSearch(emb, "embedding", "vec_id",
+        q, "qvec", cents, pqCbs, nProbes = 2, k = k, metric = Metric.Cosine)
+        .select("vec_id").as[Long].collect().toSet
+      (exact intersect approx).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF+PQ mean recall@$k over 5 queries: $mean%.3f " +
+      f"(per-query: ${recalls.map(r => f"$r%.2f").mkString(", ")})")
+    // flat PQ measures 0.300 on this fixture; the 2/16-probe routing
+    // keeps the cells where the true neighbors live (measured 0.320 —
+    // the cells it drops mostly held ADC false positives). Chance is
+    // 0.02; deterministic fixture, so the floor pins just below.
+    assert(mean >= 0.25, f"IVF+PQ recall regressed: $mean%.3f")
+  }
 }
