@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Metric, VectorFunctions => VF}
-import graft.operators.{Graph, Lexical, Multimodal, Packing, Quantize, Rag, Sketches, Skew, Splits, Temporal, TextOps, VectorSearch}
+import graft.operators.{Graph, Lexical, Multimodal, Packing, Quantize, Rag, Rerank, Sketches, Skew, Splits, Temporal, TextOps, VectorSearch}
 import graft.sources.{Compaction, Sources}
 import graft.streaming.Streaming
 
@@ -1270,6 +1270,33 @@ object Queries {
          |SELECT doc_id, rrf FROM fused
          |ORDER BY rrf DESC, doc_id ASC LIMIT $HybridK""".stripMargin)
   }
+
+  private val RerankN = 50
+  private val RerankK = 10
+
+  /** Two-stage retrieve-then-rerank ([[Rerank.bm25ThenRerank]]): BM25
+    * cuts the corpus to 50 candidates, a deterministic cross-encoder
+    * stub re-scores ONLY those 50 (query, text) pairs, top-10 wins —
+    * the standard serving stack whose second-stage cost is
+    * candidate-bounded, not corpus-bounded. Output keeps the stage-1
+    * rank so rank movement is auditable. */
+  private def qRerank(s: SparkSession, dir: String): DataFrame =
+    Rerank.bm25ThenRerank(Tables.documents(s, dir), "doc_id", "text",
+      Bm25Terms, RagQueryText, n = RerankN, k = RerankK)
+
+  private val qRerankSql: String = bm25Cte(
+    s""", cand AS (
+       |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+       |           AS stage1_rank
+       |  FROM (SELECT doc_id, score FROM bm25
+       |        ORDER BY score DESC, doc_id ASC LIMIT $RerankN)),
+       |ce AS (
+       |  SELECT c.doc_id, c.stage1_rank,
+       |         CAST(CAST('0x' || substr(md5('$RagQueryText' || chr(1) || d.text), 1, 15)
+       |              AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS ce_score
+       |  FROM cand c JOIN documents d ON c.doc_id = d.doc_id)
+       |SELECT doc_id, stage1_rank, ce_score FROM ce
+       |ORDER BY ce_score DESC, doc_id ASC LIMIT $RerankK""".stripMargin)
 
   /** Within-document repetition (C4/Gopher-style degenerate-text
     * filters): duplicate token-bigram fraction and most-common-token
@@ -2772,6 +2799,7 @@ object Queries {
     GraftQuery("q_semantic_dedup", qSemanticDedup, Some(qSemanticDedupSql)),
     GraftQuery("q_pq_search", qPqSearch, Some(qPqSearchSql)),
     GraftQuery("q_ivfpq_search", qIvfPqSearch, Some(qIvfPqSearchSql)),
+    GraftQuery("q_rerank", qRerank, Some(qRerankSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
     GraftQuery("q_fingerprint_pairs", qFingerprintPairs, Some(qFingerprintPairsSql)),
