@@ -1271,6 +1271,60 @@ object Queries {
          |ORDER BY rrf DESC, doc_id ASC LIMIT $HybridK""".stripMargin)
   }
 
+  private val BloomM = 4096
+  private val BloomK = 5
+
+  /** Bloom prefilter before a join ([[Sketches.bloomBuild]]): the build
+    * side (every 7th customer) compresses to ≤4096 set bits, the probe
+    * side (orders) tests membership as a per-row zero-shuffle
+    * projection, and only maybe-members need the real join — the
+    * pre-join corpus cut AQE's runtime filters automate, here explicit,
+    * deterministic and mergeable. Output pivots (maybe, exact) counts:
+    * the absent (false, true) row IS the no-false-negative guarantee,
+    * oracle-checked; (true, false) counts the tunable fp leak. */
+  private def qBloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val build = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("key"))
+    val bloom = Sketches.bloomCollect(
+      Sketches.bloomBuild(build, "key", BloomM, BloomK))
+    Tables.orders(s, dir).select(col("o_custkey"))
+      .withColumn("maybe_match",
+        Sketches.bloomMaybeContains(col("o_custkey"), bloom, BloomM, BloomK))
+      .join(broadcast(build.withColumn("__m", lit(1))),
+        col("o_custkey") === col("key"), "left")
+      .withColumn("exact_match", col("__m").isNotNull)
+      .groupBy("maybe_match", "exact_match")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("maybe_match", "exact_match")
+  }
+
+  private val qBloomPrefilterSql: String = {
+    def h(col: String, off: Int) =
+      s"CAST('0x' || substr(md5(CAST($col AS VARCHAR)), $off, 15) AS BIGINT) % $BloomM"
+    s"""WITH bkeys AS (
+       |  SELECT c_custkey AS key FROM customer WHERE c_custkey % 7 = 0),
+       |bh AS (SELECT key, ${h("key", 1)} AS h1, ${h("key", 16)} AS h2 FROM bkeys),
+       |bits AS (
+       |  SELECT DISTINCT (h1 + g.i * h2) % $BloomM AS bit
+       |  FROM bh CROSS JOIN generate_series(0, ${BloomK - 1}) g(i)),
+       |ph AS (
+       |  SELECT o_orderkey, o_custkey,
+       |         ${h("o_custkey", 1)} AS h1, ${h("o_custkey", 16)} AS h2
+       |  FROM orders),
+       |pm AS (
+       |  SELECT o_orderkey, o_custkey,
+       |         bool_and((h1 + g.i * h2) % $BloomM IN (SELECT bit FROM bits))
+       |           AS maybe_match
+       |  FROM ph CROSS JOIN generate_series(0, ${BloomK - 1}) g(i)
+       |  GROUP BY 1, 2),
+       |fl AS (
+       |  SELECT pm.o_orderkey, pm.maybe_match, (bk.key IS NOT NULL) AS exact_match
+       |  FROM pm LEFT JOIN bkeys bk ON pm.o_custkey = bk.key)
+       |SELECT maybe_match, exact_match, CAST(count(*) AS BIGINT) AS n_orders
+       |FROM fl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   private val RerankN = 50
   private val RerankK = 10
 
@@ -2800,6 +2854,7 @@ object Queries {
     GraftQuery("q_pq_search", qPqSearch, Some(qPqSearchSql)),
     GraftQuery("q_ivfpq_search", qIvfPqSearch, Some(qIvfPqSearchSql)),
     GraftQuery("q_rerank", qRerank, Some(qRerankSql)),
+    GraftQuery("q_bloom_prefilter", qBloomPrefilter, Some(qBloomPrefilterSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
     GraftQuery("q_fingerprint_pairs", qFingerprintPairs, Some(qFingerprintPairsSql)),

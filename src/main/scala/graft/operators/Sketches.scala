@@ -285,4 +285,50 @@ object Sketches {
       df: DataFrame, groupCol: String, subCol: String, valueCol: String): DataFrame =
     df.groupBy(col(groupCol), col(subCol))
       .agg(hll_sketch_agg(col(valueCol)).as("sk"))
+
+  // -------------------------------------------------------------- Bloom ---
+
+  /** The `k` Bloom bit positions of a key: double hashing
+    * (Kirsch–Mitzenmacher 2006 — position_i = h1 + i·h2 mod m) over the
+    * two 60-bit halves of one md5, so one hash invocation serves all k
+    * probes (the minhash single-hash lesson). Deterministic and pure
+    * integer arithmetic → replayable in the SQL oracle. Both halves
+    * reduce mod m BEFORE the mix: i·h2 then stays < 2^63 for any sane
+    * (k, m). */
+  def bloomBitPositions(key: Column, mBits: Int, k: Int): Column = {
+    val hex = md5(key.cast("string"))
+    val h1 = conv(substring(hex, 1, 15), 16, 10).cast("long") % mBits
+    val h2 = conv(substring(hex, 16, 15), 16, 10).cast("long") % mBits
+    array((0 until k).map(i => pmod(h1 + lit(i.toLong) * h2, lit(mBits.toLong))): _*)
+  }
+
+  /** Build a Bloom filter over `keyCol`: the DISTINCT set bits as a
+    * `(bit BIGINT)` table — ≤ m rows however large the build side is.
+    * Sparse representation: semantics (and false-positive behavior) are
+    * exactly the packed filter's; at scale the same artifact packs to
+    * m/64 words for shipping — either way it is broadcast-sized BY
+    * CONSTRUCTION, which is the whole point. Mergeable: the filter of a
+    * union is the union of filters (tested in SketchesSpec). */
+  def bloomBuild(keys: DataFrame, keyCol: String, mBits: Int, k: Int): DataFrame =
+    keys.select(explode(bloomBitPositions(col(keyCol), mBits, k)).as("bit"))
+      .distinct()
+
+  /** Probe-side membership as a per-row PROJECTION: the ≤m-row filter
+    * collects to a sorted literal (a dimension-table artifact, like IVF
+    * centroids), and `maybe = ∀i array_contains(bits, pos_i)` runs
+    * inside codegen with zero shuffle and no join — the shape Spark's
+    * own AQE runtime filters use (broadcast the filter, prune at the
+    * scan). No false negatives, tunable false positives: the classic
+    * pre-join corpus cut at 100 TB. */
+  def bloomMaybeContains(
+      key: Column, bloom: Seq[Long], mBits: Int, k: Int): Column = {
+    val bits = typedlit(bloom.sorted)
+    val pos = bloomBitPositions(key, mBits, k)
+    (0 until k).map(i => array_contains(bits, element_at(pos, i + 1)))
+      .reduceLeft(_ && _)
+  }
+
+  /** Collect a built filter to the driver-side literal form. */
+  def bloomCollect(bloomDf: DataFrame): Seq[Long] =
+    bloomDf.select(col("bit").cast("long")).collect().map(_.getLong(0)).toSeq
 }

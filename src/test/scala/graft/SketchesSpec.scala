@@ -235,4 +235,57 @@ class SketchesSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
     assert(run(docs) == run(docs.repartition(13)))
   }
+
+  // -------------------------------------------------------------- Bloom ---
+
+  private val BloomM = 4096
+  private val BloomK = 5
+
+  test("bloom: no false negatives, and fp rate within 3x the theoretical bound") {
+    import spark.implicits._
+    val cust = Tables.customer(spark, "/root/testdata/sf0.01")
+    val build = cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("key"))
+    val members = build.as[Long].collect().toSet
+    val bloom = Sketches.bloomCollect(
+      Sketches.bloomBuild(build, "key", BloomM, BloomK))
+    val probed = cust.select(col("c_custkey"),
+      Sketches.bloomMaybeContains(col("c_custkey"), bloom, BloomM, BloomK)
+        .as("maybe"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1))
+    val falseNeg = probed.count { case (k, m) => members(k) && !m }
+    assert(falseNeg == 0, s"$falseNeg false negatives — bloom contract broken")
+    val nonMembers = probed.filter { case (k, _) => !members(k) }
+    val fpRate = nonMembers.count(_._2).toDouble / nonMembers.length
+    // fill = 1 - (1 - 1/m)^(k*n); theoretical fp = fill^k
+    val fill = 1.0 - math.pow(1.0 - 1.0 / BloomM, BloomK * members.size.toDouble)
+    val bound = math.pow(fill, BloomK)
+    info(f"fp rate: $fpRate%.5f (theory: $bound%.5f, ${bloom.size} set bits)")
+    assert(fpRate <= bound * 3 + 0.01, f"fp rate $fpRate%.5f >> bound $bound%.5f")
+  }
+
+  test("bloom filters merge: filter(A union B) == filter(A) union filter(B)") {
+    val cust = Tables.customer(spark, Sf0001)
+      .filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("key"))
+    val a = cust.filter(col("key") < 70)
+    val b = cust.filter(col("key") >= 70)
+    val whole = Sketches.bloomCollect(
+      Sketches.bloomBuild(cust, "key", BloomM, BloomK)).toSet
+    val merged = Sketches.bloomCollect(
+      Sketches.bloomBuild(a, "key", BloomM, BloomK)).toSet ++
+      Sketches.bloomCollect(
+        Sketches.bloomBuild(b, "key", BloomM, BloomK)).toSet
+    assert(whole == merged)
+  }
+
+  test("bloom membership is a zero-shuffle projection (no Exchange, no Join)") {
+    val bloom = Seq(1L, 5L, 77L, 401L)
+    val plan = Tables.orders(spark, Sf0001)
+      .select(Sketches.bloomMaybeContains(col("o_custkey"), bloom, BloomM, BloomK)
+        .as("maybe"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }
