@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Metric, VectorFunctions => VF}
-import graft.operators.{Graph, Lexical, Multimodal, Packing, Quantize, Rag, Rerank, Sketches, Skew, Splits, Temporal, TextOps, VectorSearch}
+import graft.operators.{Contrastive, Graph, Lexical, Multimodal, Packing, Quantize, Rag, Rerank, Sketches, Skew, Splits, Temporal, TextOps, VectorSearch}
 import graft.sources.{Compaction, Sources}
 import graft.streaming.Streaming
 
@@ -1269,6 +1269,66 @@ object Queries {
          |  FROM contrib GROUP BY doc_id)
          |SELECT doc_id, rrf FROM fused
          |ORDER BY rrf DESC, doc_id ASC LIMIT $HybridK""".stripMargin)
+  }
+
+  private val PairsHardStart = 6
+  private val PairsNHard = 5
+  private val PairsNRandom = 5
+
+  /** Contrastive training pairs ([[Contrastive.minePairs]], the DPR
+    * recipe): anchors are every 10th vector; the positive is the
+    * nearest neighbor, hard negatives are retrieval ranks 6–10 (the
+    * gap at 2–5 avoids mislabeling borderline near-dups), random
+    * negatives are hash-mod ids with self/positive collisions
+    * filtered. */
+  private def qContrastivePairs(s: SparkSession, dir: String): DataFrame =
+    Contrastive.minePairs(
+      Tables.embeddings(s, dir).select("vec_id", "embedding"),
+      "embedding", "vec_id", Metric.Cosine,
+      anchorFilter = col("vec_id") % 10 === 0,
+      nPos = 1, hardStart = PairsHardStart, nHard = PairsNHard,
+      nRandom = PairsNRandom)
+      .orderBy("anchor_id", "pair_type", "pair_rank")
+
+  private val qContrastivePairsSql: String = {
+    val score = Oracle.dot("a.nemb", "b.nemb", EmbeddingDim)
+    val hardEnd = PairsHardStart + PairsNHard - 1
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |p AS (
+       |  SELECT a.vec_id AS anchor_id, b.vec_id AS neighbor_id, $score AS score
+       |  FROM n a CROSS JOIN n b
+       |  WHERE a.vec_id % 10 = 0 AND a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT anchor_id, neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |                            ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM p),
+       |pos AS (SELECT anchor_id, neighbor_id, rank FROM r WHERE rank <= 1),
+       |hard AS (SELECT anchor_id, neighbor_id, rank FROM r
+       |         WHERE rank BETWEEN $PairsHardStart AND $hardEnd),
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |rnd AS (
+       |  SELECT a.anchor_id,
+       |         CAST('0x' || substr(md5(CAST(a.anchor_id AS VARCHAR) || ':'
+       |              || CAST(g.j AS VARCHAR)), 1, 15) AS BIGINT) % cnt.n AS other_id,
+       |         g.j
+       |  FROM pos a CROSS JOIN cnt
+       |       CROSS JOIN generate_series(1, $PairsNRandom) g(j)),
+       |rndf AS (
+       |  SELECT r.anchor_id, r.other_id, r.j
+       |  FROM rnd r JOIN pos p ON r.anchor_id = p.anchor_id
+       |  WHERE r.other_id <> r.anchor_id AND r.other_id <> p.neighbor_id),
+       |allp AS (
+       |  SELECT anchor_id, neighbor_id AS other_id, 'positive' AS pair_type,
+       |         CAST(rank AS BIGINT) AS pair_rank FROM pos
+       |  UNION ALL
+       |  SELECT anchor_id, neighbor_id,
+       |         'hard_negative', CAST(rank - ${PairsHardStart - 1} AS BIGINT) FROM hard
+       |  UNION ALL
+       |  SELECT anchor_id, other_id, 'random_negative', CAST(j AS BIGINT) FROM rndf)
+       |SELECT anchor_id, other_id, pair_type, pair_rank FROM allp
+       |ORDER BY anchor_id, pair_type, pair_rank""".stripMargin
   }
 
   private val BloomM = 4096
@@ -2855,6 +2915,7 @@ object Queries {
     GraftQuery("q_ivfpq_search", qIvfPqSearch, Some(qIvfPqSearchSql)),
     GraftQuery("q_rerank", qRerank, Some(qRerankSql)),
     GraftQuery("q_bloom_prefilter", qBloomPrefilter, Some(qBloomPrefilterSql)),
+    GraftQuery("q_contrastive_pairs", qContrastivePairs, Some(qContrastivePairsSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
     GraftQuery("q_fingerprint_pairs", qFingerprintPairs, Some(qFingerprintPairsSql)),

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Metric
+
+/** Contrastive training-pair mining — the op that turns a corpus with
+  * embeddings into (anchor, positive, negative) triplets for training
+  * embedding / retrieval models (the DPR recipe, Karpukhin et al.
+  * 2020 §3.2): the positive is the anchor's nearest neighbor, HARD
+  * negatives come from the retrieval ranks just past the positives
+  * (similar enough to teach the margin), and RANDOM negatives are
+  * hash-sampled from the whole corpus (cheap contrast).
+  *
+  * Scale shape: the knn stage is [[VectorSearch.knnJoin]]'s partial
+  * top-k (≤ hardEnd rows per anchor cross the exchange); random
+  * negatives are a per-row `explode(j)` projection with NO shuffle and
+  * NO join — ids come from hash-mod arithmetic, so sampling 100 TB of
+  * anchors never touches the corpus again. Anchors are a pushed-down
+  * id filter. Everything is md5 arithmetic → SQL-oracle replayable. */
+object Contrastive {
+
+  /** Mine pairs for every anchor passing `anchorFilter`:
+    * `(anchor_id, other_id, pair_type, pair_rank)` where `pair_type` ∈
+    * {'positive', 'hard_negative', 'random_negative'}.
+    *
+    * Positives: retrieval ranks 1..`nPos`. Hard negatives: ranks
+    * `hardStart..hardStart+nHard-1` (a gap between the two regions —
+    * ranks nPos+1..hardStart-1 — avoids mislabeling borderline
+    * near-duplicates as negatives). Random negatives: for
+    * j ∈ 1..nRandom, id = md5-hash(anchor:j) mod `corpusN`, with the
+    * rare self/positive collisions FILTERED (up-to-k semantics, the
+    * standard non-iterative rule; ids must be dense 0..N−1, which the
+    * embeddings table guarantees). */
+  def minePairs(
+      emb: DataFrame,
+      vecCol: String,
+      idCol: String,
+      metric: Metric,
+      anchorFilter: Column,
+      nPos: Int = 1,
+      hardStart: Int = 6,
+      nHard: Int = 5,
+      nRandom: Int = 5): DataFrame = {
+    val anchors = emb.filter(anchorFilter)
+    val ranked = VectorSearch.knnJoin(anchors, emb, vecCol, idCol, metric,
+      k = hardStart + nHard - 1, excludeSelf = true)
+    val positives = ranked.filter(col("rank") <= nPos)
+      .select(col("query_id").as("anchor_id"), col("neighbor_id").as("other_id"),
+        lit("positive").as("pair_type"), col("rank").cast("long").as("pair_rank"))
+    val hard = ranked.filter(col("rank") >= hardStart)
+      .select(col("query_id").as("anchor_id"), col("neighbor_id").as("other_id"),
+        lit("hard_negative").as("pair_type"),
+        (col("rank") - hardStart + 1).cast("long").as("pair_rank"))
+    val n = emb.agg(count(lit(1)).as("__n"))
+    val posOf = positives.filter(col("pair_rank") === 1)
+      .select(col("anchor_id"), col("other_id").as("__pos"))
+    // anchor-keyed equi-join, NOT broadcast: anchors can be a large
+    // corpus fraction at scale — AQE picks the strategy
+    val random = anchors.select(col(idCol).as("anchor_id"))
+      .join(posOf, Seq("anchor_id"))
+      .crossJoin(broadcast(n))
+      .select(col("anchor_id"), col("__pos"), col("__n"),
+        explode(array((1 to nRandom).map(lit): _*)).as("j"))
+      .withColumn("other_id",
+        pmod(conv(substring(md5(concat(col("anchor_id").cast("string"), lit(":"),
+          col("j").cast("string"))), 1, 15), 16, 10).cast("long"), col("__n")))
+      .filter(col("other_id") =!= col("anchor_id") &&
+        col("other_id") =!= col("__pos"))
+      .select(col("anchor_id"), col("other_id"),
+        lit("random_negative").as("pair_type"), col("j").cast("long").as("pair_rank"))
+    positives.unionByName(hard).unionByName(random)
+  }
+}

@@ -313,19 +313,43 @@ object Sketches {
     keys.select(explode(bloomBitPositions(col(keyCol), mBits, k)).as("bit"))
       .distinct()
 
-  /** Probe-side membership as a per-row PROJECTION: the ≤m-row filter
-    * collects to a sorted literal (a dimension-table artifact, like IVF
-    * centroids), and `maybe = ∀i array_contains(bits, pos_i)` runs
-    * inside codegen with zero shuffle and no join — the shape Spark's
-    * own AQE runtime filters use (broadcast the filter, prune at the
-    * scan). No false negatives, tunable false positives: the classic
-    * pre-join corpus cut at 100 TB. */
+  /** Bits per packed word: 63 keeps every word a sum of distinct
+    * powers ≤ 2^62, so the packed BIGINT never overflows sign. */
+  val BloomWordBits = 63
+
+  /** Pack a set-bit list into the dense word form for serving:
+    * `word[w] = Σ 2^(bit mod 63)` over bits with `bit div 63 == w`,
+    * ceil(m/63) longs however sparse the filter. */
+  def bloomPackWords(bloom: Seq[Long], mBits: Int): Seq[Long] = {
+    val words = new Array[Long]((mBits + BloomWordBits - 1) / BloomWordBits)
+    bloom.foreach { b =>
+      words((b / BloomWordBits).toInt) |= 1L << (b % BloomWordBits).toInt
+    }
+    words.toSeq
+  }
+
+  /** Probe-side membership as a per-row PROJECTION: the filter packs to
+    * ceil(m/63) words in a literal array (a dimension-table artifact,
+    * like IVF centroids), and each of the k probes is ONE O(1)
+    * element_at + bitwise-AND — `maybe = ∀i word[pos_i div 63] AND
+    * 2^(pos_i mod 63) ≠ 0` — inside codegen with zero shuffle and no
+    * join, the shape Spark's own AQE runtime filters use (broadcast the
+    * filter, prune at the scan). Pure integer ops → oracle-replayable.
+    * No false negatives, tunable false positives: the classic pre-join
+    * corpus cut at 100 TB. */
   def bloomMaybeContains(
       key: Column, bloom: Seq[Long], mBits: Int, k: Int): Column = {
-    val bits = typedlit(bloom.sorted)
+    val words = typedlit(bloomPackWords(bloom, mBits))
+    val pow2 = typedlit(Seq.tabulate(BloomWordBits)(1L << _))
     val pos = bloomBitPositions(key, mBits, k)
-    (0 until k).map(i => array_contains(bits, element_at(pos, i + 1)))
-      .reduceLeft(_ && _)
+    (0 until k).map { i =>
+      val p = element_at(pos, i + 1)
+      // p < mBits ≤ 2^20: the double division is exact and the cast
+      // truncates toward zero on positives — integer floor div
+      val w = (p / lit(BloomWordBits)).cast("long")
+      val mask = element_at(pow2, pmod(p, lit(BloomWordBits.toLong)).cast("int") + 1)
+      element_at(words, w.cast("int") + 1).bitwiseAND(mask) =!= 0L
+    }.reduceLeft(_ && _)
   }
 
   /** Collect a built filter to the driver-side literal form. */
