@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Metric, VectorFunctions => VF}
-import graft.operators.{Contrastive, Graph, Lexical, Multimodal, Packing, Quantize, Rag, Rerank, Sketches, Skew, Splits, Temporal, TextOps, VectorSearch}
+import graft.operators.{Contrastive, Diversify, Graph, Lexical, Multimodal, Packing, Quantize, Rag, Rerank, Sketches, Skew, Splits, Temporal, TextOps, VectorSearch}
 import graft.sources.{Compaction, Sources}
 import graft.streaming.Streaming
 
@@ -1269,6 +1269,58 @@ object Queries {
          |  FROM contrib GROUP BY doc_id)
          |SELECT doc_id, rrf FROM fused
          |ORDER BY rrf DESC, doc_id ASC LIMIT $HybridK""".stripMargin)
+  }
+
+  private val MmrN = 50
+  private val MmrK = 10
+  private val MmrLambda = 0.7
+
+  /** MMR-diversified retrieval ([[Diversify.mmrSelect]]): cosine top-50
+    * for the vec-0 query, greedily re-picked down to 10 by
+    * `λ·rel − (1−λ)·max-sim-to-selected`. The oracle replays the greedy
+    * loop as a recursive CTE; `1−λ` is inlined from the SAME Scala
+    * double (the binary value of `1.0 - 0.7` is NOT the literal 0.3 —
+    * the bm25 constant-inlining contract). */
+  private def qMmrDiversify(s: SparkSession, dir: String): DataFrame =
+    Diversify.mmrSelect(s,
+      Tables.embeddings(s, dir).select("vec_id", "embedding"),
+      "embedding", "vec_id", queryVecFrame(s, dir), "qvec",
+      Metric.Cosine, n = MmrN, k = MmrK, lambda = MmrLambda)
+
+  private val qMmrDiversifySql: String = {
+    val rel = Oracle.dot("n.nemb", "q.qemb", EmbeddingDim)
+    val sim = Oracle.dot("a.nemb", "b.nemb", EmbeddingDim)
+    val oneMinusL = 1.0 - MmrLambda
+    s"""WITH RECURSIVE ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |q AS (SELECT nemb AS qemb FROM n WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT n.vec_id AS id, $rel AS rel
+       |  FROM n CROSS JOIN q
+       |  ORDER BY rel DESC, id ASC LIMIT $MmrN),
+       |sim AS (
+       |  SELECT ca.id AS i, cb.id AS j, $sim AS s
+       |  FROM cand ca JOIN n a ON a.vec_id = ca.id
+       |       JOIN cand cb ON cb.id <> ca.id JOIN n b ON b.vec_id = cb.id),
+       |pick(step, sel) AS (
+       |  SELECT 1, [ (SELECT id FROM cand ORDER BY rel DESC, id LIMIT 1) ]
+       |  UNION ALL
+       |  SELECT step + 1,
+       |    list_append(sel, (
+       |      SELECT c.id FROM cand c
+       |      WHERE NOT list_contains(sel, c.id)
+       |      ORDER BY CAST($MmrLambda AS DOUBLE) * c.rel
+       |               - CAST($oneMinusL AS DOUBLE)
+       |                 * (SELECT max(s.s) FROM sim s
+       |                    WHERE s.i = c.id AND list_contains(sel, s.j)) DESC,
+       |               c.id
+       |      LIMIT 1))
+       |  FROM pick WHERE step < $MmrK)
+       |SELECT u.id AS vec_id, c.rel, CAST(u.r AS BIGINT) AS mmr_rank
+       |FROM (SELECT unnest(sel) AS id, generate_subscripts(sel, 1) AS r
+       |      FROM pick WHERE step = $MmrK) u
+       |JOIN cand c ON c.id = u.id
+       |ORDER BY mmr_rank""".stripMargin
   }
 
   private val PairsHardStart = 6
@@ -2916,6 +2968,7 @@ object Queries {
     GraftQuery("q_rerank", qRerank, Some(qRerankSql)),
     GraftQuery("q_bloom_prefilter", qBloomPrefilter, Some(qBloomPrefilterSql)),
     GraftQuery("q_contrastive_pairs", qContrastivePairs, Some(qContrastivePairsSql)),
+    GraftQuery("q_mmr_diversify", qMmrDiversify, Some(qMmrDiversifySql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
     GraftQuery("q_fingerprint_pairs", qFingerprintPairs, Some(qFingerprintPairsSql)),
