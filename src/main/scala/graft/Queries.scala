@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Metric, VectorFunctions => VF}
-import graft.operators.{Contrastive, Diversify, Graph, Lexical, Multimodal, Packing, Quantize, Rag, Rerank, Sketches, Skew, Splits, Temporal, TextOps, VectorSearch}
+import graft.operators.{Contrastive, Diversify, Graph, Layout, Lexical, Multimodal, Packing, Quantize, Rag, Rerank, Sketches, Skew, Splits, Temporal, TextOps, VectorSearch}
 import graft.sources.{Compaction, Sources}
 import graft.streaming.Streaming
 
@@ -1270,6 +1270,46 @@ object Queries {
          |SELECT doc_id, rrf FROM fused
          |ORDER BY rrf DESC, doc_id ASC LIMIT $HybridK""".stripMargin)
   }
+
+  private val ZBuckets = 16
+
+  /** Z-order layout statistics ([[Layout.zorderStats]]): orders
+    * interleaved on (custkey, order-day), split into 16 exact-bound
+    * z-slices, per-slice min/max — the data-skipping stats a lakehouse
+    * `OPTIMIZE ZORDER` write would collect. LayoutSpec pins the payoff
+    * (both columns' bucket spans shrink vs a linear sort). */
+  private def qZorderLayout(s: SparkSession, dir: String): DataFrame =
+    Layout.zorderStats(
+      Tables.orders(s, dir).select(col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).as("o_days")),
+      "o_custkey", "o_days", ZBuckets)
+
+  private val qZorderLayoutSql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey AS rid, CAST(o_custkey AS BIGINT) AS a,
+       |         CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS b
+       |  FROM orders),
+       |bounds AS (
+       |  SELECT min(a) AS alo, max(a) AS ahi, min(b) AS blo, max(b) AS bhi
+       |  FROM o),
+       |nrm AS (
+       |  SELECT rid, a, b,
+       |         CASE WHEN ahi = alo THEN 0
+       |              ELSE ((a - alo) * 65535) // (ahi - alo) END AS a16,
+       |         CASE WHEN bhi = blo THEN 0
+       |              ELSE ((b - blo) * 65535) // (bhi - blo) END AS b16
+       |  FROM o CROSS JOIN bounds),
+       |zz AS (
+       |  SELECT rid, a, b,
+       |         CAST(sum((((a16 >> g.i) & 1) << (2 * g.i))
+       |                  + (((b16 >> g.i) & 1) << (2 * g.i + 1))) AS BIGINT) AS z
+       |  FROM nrm CROSS JOIN generate_series(0, 15) g(i)
+       |  GROUP BY rid, a, b),
+       |bk AS (SELECT a, b, (z * $ZBuckets) // 4294967296 AS bucket FROM zz)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       |       min(a) AS a_min, max(a) AS a_max,
+       |       min(b) AS b_min, max(b) AS b_max
+       |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin
 
   private val MmrN = 50
   private val MmrK = 10
@@ -2969,6 +3009,7 @@ object Queries {
     GraftQuery("q_bloom_prefilter", qBloomPrefilter, Some(qBloomPrefilterSql)),
     GraftQuery("q_contrastive_pairs", qContrastivePairs, Some(qContrastivePairsSql)),
     GraftQuery("q_mmr_diversify", qMmrDiversify, Some(qMmrDiversifySql)),
+    GraftQuery("q_zorder_layout", qZorderLayout, Some(qZorderLayoutSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
     GraftQuery("q_fingerprint_pairs", qFingerprintPairs, Some(qFingerprintPairsSql)),
