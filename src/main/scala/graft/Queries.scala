@@ -1271,6 +1271,41 @@ object Queries {
          |ORDER BY rrf DESC, doc_id ASC LIMIT $HybridK""".stripMargin)
   }
 
+  private val FunnelSteps = Seq("view", "click", "purchase")
+  private val FunnelWindowDays = 7
+
+  /** K-step first-touch funnel ([[Temporal.funnelCounts]]):
+    * view → click → purchase within 7 days of the first view — each
+    * stage the min qualifying timestamp, counts non-increasing by
+    * construction. */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame =
+    Temporal.funnelCounts(Tables.events(s, dir), "user_id", "ts", "event_type",
+      FunnelSteps, FunnelWindowDays)
+
+  private val qFunnelSql: String =
+    s"""WITH s1 AS (
+       |  SELECT user_id, min(ts) AS t0, min(ts) AS t
+       |  FROM events WHERE event_type = 'view' GROUP BY 1),
+       |s2 AS (
+       |  SELECT e.user_id, min(s1.t0) AS t0, min(e.ts) AS t
+       |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+       |  WHERE e.event_type = 'click' AND e.ts >= s1.t
+       |    AND e.ts <= s1.t0 + INTERVAL $FunnelWindowDays DAY
+       |  GROUP BY 1),
+       |s3 AS (
+       |  SELECT e.user_id, min(s2.t0) AS t0, min(e.ts) AS t
+       |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+       |    AND e.ts <= s2.t0 + INTERVAL $FunnelWindowDays DAY
+       |  GROUP BY 1)
+       |SELECT CAST(1 AS BIGINT) AS step_index, 'view' AS step,
+       |       (SELECT count(*) FROM s1) AS n_users
+       |UNION ALL
+       |SELECT 2, 'click', (SELECT count(*) FROM s2)
+       |UNION ALL
+       |SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+       |ORDER BY step_index""".stripMargin
+
   private val ZBuckets = 16
 
   /** Z-order layout statistics ([[Layout.zorderStats]]): orders
@@ -3010,6 +3045,7 @@ object Queries {
     GraftQuery("q_contrastive_pairs", qContrastivePairs, Some(qContrastivePairsSql)),
     GraftQuery("q_mmr_diversify", qMmrDiversify, Some(qMmrDiversifySql)),
     GraftQuery("q_zorder_layout", qZorderLayout, Some(qZorderLayoutSql)),
+    GraftQuery("q_funnel", qFunnel, Some(qFunnelSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
     GraftQuery("q_fingerprint_pairs", qFingerprintPairs, Some(qFingerprintPairsSql)),

@@ -154,4 +154,49 @@ object Temporal {
 
     PlanGlue.ofRows(spark, RangeJoinPlan(lPlan, rPlan, pt, lo, hi, bucketWidth))
   }
+
+  /** K-step first-touch funnel: a user converts step i when their
+    * EARLIEST step-i event at-or-after their step-(i−1) conversion time
+    * falls within `windowDays` of their FIRST-step time (the classic
+    * product-analytics funnel — each stage is the min qualifying
+    * timestamp, so results are deterministic however events arrive).
+    *
+    * Output: `(step_index BIGINT, step STRING, n_users BIGINT)` —
+    * counts are non-increasing by construction.
+    *
+    * Scale shape: stage i is a user-keyed aggregation of only that
+    * step's events (pushed-down type filter) joined to the stage-(i−1)
+    * user frame — every shuffle is keyed on the uniform `userCol`, the
+    * per-stage frames carry (user, 2 timestamps), and no self-join of
+    * the full event log ever happens. K stages = K filtered scans of
+    * the SAME event partition layout (at 100 TB: a type-partitioned
+    * log reads each step's slice only). */
+  def funnelCounts(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      windowDays: Int): DataFrame = {
+    require(steps.nonEmpty, "funnelCounts: need at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    var stage = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("__t0"))
+      .withColumn("__t", col("__t0"))
+    val counts = scala.collection.mutable.ArrayBuffer[(Long, String, Long)](
+      (1L, steps.head, stage.count()))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      stage = events.filter(col(typeCol) === st)
+        .select(col(userCol), col(tsCol).as("__ts"))
+        .join(stage.select(col(userCol), col("__t0"), col("__t")), Seq(userCol))
+        .filter(col("__ts") >= col("__t") &&
+          col("__ts") <= col("__t0") + expr(s"INTERVAL $windowDays DAYS"))
+        .groupBy(col(userCol))
+        .agg(min(col("__t0")).as("__t0"), min(col("__ts")).as("__t"))
+      counts += ((i + 1L, st, stage.count()))
+    }
+    counts.toSeq.toDF("step_index", "step", "n_users")
+  }
 }

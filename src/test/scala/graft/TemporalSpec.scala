@@ -53,4 +53,37 @@ class TemporalSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"as-of should be join-free (union+window):\n$plan")
     assert(plan.contains("Window"), s"missing the running-last window:\n$plan")
   }
+
+  // ------------------------------------------------------------- funnel ---
+
+  test("funnel: ordering, window, and pre-step events all gate conversion") {
+    import spark.implicits._
+    def ts(day: Int, h: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val events = Seq(
+      // user 1: clean view -> click -> purchase inside the window
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      // user 2: click BEFORE the first view — must not convert step 2
+      (2L, ts(2), "view"), (2L, ts(1), "click"),
+      // user 3: purchase outside the 7-day window from first view
+      (3L, ts(1), "view"), (3L, ts(2), "click"), (3L, ts(12), "purchase"),
+      // user 4: never views — in no stage
+      (4L, ts(1), "click"), (4L, ts(2), "purchase"),
+      // user 5: same-timestamp view and click (>= boundary converts)
+      (5L, ts(4), "view"), (5L, ts(4), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Temporal.funnelCounts(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), windowDays = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "view", 4L), (2L, "click", 3L), (3L, "purchase", 1L)),
+      got.toString)
+  }
+
+  test("funnel counts are non-increasing on the real event log") {
+    val got = Temporal.funnelCounts(Tables.events(spark, Sf0001),
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"), 7)
+      .collect().sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(got.length == 3 && got.sliding(2).forall(p => p(0) >= p(1)), got.toSeq)
+    assert(got.head > 0)
+  }
 }
