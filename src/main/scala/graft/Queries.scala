@@ -1306,6 +1306,30 @@ object Queries {
        |SELECT 3, 'purchase', (SELECT count(*) FROM s3)
        |ORDER BY step_index""".stripMargin
 
+  private val RetentionWeeks = 8
+
+  /** Weekly retention cohorts ([[Temporal.retentionCohorts]]): users by
+    * first-event ISO week, distinct-active per (cohort, offset) for
+    * offsets 0–7. */
+  private def qRetention(s: SparkSession, dir: String): DataFrame =
+    Temporal.retentionCohorts(Tables.events(s, dir), "user_id", "ts",
+      RetentionWeeks)
+
+  private val qRetentionSql: String =
+    s"""WITH f AS (
+       |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+       |  FROM events GROUP BY 1),
+       |a AS (
+       |  SELECT e.user_id, f.cohort_week,
+       |         datediff('day', f.cohort_week, date_trunc('week', e.ts)) // 7
+       |           AS week_offset
+       |  FROM events e JOIN f USING (user_id))
+       |SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+       |       CAST(week_offset AS BIGINT) AS week_offset,
+       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+       |FROM a WHERE week_offset >= 0 AND week_offset < $RetentionWeeks
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val ZBuckets = 16
 
   /** Z-order layout statistics ([[Layout.zorderStats]]): orders
@@ -3046,6 +3070,7 @@ object Queries {
     GraftQuery("q_mmr_diversify", qMmrDiversify, Some(qMmrDiversifySql)),
     GraftQuery("q_zorder_layout", qZorderLayout, Some(qZorderLayoutSql)),
     GraftQuery("q_funnel", qFunnel, Some(qFunnelSql)),
+    GraftQuery("q_retention", qRetention, Some(qRetentionSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
     GraftQuery("q_fingerprint_pairs", qFingerprintPairs, Some(qFingerprintPairsSql)),

@@ -199,4 +199,35 @@ object Temporal {
     }
     counts.toSeq.toDF("step_index", "step", "n_users")
   }
+
+  /** Retention cohorts — the other half of product analytics next to
+    * [[funnelCounts]]: users grouped by the ISO week of their FIRST
+    * event, then per (cohort, week-offset) distinct-active counts for
+    * offsets 0..maxWeeks−1. Both week starts are Mondays, so the
+    * day-difference is an exact multiple of 7 — the offset is exact
+    * integer arithmetic cross-engine.
+    *
+    * Scale shape: one user-keyed aggregation for first-touch, one
+    * user-keyed join back (AQE co-partitions with the agg's exchange),
+    * then a (cohort, offset)-keyed distinct-count — shuffles carry
+    * (user, 2 timestamps) and the final frame is cohort×offset-sized.
+    * Output: `(cohort_week TIMESTAMP, week_offset BIGINT,
+    * n_active BIGINT)`. */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      maxWeeks: Int): DataFrame = {
+    val first = events.groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("__first"))
+      .select(col(userCol), date_trunc("week", col("__first")).as("cohort_week"))
+    events.select(col(userCol), date_trunc("week", col(tsCol)).as("__ew"))
+      .join(first, Seq(userCol))
+      .withColumn("week_offset",
+        (datediff(col("__ew"), col("cohort_week")) / 7).cast("long"))
+      .filter(col("week_offset") >= 0 && col("week_offset") < maxWeeks)
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }

@@ -79,6 +79,24 @@ class TemporalSpec extends SparkSpec {
       got.toString)
   }
 
+  test("retention: cohort assignment by first event, offsets count distinct weeks") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // week boundaries: Mon 2024-01-01, Mon 2024-01-08, Mon 2024-01-15, Mon 2024-01-22
+    val events = Seq(
+      (1L, ts(2)), (1L, ts(3)), (1L, ts(9)), (1L, ts(16)),  // cohort wk0, active 0,1,2
+      (2L, ts(4)),                                          // cohort wk0, active 0
+      (3L, ts(10)), (3L, ts(22))                            // cohort wk1, active 0,2
+    ).toDF("user_id", "ts").withColumn("event_type", lit("view"))
+    val got = Temporal.retentionCohorts(events, "user_id", "ts", 8)
+      .collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-08", 0L, 1L), ("2024-01-08", 2L, 1L)), got.toString)
+  }
+
   test("funnel counts are non-increasing on the real event log") {
     val got = Temporal.funnelCounts(Tables.events(spark, Sf0001),
       "user_id", "ts", "event_type", Seq("view", "click", "purchase"), 7)
