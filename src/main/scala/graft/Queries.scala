@@ -1306,6 +1306,31 @@ object Queries {
        |SELECT 3, 'purchase', (SELECT count(*) FROM s3)
        |ORDER BY step_index""".stripMargin
 
+  /** Burst detection ([[Streaming.burstDetect]]): 6-hour tumbling
+    * windows per event type, flagged when 3·count > 2·trailing-3-sum —
+    * division-free integer alerting over the aggregated frame. */
+  private def qBurstDetect(s: SparkSession, dir: String): DataFrame =
+    Streaming.burstDetect(Tables.events(s, dir))
+      .orderBy("event_type", "window_start_epoch")
+
+  private val qBurstDetectSql: String =
+    """WITH c AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS window_start_epoch,
+      |         CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT *,
+      |         sum(n_events) OVER (PARTITION BY event_type ORDER BY window_start_epoch
+      |                             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS psum,
+      |         count(*) OVER (PARTITION BY event_type ORDER BY window_start_epoch
+      |                        ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS pn
+      |  FROM c)
+      |SELECT event_type, window_start_epoch, n_events,
+      |       COALESCE(psum, 0) AS prev_sum,
+      |       (pn = 3 AND n_events * 3 > psum * 2) AS is_burst
+      |FROM w ORDER BY 1, 2""".stripMargin
+
   private val RetentionWeeks = 8
 
   /** Weekly retention cohorts ([[Temporal.retentionCohorts]]): users by
@@ -3071,6 +3096,7 @@ object Queries {
     GraftQuery("q_zorder_layout", qZorderLayout, Some(qZorderLayoutSql)),
     GraftQuery("q_funnel", qFunnel, Some(qFunnelSql)),
     GraftQuery("q_retention", qRetention, Some(qRetentionSql)),
+    GraftQuery("q_burst_detect", qBurstDetect, Some(qBurstDetectSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
     GraftQuery("q_fingerprint_pairs", qFingerprintPairs, Some(qFingerprintPairsSql)),

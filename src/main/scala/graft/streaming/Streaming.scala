@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -72,6 +73,40 @@ object Streaming {
       .select(
         unix_timestamp(col("w.start")).as("window_start_epoch"),
         col("event_type"), col("n_events"), col("value_milli_sum"))
+  }
+
+  /** Rate-spike (burst) detection: tumbling per-type windows, each
+    * window flagged when its count exceeds 2× the mean of the trailing
+    * `3` OBSERVED windows (rows, not time — gaps collapse) — the
+    * alerting primitive over an event stream, in exact integer
+    * arithmetic (`3·n > 2·Σprev` avoids division entirely, so the flag
+    * is bit-deterministic cross-engine; windows with fewer than 3
+    * predecessors never flag).
+    *
+    * Scale shape: the window function runs over the AGGREGATED
+    * (type × window) frame — low-cardinality per-type partitions of
+    * stat-sized rows, never the raw log. Batch form; the streaming face
+    * would keep the trailing sums in `mapGroupsWithState`. */
+  def burstDetect(
+      events: DataFrame,
+      windowDur: String = "6 hours",
+      factorNum: Int = 2,
+      trailing: Int = 3): DataFrame = {
+    val counts = events
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("w.start")).as("window_start_epoch"),
+        col("event_type"), col("n_events"))
+    val frame = Window.partitionBy("event_type").orderBy("window_start_epoch")
+      .rowsBetween(-trailing, -1)
+    counts
+      .withColumn("__psum", sum("n_events").over(frame))
+      .withColumn("__pn", count(lit(1)).over(frame))
+      .withColumn("is_burst",
+        col("__pn") === trailing &&
+          col("n_events") * trailing > col("__psum") * factorNum)
+      .select(col("event_type"), col("window_start_epoch"), col("n_events"),
+        coalesce(col("__psum"), lit(0L)).as("prev_sum"), col("is_burst"))
   }
 
   /** Per-user sessionization with a max-gap window (session ends after

@@ -289,6 +289,27 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("burst detection: 2x-over-trailing-3 fires, under-threshold and warmup never do") {
+    import spark.implicits._
+    def rows(tpe: String, perWindow: Seq[Int]) =
+      perWindow.zipWithIndex.flatMap { case (n, w) =>
+        (0 until n).map { i =>
+          (tpe, java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(w * 21600L + i)))
+        }
+      }
+    val events = (rows("spiky", Seq(10, 10, 10, 25)) ++   // 25*3 > 30*2 → burst
+      rows("calm", Seq(10, 10, 10, 15)))                  // 15*3 < 30*2 → no
+      .toDF("event_type", "ts")
+    val got = graft.streaming.Streaming.burstDetect(events)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1) / 21600, r.getBoolean(4))).toSet
+    val bursts = got.filter(_._3)
+    assert(bursts == Set(("spiky", 3L, true)), s"got $bursts")
+    // warmup windows (fewer than 3 predecessors) never flag
+    assert(got.filter(_._2 < 3).forall(!_._3))
+  }
+
   test("sessions respect the 30-minute gap (no intra-session gap ≥ gap)") {
     // max intra-session gap must be < 30 min: recompute with islands and compare counts
     val sessions = Streaming.sessionize(Tables.events(spark, Sf0001))
