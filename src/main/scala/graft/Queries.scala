@@ -1306,6 +1306,45 @@ object Queries {
        |SELECT 3, 'purchase', (SELECT count(*) FROM s3)
        |ORDER BY step_index""".stripMargin
 
+  /** Last-touch revenue attribution: every purchase attributed to the
+    * user's latest at-or-before non-purchase event via [[Temporal
+    * .asofJoin]] (union + running-last window — ONE user shuffle, no
+    * per-key cartesian), then value summed per touch type in exact
+    * milli-units. The oracle replays the documented (ts, id) tie-break
+    * with a correlated top-1. */
+  private def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        floor(col("value") * 1000).cast("long").as("value_milli"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    Temporal.asofJoin(purchases, touches, "user_id", "ts", "event_id")
+      .groupBy(coalesce(col("asof_event_type"), lit("unattributed"))
+        .as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum("value_milli").as("value_milli_sum"))
+      .orderBy("touch_type")
+  }
+
+  private val qAttributionSql: String =
+    """WITH p AS (
+      |  SELECT user_id, ts, CAST(floor(value * 1000) AS BIGINT) AS value_milli
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id, ts, event_id, event_type
+      |  FROM events WHERE event_type <> 'purchase'),
+      |att AS (
+      |  SELECT p.value_milli,
+      |         COALESCE((SELECT t.event_type FROM t
+      |                   WHERE t.user_id = p.user_id AND t.ts <= p.ts
+      |                   ORDER BY t.ts DESC, t.event_id DESC LIMIT 1),
+      |                  'unattributed') AS touch_type
+      |  FROM p)
+      |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_purchases,
+      |       CAST(sum(value_milli) AS BIGINT) AS value_milli_sum
+      |FROM att GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Burst detection ([[Streaming.burstDetect]]): 6-hour tumbling
     * windows per event type, flagged when 3·count > 2·trailing-3-sum —
     * division-free integer alerting over the aggregated frame. */
@@ -3097,6 +3136,7 @@ object Queries {
     GraftQuery("q_funnel", qFunnel, Some(qFunnelSql)),
     GraftQuery("q_retention", qRetention, Some(qRetentionSql)),
     GraftQuery("q_burst_detect", qBurstDetect, Some(qBurstDetectSql)),
+    GraftQuery("q_attribution", qAttribution, Some(qAttributionSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
     GraftQuery("q_fingerprint_pairs", qFingerprintPairs, Some(qFingerprintPairsSql)),

@@ -54,6 +54,28 @@ class TemporalSpec extends SparkSpec {
     assert(plan.contains("Window"), s"missing the running-last window:\n$plan")
   }
 
+  test("last-touch attribution: latest preceding touch wins, inclusive ties, no-touch is null") {
+    import spark.implicits._
+    def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val purchases = Seq((1L, ts(30), 500L), (2L, ts(10), 700L))
+      .toDF("user_id", "ts", "value_milli")
+    val touches = Seq(
+      (1L, ts(10), 100L, "view"),
+      (1L, ts(20), 101L, "click"),  // latest before 30 → wins
+      (1L, ts(40), 102L, "view"),   // after the purchase → ignored
+      (2L, ts(10), 103L, "view")    // same-ts as purchase → inclusive match
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Temporal.asofJoin(purchases, touches, "user_id", "ts", "event_id")
+      .select("user_id", "asof_event_type")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("click"), 2L -> Some("view")))
+    // a user with no touches at all attributes to null (LEFT OUTER)
+    val lone = Seq((9L, ts(5), 100L)).toDF("user_id", "ts", "value_milli")
+    val none = Temporal.asofJoin(lone, touches, "user_id", "ts", "event_id")
+      .collect()
+    assert(none.length == 1 && none(0).isNullAt(none(0).fieldIndex("asof_event_type")))
+  }
+
   // ------------------------------------------------------------- funnel ---
 
   test("funnel: ordering, window, and pre-step events all gate conversion") {
