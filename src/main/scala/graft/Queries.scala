@@ -1791,6 +1791,86 @@ object Queries {
        |FROM documents ORDER BY asset_id""".stripMargin
   }
 
+  private val FrameBytes = 32
+  private val FramesPerAsset = 4
+
+  /** Uniform frame sampling over media payloads
+    * ([[Multimodal.frameSample]]): k=4 evenly spaced 32-byte frames per
+    * asset, per-frame digests — the selection arithmetic of a video
+    * pipeline as a zero-shuffle projection. */
+  private def qFrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(
+      Multimodal.assetsFromDocuments(Tables.documents(s, dir)),
+      FrameBytes, FramesPerAsset)
+      .orderBy("asset_id", "frame_index")
+
+  private val qFrameSampleSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id AS asset_id,
+       |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |              WHEN doc_id % 3 = 1 THEN 'audio'
+       |              ELSE 'text' END AS kind,
+       |         text,
+       |         greatest(1, (strlen(text) + ${FrameBytes - 1}) // $FrameBytes)
+       |           AS n_frames
+       |  FROM documents),
+       |f AS (
+       |  SELECT asset_id, kind, n_frames, g.j,
+       |         (g.j * n_frames) // $FramesPerAsset AS frame_index,
+       |         substr(text,
+       |                CAST(((g.j * n_frames) // $FramesPerAsset) * $FrameBytes + 1
+       |                     AS INTEGER), $FrameBytes) AS frame
+       |  FROM a CROSS JOIN generate_series(0, ${FramesPerAsset - 1}) g(j)
+       |  WHERE g.j = 0
+       |     OR (g.j * n_frames) // $FramesPerAsset
+       |        <> ((g.j - 1) * n_frames) // $FramesPerAsset)
+       |SELECT asset_id, kind, CAST(frame_index AS BIGINT) AS frame_index,
+       |       CAST(n_frames AS BIGINT) AS n_frames,
+       |       CAST(strlen(frame) AS BIGINT) AS frame_len,
+       |       md5(frame) AS frame_digest
+       |FROM f ORDER BY asset_id, frame_index""".stripMargin
+
+  private val ResizeMaxW = 128
+  private val ResizeMaxH = 96
+
+  /** Aspect-preserving resize planning ([[Multimodal.resizePlan]]):
+    * stub-decoded source dims fit into a 128×96 box with exact integer
+    * geometry. */
+  private def qResizePlan(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizePlan(
+      Multimodal.assetsFromDocuments(Tables.documents(s, dir)),
+      ResizeMaxW, ResizeMaxH)
+      .orderBy("asset_id")
+
+  private val qResizePlanSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id AS asset_id,
+       |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |              WHEN doc_id % 3 = 1 THEN 'audio'
+       |              ELSE 'text' END AS kind,
+       |         md5(text) AS d
+       |  FROM documents),
+       |dims AS (
+       |  SELECT asset_id, kind, d,
+       |         CAST('0x' || substr(d, 1, 2) AS BIGINT) + 16 AS src_w,
+       |         CAST('0x' || substr(d, 3, 2) AS BIGINT) + 16 AS src_h
+       |  FROM a),
+       |fit AS (
+       |  SELECT *,
+       |         (src_w * $ResizeMaxH >= src_h * $ResizeMaxW) AS wide,
+       |         CASE WHEN src_w * $ResizeMaxH >= src_h * $ResizeMaxW
+       |              THEN $ResizeMaxW
+       |              ELSE (src_w * $ResizeMaxH) // src_h END AS out_w,
+       |         CASE WHEN src_w * $ResizeMaxH >= src_h * $ResizeMaxW
+       |              THEN (src_h * $ResizeMaxW) // src_w
+       |              ELSE $ResizeMaxH END AS out_h
+       |  FROM dims)
+       |SELECT asset_id, kind, src_w, src_h,
+       |       CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
+       |       md5(d || ':' || CAST(out_w AS VARCHAR) || 'x'
+       |           || CAST(out_h AS VARCHAR)) AS resized_digest
+       |FROM fit ORDER BY asset_id""".stripMargin
+
   // ------------------------------------------------------------- events ---
 
   /** Streaming-shaped batch query: tumbling 10-minute windows per event
@@ -3137,6 +3217,8 @@ object Queries {
     GraftQuery("q_retention", qRetention, Some(qRetentionSql)),
     GraftQuery("q_burst_detect", qBurstDetect, Some(qBurstDetectSql)),
     GraftQuery("q_attribution", qAttribution, Some(qAttributionSql)),
+    GraftQuery("q_frame_sample", qFrameSample, Some(qFrameSampleSql)),
+    GraftQuery("q_resize_plan", qResizePlan, Some(qResizePlanSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
     GraftQuery("q_fingerprint_pairs", qFingerprintPairs, Some(qFingerprintPairsSql)),

@@ -91,4 +91,72 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  /** Exact integer floor division for non-negative operands (the
+    * [[Layout]] trick): `(a − a mod b) / b`. */
+  private def intDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Frame sampling — the video/audio half of the decode story: treat
+    * the opaque payload as `n = ceil(len/frameBytes)` fixed-size frames
+    * and keep `k` uniformly spaced ones (`frame_index_j = ⌊j·n/k⌋`,
+    * exactly what a video pipeline's uniform sampler computes), emitting
+    * per-frame slices and digests. When n < k the arithmetic filter
+    * `fi(j) ≠ fi(j−1)` drops duplicate indices PER ROW — no
+    * dropDuplicates shuffle. Everything is substring/md5/integer
+    * arithmetic: a per-row projection (explode bounded by k), zero
+    * shuffle, SQL-replayable — a real frame decoder slots into the
+    * [[extractFeatures]] batch boundary downstream of this selection.
+    *
+    * Output: `(asset_id, kind, frame_index, n_frames, frame_len,
+    * frame_digest)`. */
+  def frameSample(assets: DataFrame, frameBytes: Int = 32, k: Int = 4): DataFrame = {
+    val n = greatest(lit(1L),
+      intDiv(length(col("payload")) + lit(frameBytes - 1), lit(frameBytes)))
+    def fi(j: org.apache.spark.sql.Column) = intDiv(j * col("n_frames"), lit(k))
+    Partitioning.spread(assets)
+      .select(col("asset_id"), col("kind"), col("payload"), n.as("n_frames"))
+      .withColumn("j", explode(array((0 until k).map(j => lit(j.toLong)): _*)))
+      .filter(col("j") === 0 || fi(col("j")) =!= fi(col("j") - 1))
+      .withColumn("frame_index", fi(col("j")))
+      .withColumn("frame",
+        substring(col("payload"), (col("frame_index") * frameBytes + 1).cast("int"),
+          lit(frameBytes)))
+      .select(col("asset_id"), col("kind"), col("frame_index"), col("n_frames"),
+        length(col("frame")).cast("long").as("frame_len"),
+        md5(col("frame")).as("frame_digest"))
+  }
+
+  /** Aspect-preserving resize planning — the geometry half of a real
+    * resize, in exact integer arithmetic: source dims come off the stub
+    * decode (two digest bytes — a real decoder reads the header), and
+    * the output box is the largest (w, h) fitting `maxW × maxH` with
+    * aspect preserved: wider-than-target sources pin width
+    * (`oh = ⌊h·maxW/w⌋`), taller ones pin height. The resized-payload
+    * digest stands in for the pixel work (same stub contract as
+    * [[stubDecode]]); the planning arithmetic IS what a real pipeline
+    * computes, and it replays in SQL.
+    *
+    * Output: `(asset_id, kind, src_w, src_h, out_w, out_h,
+    * resized_digest)`. */
+  def resizePlan(assets: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val digest = md5(col("payload"))
+    // source dims 16..271 from the first two digest bytes
+    val srcW = (conv(substring(digest, 1, 2), 16, 10).cast("long") + 16).as("src_w")
+    val srcH = (conv(substring(digest, 3, 2), 16, 10).cast("long") + 16).as("src_h")
+    Partitioning.spread(assets)
+      .select(col("asset_id"), col("kind"), digest.as("__d"), srcW, srcH)
+      .withColumn("__wide",
+        col("src_w") * maxH >= col("src_h") * maxW) // aspect vs target box
+      .withColumn("out_w",
+        when(col("__wide"), lit(maxW.toLong))
+          .otherwise(intDiv(col("src_w") * maxH, col("src_h"))))
+      .withColumn("out_h",
+        when(col("__wide"), intDiv(col("src_h") * maxW, col("src_w")))
+          .otherwise(lit(maxH.toLong)))
+      .select(col("asset_id"), col("kind"), col("src_w"), col("src_h"),
+        col("out_w"), col("out_h"),
+        md5(concat(col("__d"), lit(":"), col("out_w"), lit("x"), col("out_h")))
+          .as("resized_digest"))
+  }
 }

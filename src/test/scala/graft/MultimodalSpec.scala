@@ -47,4 +47,45 @@ class MultimodalSpec extends SparkSpec {
     assert(top.length == 5)
     assert(top.head.getAs[Long]("asset_id") == 0L) // self is most similar
   }
+
+  test("frame sampling: uniform spaced indices, correct slices, short assets dedup") {
+    val frames = Multimodal.frameSample(assets, frameBytes = 32, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byAsset = frames.groupBy(_._1)
+    assert(byAsset.nonEmpty)
+    byAsset.foreach { case (id, fs) =>
+      val n = fs.head._3
+      val expectIdx = (0 until 4).map(j => j * n / 4).distinct
+      assert(fs.map(_._2).sorted.toSeq == expectIdx.sorted,
+        s"asset $id: ${fs.map(_._2).toSeq} vs $expectIdx")
+      assert(fs.length <= 4)
+      // every frame except possibly the last is full-size
+      fs.sortBy(_._2).dropRight(1).foreach { f =>
+        assert(f._4 == 32, s"asset $id frame ${f._2} len ${f._4}")
+      }
+    }
+    // JVM model spot check: frame digest == md5 of the text slice
+    val one = Multimodal.frameSample(assets, 32, 4)
+      .filter(col("asset_id") === 1 && col("frame_index") === 0)
+      .select("frame_digest").collect()(0).getString(0)
+    val text = Tables.documents(spark, Sf0001)
+      .filter(col("doc_id") === 1).select("text").collect()(0).getString(0)
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.take(32).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(one == expect)
+  }
+
+  test("resize planning: aspect preserved within the box, exact integer geometry") {
+    val rows = Multimodal.resizePlan(assets, 128, 96)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (sw, sh, ow, oh) =>
+      assert(ow <= 128 && oh <= 96, s"($sw,$sh) -> ($ow,$oh) escapes the box")
+      assert(ow == 128 || oh == 96, s"($sw,$sh) -> ($ow,$oh) under-fills the box")
+      // integer-floor aspect: ow/oh within one unit of sw/sh ratio
+      val expected = if (sw * 96 >= sh * 128) (128L, sh * 128 / sw)
+      else (sw * 96 / sh, 96L)
+      assert((ow, oh) == expected, s"($sw,$sh) -> ($ow,$oh), want $expected")
+    }
+  }
 }
