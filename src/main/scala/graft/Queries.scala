@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Metric, VectorFunctions => VF}
-import graft.operators.{Contrastive, Diversify, Graph, Layout, Lexical, Multimodal, Packing, Quantize, Rag, Rerank, Sketches, Skew, Splits, Temporal, TextOps, VectorSearch}
+import graft.operators.{Contrastive, Diversify, Graph, Layout, Lexical, Multimodal, Packing, Profile, Quantize, Rag, Rerank, Sketches, Skew, Splits, Temporal, TextOps, VectorSearch}
 import graft.sources.{Compaction, Sources}
 import graft.streaming.Streaming
 
@@ -1791,6 +1791,37 @@ object Queries {
        |FROM documents ORDER BY asset_id""".stripMargin
   }
 
+  private val ProfileCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  /** Column profiling ([[Profile.profile]]) over orders: one
+    * aggregation pass for all scalar stats + one modal-value groupBy
+    * per column — the pre-training data-quality report. Integral and
+    * string columns only (double stringification is engine-specific). */
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    Profile.profile(Tables.orders(s, dir), ProfileCols)
+      .orderBy("column")
+
+  private val qProfileSql: String = {
+    val branches = ProfileCols.map { c =>
+      s"""SELECT '$c' AS "column", (SELECT count(*) FROM orders) AS n_rows,
+         |       (SELECT count(*) FROM orders WHERE $c IS NULL) AS n_nulls,
+         |       (SELECT count(DISTINCT $c) FROM orders) AS n_distinct,
+         |       (SELECT CAST(min($c) AS VARCHAR) FROM orders) AS min_val,
+         |       (SELECT CAST(max($c) AS VARCHAR) FROM orders) AS max_val,
+         |       t.v AS top_value, t.cnt AS top_count
+         |FROM (SELECT CAST($c AS VARCHAR) AS v, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM orders WHERE $c IS NOT NULL
+         |      GROUP BY 1 ORDER BY cnt DESC, v ASC LIMIT 1) t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT "column", CAST(n_rows AS BIGINT) AS n_rows,
+       |       CAST(n_nulls AS BIGINT) AS n_nulls,
+       |       CAST(n_distinct AS BIGINT) AS n_distinct,
+       |       min_val, max_val, top_value, top_count
+       |FROM ($branches)
+       |ORDER BY "column"""".stripMargin
+  }
+
   private val FrameBytes = 32
   private val FramesPerAsset = 4
 
@@ -3218,6 +3249,7 @@ object Queries {
     GraftQuery("q_burst_detect", qBurstDetect, Some(qBurstDetectSql)),
     GraftQuery("q_attribution", qAttribution, Some(qAttributionSql)),
     GraftQuery("q_frame_sample", qFrameSample, Some(qFrameSampleSql)),
+    GraftQuery("q_profile", qProfile, Some(qProfileSql)),
     GraftQuery("q_resize_plan", qResizePlan, Some(qResizePlanSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
