@@ -1791,6 +1791,60 @@ object Queries {
        |FROM documents ORDER BY asset_id""".stripMargin
   }
 
+  private val LeakSalt = "leak"
+  private val LeakTrainFrac = 0.8
+  private val LeakTau = 0.3
+
+  /** Embedding-level train/test leakage ([[VectorSearch
+    * .clusterMaxSim]]): hash-split the vectors 80/20, then every test
+    * row's max cosine to any train row WITHIN its centroid cluster —
+    * the semantic contamination check n-gram overlap
+    * ([[qContamination]]) cannot catch. Same memoized centroids as the
+    * other IVF-family queries. */
+  private def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val centroids = centroidCache.computeIfAbsent(s"$dir#16",
+      _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine))
+    val isTrain =
+      Splits.hashBucket(col("vec_id"), LeakSalt) <
+        math.round(LeakTrainFrac * Splits.Buckets)
+    VectorSearch.clusterMaxSim(
+      emb.filter(!isTrain), emb.filter(isTrain),
+      "embedding", "vec_id", Metric.Cosine, centroids)
+      .withColumn("leaked",
+        col("max_sim").isNotNull && col("max_sim") > LeakTau)
+      .orderBy("vec_id")
+  }
+
+  private val qSplitLeakageSql: String = {
+    val p = Sketches.MinhashPrime
+    val b = Splits.Buckets
+    val bound = math.round(LeakTrainFrac * b)
+    val bucket =
+      s"((CAST('0x' || substr(md5('$LeakSalt:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % $p) % $b)"
+    val assign = Oracle.dot("v.nemb", "c.cvec", EmbeddingDim)
+    val sim = Oracle.dot("a.nemb", "b.nemb", EmbeddingDim)
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |c AS (SELECT vec_id AS cid, nemb AS cvec FROM n ORDER BY vec_id LIMIT 16),
+       |da AS (
+       |  SELECT vec_id, nemb, cid, ($bucket < $bound) AS is_train FROM (
+       |    SELECT v.vec_id, v.nemb, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |                              ORDER BY $assign DESC, c.cid ASC) AS rn
+       |    FROM n v CROSS JOIN c) WHERE rn = 1),
+       |m AS (
+       |  SELECT a.vec_id, max($sim) AS max_sim
+       |  FROM da a JOIN da b ON a.cid = b.cid AND NOT a.is_train AND b.is_train
+       |  GROUP BY 1)
+       |SELECT d.vec_id, d.cid AS centroid_id, m.max_sim,
+       |       (m.max_sim IS NOT NULL
+       |        AND m.max_sim > CAST($LeakTau AS DOUBLE)) AS leaked
+       |FROM da d LEFT JOIN m ON d.vec_id = m.vec_id
+       |WHERE NOT d.is_train
+       |ORDER BY d.vec_id""".stripMargin
+  }
+
   private val ProfileCols =
     Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
 
@@ -3250,6 +3304,7 @@ object Queries {
     GraftQuery("q_attribution", qAttribution, Some(qAttributionSql)),
     GraftQuery("q_frame_sample", qFrameSample, Some(qFrameSampleSql)),
     GraftQuery("q_profile", qProfile, Some(qProfileSql)),
+    GraftQuery("q_split_leakage", qSplitLeakage, Some(qSplitLeakageSql)),
     GraftQuery("q_resize_plan", qResizePlan, Some(qResizePlanSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),

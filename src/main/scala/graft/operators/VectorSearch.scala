@@ -509,6 +509,38 @@ object VectorSearch {
           .as("keep"))
   }
 
+  /** Cluster-confined max similarity of every `probe` row to the
+    * `corpus` — the cross-frame face of [[semanticDedup]], and the
+    * embedding-level TRAIN/TEST LEAKAGE check n-gram decontamination
+    * ([[TextOps]]) cannot do (paraphrased eval questions share no
+    * shingles but sit next to their source in embedding space).
+    *
+    * Output: one row per probe — `(idCol, centroid_id, max_sim)`,
+    * `max_sim` null when the probe's cluster holds no corpus row.
+    * Same scale contract as [[semanticDedup]]: zero-shuffle centroid
+    * assignment on both sides, the quadratic confined within clusters,
+    * one centroid-id shuffle, order-independent `max(double)`. */
+  def clusterMaxSim(
+      probe: DataFrame,
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      metric: Metric,
+      centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    val p = prepareColumn(Partitioning.spread(probe), vecCol, metric)
+      .select(col(idCol), col(vecCol).as("__pvec"))
+      .withColumn("centroid_id", ivfAssign(col("__pvec"), centroids, metric))
+    val c = prepareColumn(corpus, vecCol, metric)
+      .select(col(idCol).as("__cid_row"), col(vecCol).as("__cvec"))
+      .withColumn("centroid_id", ivfAssign(col("__cvec"), centroids, metric))
+    val sims = p.join(c, Seq("centroid_id"))
+      .groupBy(col(idCol))
+      .agg(max(metric.scorePrenormalized(col("__pvec"), col("__cvec")))
+        .as("max_sim"))
+    p.select(col(idCol), col("centroid_id"))
+      .join(sims, Seq(idCol), "left")
+  }
+
   /** Approximate knn join — the 100 TB path: pairs are only scored within
     * the same LSH bucket, turning O(N·M) pairs into O(N·M / 2^bits)
     * expected. The bucket equi-join shuffles both sides by bucket id

@@ -113,4 +113,39 @@ class VectorSearchSpec extends SparkSpec {
     // null-sim rows are always kept
     assert(out.filter(col("max_lower_sim").isNull && !col("keep")).count() == 0)
   }
+
+  test("clusterMaxSim matches a sequential within-cluster max model") {
+    import graft.functions.VectorFunctions
+    val cents = VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine)
+    val probe = emb.filter(col("vec_id") % 5 === 0)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val got = VectorSearch.clusterMaxSim(probe, corpus, "embedding", "vec_id",
+      Metric.Cosine, cents)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // sequential model over collected normalized vectors
+    val norm = emb.select(col("vec_id"),
+      VectorFunctions.l2Normalize(col("embedding")).as("nv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.map(i => a(i) * b(i)).sum
+    val cvecs = cents.map { case (cid, v) => cid -> v.toArray }
+    def assign(v: Array[Double]) =
+      cvecs.map { case (cid, cv) => (-dot(v, cv), cid) }.min._2
+    val corpusByCluster = norm.filter(_._1 % 5 != 0)
+      .groupBy { case (_, v) => assign(v) }
+    assert(got.nonEmpty && got.keySet == norm.keySet.filter(_ % 5 == 0))
+    got.foreach { case (id, (cid, sim)) =>
+      assert(cid == assign(norm(id)), s"probe $id cluster")
+      val mates = corpusByCluster.getOrElse(cid, Map.empty)
+      val expect = if (mates.isEmpty) None
+        else Some(mates.values.map(v => dot(norm(id), v)).max)
+      (sim, expect) match {
+        case (Some(s), Some(e)) => assert(math.abs(s - e) < 1e-12, s"probe $id")
+        case (None, None)       =>
+        case other              => fail(s"probe $id: $other")
+      }
+    }
+  }
 }
