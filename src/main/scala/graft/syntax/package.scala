@@ -85,5 +85,29 @@ package object syntax {
         id: String = "doc_id", text: String = "text"): DataFrame =
       Sketches.fingerprintPairs(df, id, text,
         minShared = minShared, maxDocFreq = maxDocFreq)
+
+    /** [[Profile.profile]]: per-column data-quality report. */
+    def profiled(cols: String*): DataFrame = Profile.profile(df, cols)
+
+    /** [[Temporal.funnelCounts]]: k-step first-touch funnel. */
+    def funnel(steps: Seq[String], windowDays: Int = 7,
+        user: String = "user_id", ts: String = "ts",
+        tpe: String = "event_type"): DataFrame =
+      Temporal.funnelCounts(df, user, ts, tpe, steps, windowDays)
+
+    /** [[Temporal.retentionCohorts]]: weekly retention grid. */
+    def retention(maxWeeks: Int = 8, user: String = "user_id",
+        ts: String = "ts"): DataFrame =
+      Temporal.retentionCohorts(df, user, ts, maxWeeks)
+
+    /** [[Contrastive.minePairs]]: DPR-style training triplets. */
+    def contrastivePairs(anchorFilter: org.apache.spark.sql.Column,
+        vec: String = "embedding", id: String = "vec_id",
+        metric: graft.functions.Metric = graft.functions.Metric.Cosine): DataFrame =
+      Contrastive.minePairs(df, vec, id, metric, anchorFilter)
+
+    /** [[Layout.zorderStats]]: Z-order layout + skipping stats. */
+    def zorderLayout(colA: String, colB: String, buckets: Int = 16): DataFrame =
+      Layout.zorderStats(df, colA, colB, buckets)
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Splits, TextOps}
+import graft.operators.{Layout, Splits, Temporal, TextOps}
 import graft.syntax._
 
 /** The fluent facade must be a zero-cost delegation: identical analyzed
@@ -22,6 +22,12 @@ class SyntaxSpec extends SparkSpec {
       Splits.quotaSample(docs, "doc_id", "source", "s", 10)))
     assert(samePlan(docs.vocabTop(5),
       TextOps.vocabTopK(docs, "doc_id", "text", 5)))
+    val events = Tables.events(spark, Sf0001)
+    assert(samePlan(events.retention(8),
+      Temporal.retentionCohorts(events, "user_id", "ts", 8)))
+    val orders = Tables.orders(spark, Sf0001)
+    assert(samePlan(orders.zorderLayout("o_orderkey", "o_custkey"),
+      Layout.zorderStats(orders, "o_orderkey", "o_custkey", 16)))
   }
 
   test("a chained pipeline composes and runs") {
