@@ -23,10 +23,12 @@ object Profile {
     * top_value, top_count)` — `top_value` ties break to the SMALLEST
     * value string. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // pass 1: row count + NATIVE-typed min/max per column, stringified
+    // after the fact (string-min of ints would rank "9" > "10"); no
+    // count-distinct here — a multi-column exact distinct would EXPAND
+    // every row |cols|× inside one aggregate
     val scalarAggs = cols.flatMap { c =>
       Seq(
-        count(when(col(c).isNull, lit(1))).as(s"__nulls_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     }
@@ -35,19 +37,35 @@ object Profile {
     import spark.implicits._
     val scalarRows = totals.collect()(0)
     val n = scalarRows.getAs[Long]("__n")
-    val tops = cols.map { c =>
-      val t = df.filter(col(c).isNotNull)
-        .groupBy(col(c).cast("string").as("v"))
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy(desc("cnt"), asc("v"))
-        .limit(1)
+    // pass 2: ONE melted (column, value, cnt) frame (explode a per-row
+    // column→value map) feeds distincts, null counts AND the modal
+    // value — materialized once; every aggregation over it is fully
+    // partial (no per-column window sort, so a high-cardinality column
+    // never pins a partition at scale)
+    val melted = df.select(explode(map(
+      cols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*))
+      .as(Seq("column", "v")))
+      .filter(col("v").isNotNull)
+      .groupBy("column", "v").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val colStats = melted.groupBy("column")
+      .agg(count(lit(1)).as("nd"), sum("cnt").as("nonnull"), max("cnt").as("mc"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val tops: Map[String, Option[(String, Long)]] = cols.map(_ -> Option
+      .empty[(String, Long)]).toMap ++
+      melted.groupBy("column").agg(max("cnt").as("cnt"))
+        .join(melted, Seq("column", "cnt"))
+        .groupBy("column", "cnt").agg(min("v").as("v"))
         .collect()
-      c -> t.headOption.map(r => (r.getString(0), r.getLong(1)))
-    }.toMap
+        .map(r => r.getString(0) ->
+          Some((r.getString(2), r.getLong(1)))).toMap
     cols.map { c =>
+      val (nd, nonnull, _) = colStats.getOrElse(c, (0L, 0L, 0L))
       (c, n,
-        scalarRows.getAs[Long](s"__nulls_$c"),
-        scalarRows.getAs[Long](s"__nd_$c"),
+        n - nonnull,
+        nd,
         scalarRows.getAs[String](s"__min_$c"),
         scalarRows.getAs[String](s"__max_$c"),
         tops(c).map(_._1).orNull,
