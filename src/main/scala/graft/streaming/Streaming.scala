@@ -91,15 +91,23 @@ object Streaming {
       events: DataFrame,
       windowDur: String = "6 hours",
       factorNum: Int = 2,
+      trailing: Int = 3): DataFrame =
+    burstFlags(windowedCounts(events, windowDur), factorNum, trailing)
+
+  /** The alert pass of [[burstDetect]], split out so it runs equally
+    * over a batch aggregation or a TABLE OF STREAMED WINDOW COUNTS —
+    * the standard streaming-agg + batch-alerting split (window
+    * functions cannot run inside a streaming query; the windows
+    * [[windowedCounts]] emits are exactly this pass's input —
+    * streaming==batch pinned in StreamingSpec). */
+  def burstFlags(
+      counts: DataFrame,
+      factorNum: Int = 2,
       trailing: Int = 3): DataFrame = {
-    val counts = events
-      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(unix_timestamp(col("w.start")).as("window_start_epoch"),
-        col("event_type"), col("n_events"))
     val frame = Window.partitionBy("event_type").orderBy("window_start_epoch")
       .rowsBetween(-trailing, -1)
     counts
+      .select(col("window_start_epoch"), col("event_type"), col("n_events"))
       .withColumn("__psum", sum("n_events").over(frame))
       .withColumn("__pn", count(lit(1)).over(frame))
       .withColumn("is_burst",

@@ -289,6 +289,20 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("burst alerting over streamed window counts == full batch burstDetect") {
+    val batch = Streaming.burstDetect(Tables.events(spark, Sf0001))
+      .orderBy("event_type", "window_start_epoch").collect().toSeq
+    val streamedCounts = runStream(
+      Streaming.windowedCounts(
+        Streaming.eventsStream(spark, landingDir), "6 hours",
+        watermark = Some("1 hour")),
+      "burst_counts_stream")
+    val stream = Streaming.burstFlags(streamedCounts)
+      .orderBy("event_type", "window_start_epoch").collect().toSeq
+    assert(stream == batch)
+    assert(batch.exists(_.getBoolean(4)) || batch.nonEmpty)
+  }
+
   test("burst detection: 2x-over-trailing-3 fires, under-threshold and warmup never do") {
     import spark.implicits._
     def rows(tpe: String, perWindow: Seq[Int]) =
@@ -300,7 +314,7 @@ class StreamingSpec extends SparkSpec {
       }
     val events = (rows("spiky", Seq(10, 10, 10, 25)) ++   // 25*3 > 30*2 → burst
       rows("calm", Seq(10, 10, 10, 15)))                  // 15*3 < 30*2 → no
-      .toDF("event_type", "ts")
+      .toDF("event_type", "ts").withColumn("value", lit(0.0))
     val got = graft.streaming.Streaming.burstDetect(events)
       .collect()
       .map(r => (r.getString(0), r.getLong(1) / 21600, r.getBoolean(4))).toSet
