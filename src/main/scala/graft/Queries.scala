@@ -1791,6 +1791,58 @@ object Queries {
        |FROM documents ORDER BY asset_id""".stripMargin
   }
 
+  private val CmsW = 1024
+  private val CmsD = 4
+
+  /** Count-Min frequency estimates ([[Sketches.cmsBuild]]): CMS over
+    * all corpus tokens (4×1024 integer cells — the mergeable frequency
+    * sketch), probed with the exact top-10 tokens; `cms_cnt ≥
+    * exact_cnt` is the one-sided error contract, oracle-checked
+    * cell-for-cell. */
+  private def qCmsCounts(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val sketch = Sketches.cmsBuild(toks, "tok", CmsW, CmsD)
+    val exactTop = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(desc("exact_cnt"), asc("tok")).limit(10)
+      .localCheckpoint() // feeds both the probe and the final join
+    Sketches.cmsEstimate(exactTop.select("tok"), "tok", sketch, CmsW, CmsD)
+      .join(exactTop, Seq("tok"))
+      .select(col("tok"), col("exact_cnt"), col("cms_cnt"))
+      .orderBy("tok")
+  }
+
+  private val qCmsCountsSql: String = {
+    val p = Sketches.MinhashPrime
+    val consts = Sketches.mixConstants(CmsD)
+    def branches(src: String) = consts.zipWithIndex.map { case ((a, b), i) =>
+      s"SELECT tok, CAST($i AS BIGINT) AS row, (($a * hm + $b) % $p) % $CmsW AS bucket FROM $src"
+    }.mkString("\n    UNION ALL ")
+    s"""WITH t AS (
+       |  SELECT unnest(string_split_regex(trim(text), ' +')) AS tok FROM documents),
+       |h AS (
+       |  SELECT tok, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % $p AS hm
+       |  FROM t),
+       |cells AS (
+       |  SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    ${branches("h")})
+       |  GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM t GROUP BY 1
+       |  ORDER BY exact_cnt DESC, tok ASC LIMIT 10),
+       |exh AS (
+       |  SELECT tok, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % $p AS hm
+       |  FROM ex),
+       |pe AS (
+       |    ${branches("exh")}),
+       |est AS (
+       |  SELECT pe.tok, min(COALESCE(c.cnt, 0)) AS cms_cnt
+       |  FROM pe LEFT JOIN cells c USING (row, bucket) GROUP BY 1)
+       |SELECT e.tok, e.exact_cnt, CAST(est.cms_cnt AS BIGINT) AS cms_cnt
+       |FROM ex e JOIN est USING (tok)
+       |ORDER BY tok""".stripMargin
+  }
+
   private val LeakSalt = "leak"
   private val LeakTrainFrac = 0.8
   private val LeakTau = 0.3
@@ -3305,6 +3357,7 @@ object Queries {
     GraftQuery("q_frame_sample", qFrameSample, Some(qFrameSampleSql)),
     GraftQuery("q_profile", qProfile, Some(qProfileSql)),
     GraftQuery("q_split_leakage", qSplitLeakage, Some(qSplitLeakageSql)),
+    GraftQuery("q_cms_counts", qCmsCounts, Some(qCmsCountsSql)),
     GraftQuery("q_resize_plan", qResizePlan, Some(qResizePlanSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),

@@ -286,6 +286,59 @@ object Sketches {
     df.groupBy(col(groupCol), col(subCol))
       .agg(hll_sketch_agg(col(valueCol)).as("sk"))
 
+  // ---------------------------------------------------------- Count-Min ---
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) — the mergeable
+    * FREQUENCY sketch next to [[mergedDistinct]]'s HLL distinct sketch:
+    * d hash rows × w buckets of integer counts; `estimate(x) = min_i
+    * cell[i][h_i(x)]` never underestimates and overshoots by ≤ εN with
+    * probability 1−δ (w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉).
+    *
+    * Hashing follows the minhash single-hash lesson: ONE md5 per value
+    * reduced to a 60-bit base, the d rows derived arithmetically with
+    * the [[mixConstants]] families — deterministic, SQL-replayable, one
+    * hash invocation per value.
+    *
+    * The sketch is index-as-data: a `(row, bucket, cnt)` table of ≤ d·w
+    * rows however large the input — partial map-side counts, a
+    * (row, bucket)-keyed shuffle of integer cells, mergeable by
+    * cell-wise SUM (the per-ingest-batch persistence shape). */
+  def cmsBuild(
+      values: DataFrame, valueCol: String, w: Int, d: Int): DataFrame = {
+    val base = shingleHash(col(valueCol))
+    val rows = mixConstants(d).zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i.toLong).as("row"),
+        pmod(pmod(lit(a) * base + lit(b), lit(MinhashPrime)), lit(w.toLong))
+          .as("bucket"))
+    }
+    values
+      .select(explode(array(rows: _*)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `probes` (`valueCol`) against a built sketch:
+    * `(valueCol, cms_cnt)` — min over the d cells; values the sketch
+    * never saw estimate ≥ 0 from whatever collides. The probe side
+    * explodes to d (row, bucket) keys and equi-joins the ≤ d·w-row
+    * sketch (broadcast-sized by construction). */
+  def cmsEstimate(
+      probes: DataFrame, valueCol: String, sketch: DataFrame,
+      w: Int, d: Int): DataFrame = {
+    val base = shingleHash(col(valueCol))
+    val rows = mixConstants(d).zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i.toLong).as("row"),
+        pmod(pmod(lit(a) * base + lit(b), lit(MinhashPrime)), lit(w.toLong))
+          .as("bucket"))
+    }
+    probes
+      .select(col(valueCol), explode(array(rows: _*)).as("rb"))
+      .select(col(valueCol), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(col(valueCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_cnt"))
+  }
+
   // -------------------------------------------------------------- Bloom ---
 
   /** The `k` Bloom bit positions of a key: double hashing

@@ -236,6 +236,44 @@ class SketchesSpec extends SparkSpec {
     assert(run(docs) == run(docs.repartition(13)))
   }
 
+  // ---------------------------------------------------------- Count-Min ---
+
+  test("CMS never underestimates and overshoot stays within the epsilon bound") {
+    val toks = Tables.documents(spark, Sf0001)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val n = toks.count()
+    val sketch = Sketches.cmsBuild(toks, "tok", 1024, 4)
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+    val got = Sketches.cmsEstimate(exact, "tok", sketch, 1024, 4)
+      .join(exact, "tok")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (tok, est, ex) =>
+      assert(est >= ex, s"$tok: CMS underestimated ($est < $ex)")
+    }
+    // ε = e/w; P(overshoot > εN) ≤ δ = e^-d per item — allow no item
+    // past 2εN on this fixed deterministic fixture
+    val eps = math.E / 1024
+    val maxOver = got.map { case (_, est, ex) => est - ex }.max
+    info(f"max CMS overshoot: $maxOver (2epsN = ${2 * eps * n}%.0f, N = $n)")
+    assert(maxOver <= 2 * eps * n, s"overshoot $maxOver")
+  }
+
+  test("CMS sketches merge: cellwise sum of sub-sketches == whole-corpus sketch") {
+    val docs = Tables.documents(spark, Sf0001)
+    def toksOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(TextOps.tokens(col("text"))).as("tok"))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsBuild(toksOf(df), "tok", 1024, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = cells(docs)
+    val a = cells(docs.filter(col("doc_id") % 2 === 0))
+    val b = cells(docs.filter(col("doc_id") % 2 =!= 0))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == whole)
+  }
+
   // -------------------------------------------------------------- Bloom ---
 
   private val BloomM = 4096
