@@ -1791,6 +1791,31 @@ object Queries {
        |FROM documents ORDER BY asset_id""".stripMargin
   }
 
+  private val PhraseTerms = Seq("spark", "window")
+
+  /** Exact-phrase search ([[Lexical.phraseSearch]]): positional
+    * posting-list intersection for "spark window" — adjacency matching
+    * bag-of-words BM25 cannot express; postings term-filtered at the
+    * scan, materialized once. Positions are 0-based on the Spark side
+    * and 1-based in the oracle — only RELATIVE positions matter. */
+  private def qPhraseSearch(s: SparkSession, dir: String): DataFrame =
+    Lexical.phraseSearch(Tables.documents(s, dir), "doc_id", "text",
+      PhraseTerms)
+      .orderBy("doc_id")
+
+  private val qPhraseSearchSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
+       |p AS (
+       |  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+       |  FROM t),
+       |m AS (
+       |  SELECT a.doc_id
+       |  FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  WHERE a.tok = '${PhraseTerms.head}' AND b.tok = '${PhraseTerms(1)}')
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+       |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   private val CmsW = 1024
   private val CmsD = 4
 
@@ -3358,6 +3383,7 @@ object Queries {
     GraftQuery("q_profile", qProfile, Some(qProfileSql)),
     GraftQuery("q_split_leakage", qSplitLeakage, Some(qSplitLeakageSql)),
     GraftQuery("q_cms_counts", qCmsCounts, Some(qCmsCountsSql)),
+    GraftQuery("q_phrase_search", qPhraseSearch, Some(qPhraseSearchSql)),
     GraftQuery("q_resize_plan", qResizePlan, Some(qResizePlanSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),

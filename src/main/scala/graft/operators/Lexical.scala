@@ -70,6 +70,47 @@ object Lexical {
       .orderBy(desc("score"), asc(idCol))
       .limit(k)
 
+  /** Positional postings for the given terms only:
+    * `(idCol, tok, pos)` — the slice of an inverted index a phrase
+    * query touches. The term filter lands on the exploded stream BEFORE
+    * any shuffle, so the frame is |query terms|-bounded per doc, never
+    * vocabulary-sized. */
+  def postings(
+      docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame =
+    Partitioning.spread(docs)
+      .select(col(idCol),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .filter(col("tok").isInCollection(terms))
+
+  /** Exact-phrase search — what bag-of-words BM25 cannot do: documents
+    * where `phrase` occurs as ADJACENT tokens, with occurrence counts.
+    * Classic positional-postings intersection: term i's postings join
+    * term 0's on `(doc, pos_i = pos_0 + i)` — every join is an
+    * equi-join on (doc, shifted position), each side term-filtered at
+    * the scan, so cost scales with posting-list sizes, not the corpus.
+    * Output: `(idCol, n_occurrences)`, docs containing the phrase. */
+  def phraseSearch(
+      docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    // materialize the postings slice once — it feeds one join side per
+    // term (the minhashCandidates lesson; a real deployment reads a
+    // PERSISTED inverted index here)
+    val post = postings(docs, idCol, textCol, phrase.distinct).localCheckpoint()
+    val first = post.filter(col("tok") === phrase.head)
+      .select(col(idCol), col("pos").as("__p0"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (term, i)) =>
+        acc.join(
+          post.filter(col("tok") === term)
+            .select(col(idCol), (col("pos") - i).as("__p0")),
+          Seq(idCol, "__p0"))
+    }
+    matched.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Reciprocal-rank fusion of two ranked lists (hybrid retrieval):
     * `score = Σ 1/(c + rank)` over the lists a doc appears in — the
     * standard rank-level fusion that needs NO score normalization

@@ -61,4 +61,40 @@ class LexicalSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == Seq(206L, 477L, 125L), s"got ${got.toSeq}")
     assert(math.abs(got.head._2 - 1.2756369851943024) < 1e-12)
   }
+
+  test("phrase search: adjacency required, overlaps counted, order matters") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a spark window join"),          // one occurrence
+      (2L, "spark window spark window"),    // two occurrences
+      (3L, "spark join window"),            // terms present, not adjacent
+      (4L, "window spark"),                 // reversed order
+      (5L, "spark spark spark")             // repeated-term phrase below
+    ).toDF("doc_id", "text")
+    val got = Lexical.phraseSearch(docs, "doc_id", "text",
+      Seq("spark", "window"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L), got.toString)
+    // a repeated-term phrase intersects a posting list with itself
+    val rep = Lexical.phraseSearch(docs, "doc_id", "text",
+      Seq("spark", "spark"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 5 "spark spark spark": overlapping occurrences at 0-1 and 1-2
+    assert(rep == Map(5L -> 2L), rep.toString)
+  }
+
+  test("phrase search agrees with a regex count on the real corpus") {
+    val docs = Tables.documents(spark, Sf0001)
+    val got = Lexical.phraseSearch(docs, "doc_id", "text",
+      Seq("spark", "window"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // token-adjacency == whitespace-delimited phrase on this corpus
+    // (distinct words — matches cannot overlap, so regexp_count agrees)
+    val expect = docs
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("(?<=^| )spark window(?=$| )")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
 }
