@@ -317,6 +317,32 @@ class SketchesSpec extends SparkSpec {
     assert(whole == merged)
   }
 
+  test("bloom bits and CMS cells survive a parquet round-trip (index-as-data)") {
+    val dir = java.nio.file.Files.createTempDirectory("sketch_rt").toString
+    val cust = Tables.customer(spark, Sf0001)
+      .filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("key"))
+    val bloom = Sketches.bloomBuild(cust, "key", BloomM, BloomK)
+    bloom.write.mode("overwrite").parquet(s"$dir/bloom")
+    val bloomBack = spark.read.parquet(s"$dir/bloom")
+    assert(Sketches.bloomCollect(bloomBack).toSet ==
+      Sketches.bloomCollect(bloom).toSet)
+    val toks = Tables.documents(spark, Sf0001)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val cms = Sketches.cmsBuild(toks, "tok", 1024, 4)
+    cms.write.mode("overwrite").parquet(s"$dir/cms")
+    val cmsBack = spark.read.parquet(s"$dir/cms")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells(cmsBack) == cells(cms))
+    // estimates off the reloaded sketch are identical
+    val probes = toks.limit(5).distinct()
+    def est(sk: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsEstimate(probes, "tok", sk, 1024, 4)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est(cmsBack) == est(cms))
+  }
+
   test("bloom membership is a zero-shuffle projection (no Exchange, no Join)") {
     val bloom = Seq(1L, 5L, 77L, 401L)
     val plan = Tables.orders(spark, Sf0001)
