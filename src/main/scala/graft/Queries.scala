@@ -1791,6 +1791,57 @@ object Queries {
        |FROM documents ORDER BY asset_id""".stripMargin
   }
 
+  /** SCD2 history ([[Temporal.scd2History]]): each user's event-type
+    * changes as validity intervals in exact epoch microseconds. */
+  private def qScd2(s: SparkSession, dir: String): DataFrame =
+    Temporal.scd2History(Tables.events(s, dir), "user_id", "ts",
+      "event_type", "event_id")
+      .orderBy("user_id", "valid_from_us", "event_type")
+
+  private val qScd2Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |c AS (
+      |  SELECT *, lag(event_type) OVER (PARTITION BY user_id
+      |                                  ORDER BY us, event_id) AS prev
+      |  FROM o),
+      |ch AS (
+      |  SELECT user_id, event_type, us, event_id FROM c
+      |  WHERE prev IS NULL OR prev <> event_type),
+      |iv AS (
+      |  SELECT user_id, event_type, us AS valid_from_us,
+      |         lead(us) OVER (PARTITION BY user_id
+      |                        ORDER BY us, event_id) AS valid_to_us
+      |  FROM ch)
+      |SELECT user_id, event_type, valid_from_us, valid_to_us
+      |FROM iv ORDER BY user_id, valid_from_us, event_type""".stripMargin
+
+  private val FuzzyTerm = "spark"
+  private val FuzzyMaxDist = 2
+
+  /** Fuzzy term matching: vocabulary terms within Levenshtein distance
+    * 2 of "spark" with corpus counts — the typo-tolerant lookup of a
+    * search stack. One token-agg pass (vocabulary-sized, the
+    * [[TextOps.vocabTopK]] shape) then a per-row edit-distance filter
+    * over the AGGREGATED vocab frame — the expensive metric runs once
+    * per distinct term, never per occurrence. */
+  private def qFuzzyMatch(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .filter(levenshtein(col("tok"), lit(FuzzyTerm)) <= FuzzyMaxDist)
+      .withColumn("dist", levenshtein(col("tok"), lit(FuzzyTerm)).cast("long"))
+      .select(col("tok"), col("dist"), col("n"))
+      .orderBy("dist", "tok")
+
+  private val qFuzzyMatchSql: String =
+    s"""WITH t AS (
+       |  SELECT unnest(string_split_regex(trim(text), ' +')) AS tok FROM documents),
+       |v AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1)
+       |SELECT tok, CAST(levenshtein(tok, '$FuzzyTerm') AS BIGINT) AS dist, n
+       |FROM v WHERE levenshtein(tok, '$FuzzyTerm') <= $FuzzyMaxDist
+       |ORDER BY dist, tok""".stripMargin
+
   private val PhraseTerms = Seq("spark", "window")
 
   /** Exact-phrase search ([[Lexical.phraseSearch]]): positional
@@ -3384,6 +3435,8 @@ object Queries {
     GraftQuery("q_split_leakage", qSplitLeakage, Some(qSplitLeakageSql)),
     GraftQuery("q_cms_counts", qCmsCounts, Some(qCmsCountsSql)),
     GraftQuery("q_phrase_search", qPhraseSearch, Some(qPhraseSearchSql)),
+    GraftQuery("q_fuzzy_match", qFuzzyMatch, Some(qFuzzyMatchSql)),
+    GraftQuery("q_scd2", qScd2, Some(qScd2Sql)),
     GraftQuery("q_resize_plan", qResizePlan, Some(qResizePlanSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),

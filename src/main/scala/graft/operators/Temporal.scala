@@ -230,4 +230,34 @@ object Temporal {
       .agg(countDistinct(col(userCol)).as("n_active"))
       .orderBy("cohort_week", "week_offset")
   }
+
+  /** SCD-Type-2 history build — the warehousing op that turns an event
+    * stream into validity intervals: per key, each CHANGE of `valueCol`
+    * opens an interval at its timestamp, closed by the next change
+    * (null `valid_to_us` = current). Consecutive repeats of the same
+    * value collapse (gaps-and-islands), ties at equal timestamps break
+    * by `idCol` — fully deterministic. Timestamps surface as exact
+    * epoch MICROSECONDS (the sessionize parity contract).
+    *
+    * Scale shape: two windows over the SAME (key)-partitioned
+    * (ts, id)-sorted frame — one shuffle, the second window reuses the
+    * first's sort; the change filter shrinks the frame before the
+    * interval window. Output: `(keyCol, valueCol, valid_from_us,
+    * valid_to_us)`. */
+  def scd2History(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      idCol: String): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val w = Window.partitionBy(keyCol).orderBy(col("__us"), col(idCol))
+    events
+      .select(col(keyCol), col(idCol), col(valueCol), us.as("__us"))
+      .withColumn("__prev", lag(col(valueCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(valueCol))
+      .withColumn("valid_to_us", lead(col("__us"), 1).over(w))
+      .select(col(keyCol), col(valueCol), col("__us").as("valid_from_us"),
+        col("valid_to_us"))
+  }
 }

@@ -54,6 +54,45 @@ class TemporalSpec extends SparkSpec {
     assert(plan.contains("Window"), s"missing the running-last window:\n$plan")
   }
 
+  test("scd2: changes open intervals, repeats collapse, last interval stays open") {
+    import spark.implicits._
+    def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val events = Seq(
+      (1L, 10L, ts(10), "free"),
+      (1L, 11L, ts(20), "free"),   // repeat — collapses
+      (1L, 12L, ts(30), "pro"),    // change
+      (1L, 13L, ts(40), "free"),   // change back
+      (2L, 20L, ts(15), "pro")
+    ).toDF("user_id", "event_id", "ts", "plan")
+    val got = Temporal.scd2History(events, "user_id", "ts", "plan", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, "free", 10000000L, 30000000L),
+      (1L, "pro", 30000000L, 40000000L),
+      (1L, "free", 40000000L, -1L),
+      (2L, "pro", 15000000L, -1L)), got.toString)
+  }
+
+  test("scd2 intervals tile each key's timeline (no gaps, no overlaps)") {
+    val got = Temporal.scd2History(Tables.events(spark, Sf0001),
+      "user_id", "ts", "event_type", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) Long.MaxValue else r.getLong(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (u, ivs) =>
+      val sorted = ivs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, to), (_, from, _)) =>
+          assert(to == from, s"user $u: interval gap/overlap ($to vs $from)")
+        case _ =>
+      }
+      assert(sorted.last._3 == Long.MaxValue, s"user $u: last interval closed")
+    }
+  }
+
   test("last-touch attribution: latest preceding touch wins, inclusive ties, no-touch is null") {
     import spark.implicits._
     def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
