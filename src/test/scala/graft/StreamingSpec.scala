@@ -254,6 +254,40 @@ class StreamingSpec extends SparkSpec {
       s"streaming sketch state diverged from batch: $got vs $expected")
   }
 
+  test("streaming CMS maintenance: cells aggregated over micro-batches == batch sketch") {
+    // the frequency-sketch analog of the HLL test: cmsBuild is a pure
+    // (row, bucket) counting aggregation, so the SAME code maintains the
+    // sketch as streaming state, and after the last micro-batch the cell
+    // table equals a batch build exactly (cellwise merge = streaming sum)
+    import graft.operators.{Sketches, TextOps}
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")
+    val dir = "/root/repo/target/stream_cms_test"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    docs.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b0")
+    Thread.sleep(20)
+    docs.filter(col("doc_id") % 2 === 1)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b1")
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val streamed = Sketches.cmsBuild(
+      toks(spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/b*")),
+      "tok", 1024, 4)
+    val q = streamed.writeStream
+      .format("memory").queryName("cms_stream")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = cells(spark.table("cms_stream"))
+    val expected = cells(Sketches.cmsBuild(toks(docs), "tok", 1024, 4))
+    assert(got == expected, "streaming CMS cells diverged from batch")
+    assert(got.nonEmpty)
+  }
+
   test("streaming index maintenance: stream-assigned LSH buckets and PQ codes == batch") {
     import graft.operators.VectorSearch
     import graft.functions.Metric
