@@ -1180,6 +1180,11 @@ object Queries {
   private val qBm25Sql: String = bm25Cte(
     "SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT 10")
 
+  /** [[bm25Cte]] with the RECURSIVE keyword, for compositions whose
+    * trailing CTEs recurse (DuckDB requires it on the WITH). */
+  private def bm25CteRecursive(finalSelect: String): String =
+    bm25Cte(finalSelect).replaceFirst("^WITH ", "WITH RECURSIVE ")
+
   /** Shared BM25 CTE chain ending in relation `bm25(doc_id, score)`;
     * `finalSelect` completes the statement. Constants are inlined from
     * the SAME Scala doubles the Spark plan uses, operand order mirrored
@@ -1789,6 +1794,110 @@ object Queries {
        |       md5(text) AS digest,
        |       $featSum AS feat_sum
        |FROM documents ORDER BY asset_id""".stripMargin
+  }
+
+  private val ServeFuseK = 20
+  private val ServeRerankK = 10
+  private val ServeMmrK = 5
+  private val ServeMmrLambda = 0.7
+
+  /** The COMPLETE production serving stack as one certified query:
+    * two-modality retrieval (vector cosine + BM25) fused by RRF to 20
+    * candidates → cross-encoder rerank to 10 → MMR-diversified final 5.
+    * Every stage is an already-certified operator; this row certifies
+    * their COMPOSITION (stage boundaries, rank plumbing, score
+    * hand-off) end-to-end against one oracle. Corpus-scale work happens
+    * only in stage 1; stages 2–3 are candidate-bounded. */
+  private def qServingStack(s: SparkSession, dir: String): DataFrame = {
+    val wVec = Window.orderBy(desc("score"), asc("doc_id"))
+    val vec = VectorSearch.topK(
+      Tables.embeddings(s, dir).select("vec_id", "embedding"),
+      "embedding", "vec_id", textQueryFrame(s), "qvec", Metric.Cosine,
+      ServeFuseK)
+      .select(col("vec_id").as("doc_id"), col("score"))
+      .withColumn("rank", row_number().over(wVec).cast("long"))
+    val lex = Lexical.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+      Bm25Terms, ServeFuseK)
+      .withColumn("rank", row_number().over(wVec).cast("long"))
+    val fused = Lexical.rrfFuse(Seq(vec, lex), "doc_id", RrfC, ServeFuseK)
+    val wFuse = Window.orderBy(desc("rrf"), asc("doc_id"))
+    val cands = fused
+      .withColumn("stage1_rank", row_number().over(wFuse).cast("long"))
+      .select("doc_id", "stage1_rank")
+    val reranked = Rerank.rerank(cands, Tables.documents(s, dir),
+      "doc_id", "text", RagQueryText, ServeRerankK)
+    val rel = reranked.select("doc_id", "ce_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    Diversify.mmrOverCandidates(s,
+      Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), col("embedding")),
+      "embedding", "doc_id", rel, Metric.Cosine, ServeMmrK, ServeMmrLambda)
+      .withColumnRenamed("rel", "ce_score")
+  }
+
+  private lazy val qServingStackSql: String = {
+    val score = Oracle.dot("n.nemb", "q.qemb", EmbeddingDim)
+    val sim = Oracle.dot("a.nemb", "b.nemb", EmbeddingDim)
+    val oneMinusL = 1.0 - ServeMmrLambda
+    // the greedy pick CTE is recursive; bm25Cte emits a plain WITH
+    bm25CteRecursive(
+      s""", ${Oracle.embeddingsCte},
+         |${Oracle.normalizedCte},
+         |$textQueryCte,
+         |vtop AS (
+         |  SELECT n.vec_id AS doc_id, $score AS score
+         |  FROM n CROSS JOIN q
+         |  ORDER BY score DESC, doc_id ASC LIMIT $ServeFuseK),
+         |vrank AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM vtop),
+         |ltop AS (
+         |  SELECT doc_id, score FROM bm25
+         |  ORDER BY score DESC, doc_id ASC LIMIT $ServeFuseK),
+         |lrank AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM ltop),
+         |contrib AS (
+         |  SELECT doc_id, CAST(1.0 AS DOUBLE) / ($RrfC + rank) AS contrib FROM vrank
+         |  UNION ALL
+         |  SELECT doc_id, CAST(1.0 AS DOUBLE) / ($RrfC + rank) AS contrib FROM lrank),
+         |fused AS (
+         |  SELECT doc_id,
+         |         list_reduce(list_prepend(0.0, list(contrib ORDER BY contrib)),
+         |                     (acc, x) -> acc + x) AS rrf
+         |  FROM contrib GROUP BY doc_id
+         |  ORDER BY rrf DESC, doc_id ASC LIMIT $ServeFuseK),
+         |ce AS (
+         |  SELECT f.doc_id,
+         |         CAST(CAST('0x' || substr(md5('$RagQueryText' || chr(1) || d.text), 1, 15)
+         |              AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS ce_score
+         |  FROM fused f JOIN documents d ON f.doc_id = d.doc_id),
+         |rr AS (
+         |  SELECT doc_id, ce_score FROM ce
+         |  ORDER BY ce_score DESC, doc_id ASC LIMIT $ServeRerankK),
+         |sim AS (
+         |  SELECT ca.doc_id AS i, cb.doc_id AS j, $sim AS s
+         |  FROM rr ca JOIN n a ON a.vec_id = ca.doc_id
+         |       JOIN rr cb ON cb.doc_id <> ca.doc_id JOIN n b ON b.vec_id = cb.doc_id),
+         |pick(step, sel) AS (
+         |  SELECT 1, [ (SELECT doc_id FROM rr ORDER BY ce_score DESC, doc_id LIMIT 1) ]
+         |  UNION ALL
+         |  SELECT step + 1,
+         |    list_append(sel, (
+         |      SELECT c.doc_id FROM rr c
+         |      WHERE NOT list_contains(sel, c.doc_id)
+         |      ORDER BY CAST($ServeMmrLambda AS DOUBLE) * c.ce_score
+         |               - CAST($oneMinusL AS DOUBLE)
+         |                 * (SELECT max(s.s) FROM sim s
+         |                    WHERE s.i = c.doc_id AND list_contains(sel, s.j)) DESC,
+         |               c.doc_id
+         |      LIMIT 1))
+         |  FROM pick WHERE step < $ServeMmrK)
+         |SELECT u.doc_id, r.ce_score, CAST(u.r AS BIGINT) AS mmr_rank
+         |FROM (SELECT unnest(sel) AS doc_id, generate_subscripts(sel, 1) AS r
+         |      FROM pick WHERE step = $ServeMmrK) u
+         |JOIN rr r ON r.doc_id = u.doc_id
+         |ORDER BY mmr_rank""".stripMargin)
   }
 
   /** SCD2 history ([[Temporal.scd2History]]): each user's event-type
@@ -3437,6 +3546,7 @@ object Queries {
     GraftQuery("q_phrase_search", qPhraseSearch, Some(qPhraseSearchSql)),
     GraftQuery("q_fuzzy_match", qFuzzyMatch, Some(qFuzzyMatchSql)),
     GraftQuery("q_scd2", qScd2, Some(qScd2Sql)),
+    GraftQuery("q_serving_stack", qServingStack, Some(qServingStackSql)),
     GraftQuery("q_resize_plan", qResizePlan, Some(qResizePlanSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),

@@ -68,6 +68,22 @@ object Diversify {
     val top = VectorSearch.topK(data, vecCol, idCol, query, queryVecCol, metric, n)
     val cands = top.select(col(idCol), col("score"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    mmrOverCandidates(spark, data, vecCol, idCol, cands, metric, k, lambda)
+  }
+
+  /** MMR over an ALREADY-RETRIEVED candidate list (id, relevance) —
+    * relevance may come from any upstream stage (cosine, BM25, a
+    * reranker); pairwise sims come from `data`'s vectors. The serving
+    * stack's final stage. Output: `(idCol, rel, mmr_rank)`. */
+  def mmrOverCandidates(
+      spark: SparkSession,
+      data: DataFrame,
+      vecCol: String,
+      idCol: String,
+      cands: Seq[(Long, Double)],
+      metric: Metric,
+      k: Int,
+      lambda: Double): DataFrame = {
     val ids = cands.map(_._1)
     // normalized candidate vectors off the SAME kernel the oracle
     // mirrors; pairwise dots below fold in array order seeded 0.0

@@ -59,6 +59,33 @@ class RerankSpec extends SparkSpec {
       "output not sorted by ce_score desc")
   }
 
+  test("serving stack: each stage's winners are a subset of the previous stage's") {
+    import graft.functions.Metric
+    import graft.operators.{Diversify, VectorSearch}
+    // stage 1: fused pool (vector + lexical top-20 ids)
+    val emb = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val vecIds = VectorSearch.topK(emb, "embedding", "vec_id", qv, "qvec",
+      Metric.Cosine, 20).select("vec_id").collect().map(_.getLong(0)).toSet
+    val lexIds = Lexical.bm25TopK(docs, "doc_id", "text", Terms, 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pool = vecIds ++ lexIds
+    // stage 2: rerank a rank-stamped pool subset
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+    val cands = docs.filter(col("doc_id").isin(pool.toSeq: _*))
+      .select(col("doc_id"))
+      .withColumn("stage1_rank", row_number().over(w).cast("long"))
+    val reranked = Rerank.rerank(cands, docs, "doc_id", "text", Query, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2))
+    assert(reranked.map(_._1).toSet.subsetOf(pool))
+    // stage 3: MMR over the reranked 10 picks a 5-subset, rank 1 = ce top-1
+    val mmr = Diversify.mmrOverCandidates(spark, emb, "embedding", "vec_id",
+      reranked.toSeq, Metric.Cosine, 5, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(mmr.map(_._1).toSet.subsetOf(reranked.map(_._1).toSet))
+    assert(mmr.minBy(_._2)._1 == reranked.maxBy(_._2)._1)
+  }
+
   test("candidate fetch joins broadcast (corpus never shuffles for 50 ids)") {
     val plan = Rerank.bm25ThenRerank(docs, "doc_id", "text", Terms, Query,
       50, 10).queryExecution.executedPlan.toString
