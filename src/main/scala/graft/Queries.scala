@@ -1796,6 +1796,31 @@ object Queries {
        |FROM documents ORDER BY asset_id""".stripMargin
   }
 
+  private val KFolds = 5
+  private val KfoldSalt = "fold"
+
+  /** K-fold cross-validation assignment: fold = stable hash bucket mod
+    * k ([[Splits.hashBucket]] — per-row, reproducible across runs and
+    * partitionings, the property `rand()` folds lack), reported as the
+    * (fold × label) count grid a practitioner eyeballs for
+    * stratification balance. */
+  private def qKfold(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select((Splits.hashBucket(col("vec_id"), KfoldSalt) % KFolds).as("fold"),
+        col("label"))
+      .groupBy("fold", "label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("fold", "label")
+
+  private val qKfoldSql: String = {
+    val p = Sketches.MinhashPrime
+    val b = Splits.Buckets
+    s"""SELECT (((CAST('0x' || substr(md5('$KfoldSalt:' || CAST(vec_id AS VARCHAR)), 1, 15)
+       |          AS BIGINT) % $p) % $b) % $KFolds) AS fold,
+       |       label, CAST(count(*) AS BIGINT) AS n
+       |FROM embeddings GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   private val ServeFuseK = 20
   private val ServeRerankK = 10
   private val ServeMmrK = 5
@@ -3547,6 +3572,7 @@ object Queries {
     GraftQuery("q_fuzzy_match", qFuzzyMatch, Some(qFuzzyMatchSql)),
     GraftQuery("q_scd2", qScd2, Some(qScd2Sql)),
     GraftQuery("q_serving_stack", qServingStack, Some(qServingStackSql)),
+    GraftQuery("q_kfold", qKfold, Some(qKfoldSql)),
     GraftQuery("q_resize_plan", qResizePlan, Some(qResizePlanSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),

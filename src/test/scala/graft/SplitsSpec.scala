@@ -50,4 +50,17 @@ class SplitsSpec extends SparkSpec {
     assert(s5.subsetOf(s20), s"nesting violated: ${(s5 -- s20).size} ids leak")
     assert(s5.nonEmpty && s20.size > s5.size)
   }
+
+  test("k-fold assignment partitions rows, stays stable, and balances within 2x") {
+    val emb = Tables.embeddings(spark, Sf0001).select("vec_id")
+    def folds(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), (Splits.hashBucket(col("vec_id"), "fold") % 5).as("fold"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = folds(emb)
+    assert(a == folds(emb.repartition(13)), "fold assignment not stable")
+    assert(a.values.forall(f => f >= 0 && f < 5))
+    val sizes = a.groupBy(_._2).values.map(_.size)
+    assert(sizes.size == 5 && sizes.max <= 2 * sizes.min,
+      s"fold imbalance: ${sizes.toSeq.sorted}")
+  }
 }
