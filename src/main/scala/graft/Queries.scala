@@ -1182,19 +1182,22 @@ object Queries {
 
   /** [[bm25Cte]] with the RECURSIVE keyword, for compositions whose
     * trailing CTEs recurse (DuckDB requires it on the WITH). */
-  private def bm25CteRecursive(finalSelect: String): String =
-    bm25Cte(finalSelect).replaceFirst("^WITH ", "WITH RECURSIVE ")
+  private def bm25CteRecursive(finalSelect: String, docsRel: String): String =
+    bm25Cte(finalSelect, docsRel).replaceFirst("^WITH ", "WITH RECURSIVE ")
 
   /** Shared BM25 CTE chain ending in relation `bm25(doc_id, score)`;
-    * `finalSelect` completes the statement. Constants are inlined from
-    * the SAME Scala doubles the Spark plan uses, operand order mirrored
-    * literally (parity contract). */
-  private def bm25Cte(finalSelect: String): String = {
+    * `finalSelect` completes the statement; `docsRel` is the corpus
+    * relation (the serving stack restricts it to EMBEDDED docs, so
+    * corpus stats match the indexed collection). Constants are inlined
+    * from the SAME Scala doubles the Spark plan uses, operand order
+    * mirrored literally (parity contract). */
+  private def bm25Cte(
+      finalSelect: String, docsRel: String = "documents"): String = {
     val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
     val k1p1 = Bm25K1 + 1.0
     val oneMinusB = 1.0 - Bm25B
     s"""WITH t AS (
-       |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
+       |  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM $docsRel),
        |ex AS (
        |  SELECT doc_id, CAST(length(toks) AS BIGINT) AS len, unnest(toks) AS tok FROM t),
        |tf AS (
@@ -1834,6 +1837,13 @@ object Queries {
     * hand-off) end-to-end against one oracle. Corpus-scale work happens
     * only in stage 1; stages 2–3 are candidate-bounded. */
   private def qServingStack(s: SparkSession, dir: String): DataFrame = {
+    // the serving corpus is the INDEXED collection: docs with an
+    // embedding row (at sf0.1 only 2000 of 5000 docs are embedded —
+    // both retrieval modalities and the BM25 corpus stats see the same
+    // collection, like any real hybrid index)
+    val servedDocs = Tables.documents(s, dir).join(
+      Tables.embeddings(s, dir).select(col("vec_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
     val wVec = Window.orderBy(desc("score"), asc("doc_id"))
     val vec = VectorSearch.topK(
       Tables.embeddings(s, dir).select("vec_id", "embedding"),
@@ -1841,7 +1851,7 @@ object Queries {
       ServeFuseK)
       .select(col("vec_id").as("doc_id"), col("score"))
       .withColumn("rank", row_number().over(wVec).cast("long"))
-    val lex = Lexical.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+    val lex = Lexical.bm25TopK(servedDocs, "doc_id", "text",
       Bm25Terms, ServeFuseK)
       .withColumn("rank", row_number().over(wVec).cast("long"))
     val fused = Lexical.rrfFuse(Seq(vec, lex), "doc_id", RrfC, ServeFuseK)
@@ -1849,7 +1859,7 @@ object Queries {
     val cands = fused
       .withColumn("stage1_rank", row_number().over(wFuse).cast("long"))
       .select("doc_id", "stage1_rank")
-    val reranked = Rerank.rerank(cands, Tables.documents(s, dir),
+    val reranked = Rerank.rerank(cands, servedDocs,
       "doc_id", "text", RagQueryText, ServeRerankK)
     val rel = reranked.select("doc_id", "ce_score")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
@@ -1864,8 +1874,11 @@ object Queries {
     val score = Oracle.dot("n.nemb", "q.qemb", EmbeddingDim)
     val sim = Oracle.dot("a.nemb", "b.nemb", EmbeddingDim)
     val oneMinusL = 1.0 - ServeMmrLambda
-    // the greedy pick CTE is recursive; bm25Cte emits a plain WITH
-    bm25CteRecursive(
+    // the greedy pick CTE is recursive; bm25Cte emits a plain WITH.
+    // corpus = docs with an embedding row (the indexed collection)
+    bm25CteRecursive(docsRel =
+      "(SELECT d.* FROM documents d WHERE d.doc_id IN (SELECT vec_id FROM embeddings)) sd",
+      finalSelect =
       s""", ${Oracle.embeddingsCte},
          |${Oracle.normalizedCte},
          |$textQueryCte,
