@@ -1799,6 +1799,57 @@ object Queries {
        |FROM documents ORDER BY asset_id""".stripMargin
   }
 
+  private val SimHistSalt = "simhist"
+  private val SimHistBuckets = 20
+
+  /** Embedding-space similarity histogram — corpus diagnostics (a
+    * collapsed or duplicate-heavy embedding space shows up instantly in
+    * this profile): every vector pairs with ONE deterministic partner
+    * (`hash(id) mod N`, self-pairs dropped) — an unbiased-enough sample
+    * that costs one id equi-join and NO quadratic work — and the cosine
+    * lands in one of 20 fixed-width buckets by exact integer floor
+    * (cosines are bit-identical cross-engine, so the floor is too).
+    * Output: `(bucket, n_pairs)`, bucket = ⌊cos·10⌋ ∈ [−10, 10]. */
+  private def qSimHistogram(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val n = emb.agg(count(lit(1)).as("__n"))
+    val pairs = emb
+      .crossJoin(broadcast(n))
+      .withColumn("__pid",
+        pmod(conv(substring(md5(concat(lit(SimHistSalt), lit(":"),
+          col("vec_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+          col("__n")))
+      .filter(col("__pid") =!= col("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("__pid"))
+    val partner = emb.select(col("vec_id").as("__pid"),
+      col("embedding").as("__pemb"))
+    pairs.join(partner, Seq("__pid"))
+      .select(floor(Metric.Cosine.score(col("embedding"), col("__pemb")) * 10)
+        .cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("bucket")
+  }
+
+  private val qSimHistogramSql: String = {
+    val sim = Oracle.dot("a.nemb", "b.nemb", EmbeddingDim)
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |p AS (
+       |  SELECT vec_id,
+       |         CAST('0x' || substr(md5('$SimHistSalt:' || CAST(vec_id AS VARCHAR)), 1, 15)
+       |              AS BIGINT) % cnt.n AS pid
+       |  FROM e CROSS JOIN cnt),
+       |pairs AS (SELECT vec_id, pid FROM p WHERE pid <> vec_id),
+       |sc AS (
+       |  SELECT CAST(floor($sim * 10) AS BIGINT) AS bucket
+       |  FROM pairs JOIN n a ON a.vec_id = pairs.vec_id
+       |             JOIN n b ON b.vec_id = pairs.pid)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private val KFolds = 5
   private val KfoldSalt = "fold"
 
@@ -3586,6 +3637,7 @@ object Queries {
     GraftQuery("q_scd2", qScd2, Some(qScd2Sql)),
     GraftQuery("q_serving_stack", qServingStack, Some(qServingStackSql)),
     GraftQuery("q_kfold", qKfold, Some(qKfoldSql)),
+    GraftQuery("q_sim_histogram", qSimHistogram, Some(qSimHistogramSql)),
     GraftQuery("q_resize_plan", qResizePlan, Some(qResizePlanSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
