@@ -114,6 +114,20 @@ class VectorSearchSpec extends SparkSpec {
     assert(out.filter(col("max_lower_sim").isNull && !col("keep")).count() == 0)
   }
 
+  test("similarity histogram: one pair per non-self-colliding vector, buckets in [-10, 10]") {
+    val rows = Queries.queries("q_sim_histogram")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (b, _) => b >= -10 && b <= 10 })
+    // each vector contributes exactly one pair unless its hash partner
+    // is itself; cosine of near-uniform random vectors concentrates
+    // near 0, so the histogram must be non-degenerate (>1 bucket)
+    val n = Tables.embeddings(spark, Sf0001).count()
+    val total = rows.map(_._2).sum
+    assert(total <= n && total >= n - 5, s"pair total $total vs corpus $n")
+    assert(rows.length > 1)
+  }
+
   test("clusterMaxSim matches a sequential within-cluster max model") {
     import graft.functions.VectorFunctions
     val cents = VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine)
