@@ -1799,6 +1799,59 @@ object Queries {
        |FROM documents ORDER BY asset_id""".stripMargin
   }
 
+  /** Referential-integrity report — the join-sanity gate a pipeline
+    * runs before trusting star-schema joins: per FK relationship the
+    * child row count and the count of orphans (children whose key has
+    * no parent). Each relationship is one left-anti join against a
+    * parent KEY projection (broadcast for dims, shuffle for facts —
+    * AQE picks); orphan counting never materializes the join payload. */
+  private def qFkCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def orphans(child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): (Long, Long) = {
+      val n = child.count()
+      val o = child.select(col(childKey))
+        .join(parent.select(col(parentKey).as(childKey)), Seq(childKey),
+          "left_anti")
+        .count()
+      (n, o)
+    }
+    val rows = Seq(
+      ("orders->customer",
+        orphans(Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey")),
+      ("lineitem->orders",
+        orphans(Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey")),
+      ("customer->nation",
+        orphans(Tables.customer(s, dir), "c_nationkey",
+          Tables.nation(s, dir), "n_nationkey")))
+    rows.map { case (rel, (n, o)) => (rel, n, o) }
+      .toDF("relationship", "n_children", "n_orphans")
+      .orderBy("relationship")
+  }
+
+  private val qFkCheckSql: String =
+    """SELECT * FROM (
+      |  SELECT 'orders->customer' AS relationship,
+      |         (SELECT count(*) FROM orders) AS n_children,
+      |         (SELECT count(*) FROM orders o
+      |          WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                            WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+      |  UNION ALL
+      |  SELECT 'lineitem->orders',
+      |         (SELECT count(*) FROM lineitem),
+      |         (SELECT count(*) FROM lineitem l
+      |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                            WHERE o.o_orderkey = l.l_orderkey))
+      |  UNION ALL
+      |  SELECT 'customer->nation',
+      |         (SELECT count(*) FROM customer),
+      |         (SELECT count(*) FROM customer c
+      |          WHERE NOT EXISTS (SELECT 1 FROM nation n
+      |                            WHERE n.n_nationkey = c.c_nationkey)))
+      |ORDER BY relationship""".stripMargin
+
   private val SimHistSalt = "simhist"
   private val SimHistBuckets = 20
 
@@ -3638,6 +3691,7 @@ object Queries {
     GraftQuery("q_serving_stack", qServingStack, Some(qServingStackSql)),
     GraftQuery("q_kfold", qKfold, Some(qKfoldSql)),
     GraftQuery("q_sim_histogram", qSimHistogram, Some(qSimHistogramSql)),
+    GraftQuery("q_fk_check", qFkCheck, Some(qFkCheckSql)),
     GraftQuery("q_resize_plan", qResizePlan, Some(qResizePlanSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
