@@ -1799,6 +1799,25 @@ object Queries {
        |FROM documents ORDER BY asset_id""".stripMargin
   }
 
+  /** Per-source duplication audit — the dedup-observability report a
+    * corpus pipeline publishes per ingest: docs, distinct texts (by md5
+    * — the shuffle carries 16-byte digests, never documents), and
+    * duplicate counts per source. */
+  private def qDedupAudit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), md5(col("text")).as("__h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__h")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("__h"))).as("n_dups"))
+      .orderBy("source")
+
+  private val qDedupAuditSql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+      |       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Referential-integrity report — the join-sanity gate a pipeline
     * runs before trusting star-schema joins: per FK relationship the
     * child row count and the count of orphans (children whose key has
@@ -3692,6 +3711,7 @@ object Queries {
     GraftQuery("q_kfold", qKfold, Some(qKfoldSql)),
     GraftQuery("q_sim_histogram", qSimHistogram, Some(qSimHistogramSql)),
     GraftQuery("q_fk_check", qFkCheck, Some(qFkCheckSql)),
+    GraftQuery("q_dedup_audit", qDedupAudit, Some(qDedupAuditSql)),
     GraftQuery("q_resize_plan", qResizePlan, Some(qResizePlanSql)),
     GraftQuery("q_minhash_sig", qMinhashSig, Some(qMinhashSigSql)),
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
