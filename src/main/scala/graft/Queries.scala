@@ -460,7 +460,7 @@ object Queries {
        |         sum_ln_c - n_ngrams * CAST(floor(ln(CAST(t AS DOUBLE)) * 1e6) AS BIGINT)
        |           AS logprob_micro
        |  FROM per_doc, tot)
-       |SELECT doc_id, n_ngrams, logprob_micro,
+       |SELECT doc_id, n_ngrams, CAST(logprob_micro AS BIGINT) AS logprob_micro,
        |       CAST(logprob_micro AS DOUBLE) / 1e6 / n_ngrams AS avg_logprob
        |FROM scored ORDER BY doc_id""".stripMargin
 
@@ -1374,7 +1374,7 @@ object Queries {
       |                        ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS pn
       |  FROM c)
       |SELECT event_type, window_start_epoch, n_events,
-      |       COALESCE(psum, 0) AS prev_sum,
+      |       CAST(COALESCE(psum, 0) AS BIGINT) AS prev_sum,
       |       (pn = 3 AND n_events * 3 > psum * 2) AS is_burst
       |FROM w ORDER BY 1, 2""".stripMargin
 

@@ -62,6 +62,21 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns spark={g_cols} oracle={e_cols}")
             n_fail += 1
             continue
+        # The driver canonicalizes BOTH sides through pandas before hashing, so
+        # dtypes are part of the hash: DuckDB HUGEINT (sum over BIGINT) becomes
+        # float64 while Spark's parquet int64 stays int64 — value-identical
+        # frames hash-mismatch (round-5 q_burst_detect / q_lm_score). Mirror
+        # that: any per-column pandas dtype difference is a hard FAIL here —
+        # local PASS must imply driver PASS.
+        g_dt = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df().dtypes
+        e_dt = con.sql(sql).df().dtypes
+        dt_bad = [(c, str(g_dt[c]), str(e_dt[c])) for c in g_cols
+                  if str(g_dt[c]) != str(e_dt[c])]
+        if dt_bad:
+            print(f"FAIL {name}: pandas dtype mismatch (spark vs oracle): "
+                  f"{dt_bad} — CAST the oracle (HUGEINT sums need AS BIGINT)")
+            n_fail += 1
+            continue
         if len(g_rows) != len(e_rows):
             print(f"FAIL {name}: rows spark={len(g_rows)} oracle={len(e_rows)}")
             n_fail += 1
