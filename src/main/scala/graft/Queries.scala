@@ -756,23 +756,60 @@ object Queries {
     * budget as [[qAnnIvf]], composed with PQ's compressed scan. */
   private val IvfPqProbes = 2
 
-  /** Composed IVF+PQ search ([[VectorSearch.ivfPqSearch]], the full
-    * FAISS-IVFPQ serving path): coarse-quantizer routing to 2 of 16
-    * cells, then the [[qPqSearch]] ADC ranking over ONLY those cells'
-    * packed codes. Shares [[centroidCache]] and [[pqCodebookCache]] —
-    * both index artifacts persist with a real deployment's index. */
+  /** Memoized persisted IVF+PQ index table per fixture dir — the
+    * [[centroidCache]] rationale taken to its conclusion: the whole
+    * `(id, centroid_id, pq_code)` table IS the index artifact a real
+    * deployment stores (partitioned by cell, so probe joins prune
+    * unprobed cells to zero IO). Built once; serving scans 16-byte
+    * code rows and never re-runs the 128-kernel encode. */
+  private val ivfPqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once read-many accessor for the persisted IVF+PQ index: first
+    * call per fixture dir writes the cell-partitioned parquet table,
+    * later calls just scan it. The partition-column type is declared,
+    * not inferred, so `centroid_id` stays BIGINT through the round-trip
+    * (the oracle emits BIGINT). */
+  private def ivfPqIndexFrame(
+      s: SparkSession, dir: String, emb: DataFrame,
+      centroids: Seq[(Long, Seq[Double])],
+      cbs: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    val path = ivfPqIndexCache.computeIfAbsent(dir, _ => {
+      val p = s"target/tmp/ivfpq_index_${java.util.UUID.randomUUID()}"
+      VectorSearch.ivfPqIndexTable(emb, "embedding", "vec_id", centroids, cbs,
+        Metric.Cosine)
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(p)
+      p
+    })
+    s.read.schema("vec_id BIGINT, pq_code BIGINT, centroid_id BIGINT")
+      .parquet(path)
+  }
+
+  /** Composed IVF+PQ search over the persisted index
+    * ([[VectorSearch.ivfPqSearchIndexed]], the full FAISS-IVFPQ serving
+    * path): coarse-quantizer routing to 2 of 16 cells, then the
+    * [[qPqSearch]] ADC ranking over ONLY those cells' packed codes,
+    * unpacked by shift/mask from the code table. Results are
+    * bit-identical to the build-time [[VectorSearch.ivfPqSearch]]
+    * (PqSpec pins the equality through the parquet round-trip). */
   private def qIvfPqSearch(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val centroids = centroidCache.computeIfAbsent(s"$dir#16",
       _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine))
     val cbs = pqCodebookCache.computeIfAbsent(dir, _ =>
       VectorSearch.pqCodebooks(emb, "embedding", "vec_id", PqM, PqKsub, Metric.Cosine))
-    VectorSearch.ivfPqSearch(emb, "embedding", "vec_id",
+    VectorSearch.ivfPqSearchIndexed(ivfPqIndexFrame(s, dir, emb, centroids, cbs),
+      "vec_id",
       queryVecFrame(s, dir), "qvec", centroids, cbs,
       nProbes = IvfPqProbes, k = K, metric = Metric.Cosine)
   }
 
-  private val qIvfPqSearchSql: String = {
+  /** Shared oracle CTE chain for the IVF+PQ family: ends at `sc(vec_id,
+    * score)` — ADC scores for every row in the query's `nProbes` probed
+    * cells (`da` = per-row cell assignment, `q` = normalized query).
+    * Consumers append their own final SELECT (and extra CTEs after a
+    * comma). */
+  private def ivfPqAdcWith(nProbes: Int): String = {
     val s = EmbeddingDim / PqM
     val assign = Oracle.dot("v.nemb", "c.cvec", EmbeddingDim)
     val subA = s"list_slice(v.nemb, gs.j * $s + 1, gs.j * $s + $s)"
@@ -795,7 +832,7 @@ object Queries {
        |    SELECT c.cid,
        |           ROW_NUMBER() OVER (ORDER BY $assign DESC, c.cid ASC) AS rn
        |    FROM n v CROSS JOIN cc c WHERE v.vec_id = 0)
-       |  WHERE rn <= $IvfPqProbes),
+       |  WHERE rn <= $nProbes),
        |cb AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS code, nemb
        |  FROM (SELECT vec_id, nemb FROM n ORDER BY vec_id LIMIT $PqKsub)),
@@ -817,11 +854,55 @@ object Queries {
        |  SELECT vec_id,
        |         list_reduce(list_prepend(0.0, list(sd ORDER BY j)),
        |                     (acc, x) -> acc + x) AS score
-       |  FROM sub GROUP BY vec_id)
+       |  FROM sub GROUP BY vec_id)""".stripMargin
+  }
+
+  private val qIvfPqSearchSql: String =
+    s"""${ivfPqAdcWith(IvfPqProbes)}
        |SELECT sc.vec_id, da.cid AS centroid_id, sc.score
        |FROM sc JOIN da ON sc.vec_id = da.vec_id
        |ORDER BY sc.score DESC, sc.vec_id ASC LIMIT $K""".stripMargin
+
+  /** Probe budget for the refined tier: 8 of 16 cells — the refine
+    * stage removes quantization error, so routing coverage becomes the
+    * only recall limiter and gets the bigger budget (IVF routes weakly
+    * on this LSH-hard near-uniform fixture; real clustered embeddings
+    * need far fewer probes for the same recall). */
+  private val IvfPqRefineProbes = 8
+
+  /** ADC candidate-pool size feeding the exact re-rank: 20× the final k
+    * (the Jégou §V-C shortlist) — still a constant-size exact fetch at
+    * any corpus scale. Together these measure recall 0.82@10 vs exact
+    * on the fixture (LshSpec pins ≥ 0.8). */
+  private val IvfPqRefineCandidates = 200
+
+  /** IVF+PQ with exact re-rank ([[VectorSearch.ivfPqSearchRefined]]):
+    * the compressed ADC pass over the SAME persisted code table as
+    * [[qIvfPqSearch]] nominates 200 candidates from 8 probed cells; only
+    * those true vectors are fetched and re-scored exactly — the
+    * near-exact serving tier mirroring the reference's
+    * ANN-matches-bruteforce contract (tests/test_v3_features.py:29-46).
+    * LshSpec pins refined recall ≥ 0.8@10 against brute force. */
+  private def qIvfPqRefine(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val centroids = centroidCache.computeIfAbsent(s"$dir#16",
+      _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine))
+    val cbs = pqCodebookCache.computeIfAbsent(dir, _ =>
+      VectorSearch.pqCodebooks(emb, "embedding", "vec_id", PqM, PqKsub, Metric.Cosine))
+    VectorSearch.ivfPqSearchRefined(ivfPqIndexFrame(s, dir, emb, centroids, cbs),
+      emb, "embedding", "vec_id", queryVecFrame(s, dir), "qvec",
+      centroids, cbs, nProbes = IvfPqRefineProbes,
+      nCandidates = IvfPqRefineCandidates, k = K, metric = Metric.Cosine)
   }
+
+  private val qIvfPqRefineSql: String =
+    s"""${ivfPqAdcWith(IvfPqRefineProbes)},
+       |cand AS (
+       |  SELECT vec_id FROM sc
+       |  ORDER BY score DESC, vec_id ASC LIMIT $IvfPqRefineCandidates)
+       |SELECT v.vec_id, ${Oracle.dot("v.nemb", "q.qemb", EmbeddingDim)} AS score
+       |FROM n v JOIN cand USING (vec_id) CROSS JOIN q
+       |ORDER BY score DESC, v.vec_id ASC LIMIT $K""".stripMargin
 
   /** Similarity threshold for [[qSemanticDedup]]: within-cluster
     * max-lower-sim on the fixture spans ~0.06–0.49 (median 0.27), so
@@ -1722,10 +1803,16 @@ object Queries {
       col("n_shingles").as("na"))
     val b = bk.select(col("doc_id").as("b_id"), col("band"), col("band_key"),
       col("n_shingles").as("nb"))
+    // cand feeds BOTH the semi-join prune and the final intersection join;
+    // sh feeds both sides of the self-intersection. Materialize each once
+    // (collision-bounded, small) or the band join / shingle explode runs
+    // twice per consumer — the plan-dedup analog of staging the candidate
+    // table between pipeline steps at real scale.
     val cand = a.join(b, Seq("band", "band_key"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id", "na", "nb")
       .distinct()
+      .localCheckpoint()
     // exact intersection only needs the CANDIDATE docs' shingles — a
     // semi-join prunes the corpus before the (re-)shingling explode, so
     // the expensive stage scales with collisions, not corpus size
@@ -1733,6 +1820,7 @@ object Queries {
       .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .distinct()
     val sh = Sketches.shingleRows(docs.join(candIds, "doc_id"), "doc_id", "text", ShingleK)
+      .localCheckpoint()
     cand
       .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
@@ -3691,6 +3779,7 @@ object Queries {
     GraftQuery("q_semantic_dedup", qSemanticDedup, Some(qSemanticDedupSql)),
     GraftQuery("q_pq_search", qPqSearch, Some(qPqSearchSql)),
     GraftQuery("q_ivfpq_search", qIvfPqSearch, Some(qIvfPqSearchSql)),
+    GraftQuery("q_ivfpq_refine", qIvfPqRefine, Some(qIvfPqRefineSql)),
     GraftQuery("q_rerank", qRerank, Some(qRerankSql)),
     GraftQuery("q_bloom_prefilter", qBloomPrefilter, Some(qBloomPrefilterSql)),
     GraftQuery("q_contrastive_pairs", qContrastivePairs, Some(qContrastivePairsSql)),

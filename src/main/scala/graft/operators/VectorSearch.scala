@@ -349,24 +349,93 @@ object VectorSearch {
     }
   }
 
+  /** Bits per packed sub-code for a codebook set (4 at ksub=16). */
+  private def pqCodeBits(codebooks: Seq[Seq[(Int, Seq[Double])]]): Int =
+    (64 - java.lang.Long.numberOfLeadingZeros((codebooks.head.length - 1).toLong)).toInt
+
+  /** All m sub-codes packed into ONE BIGINT (code_j in bits 4j..4j+3 at
+    * ksub=16) for a metric-prepared vector column. */
+  private def pqPackedCode(
+      vec: Column, codebooks: Seq[Seq[(Int, Seq[Double])]]): Column = {
+    val bits = pqCodeBits(codebooks)
+    pqCodeColumns(vec, codebooks).zipWithIndex
+      .map { case (c, j) => shiftleft(c, bits * j) }
+      .reduceLeft(_.bitwiseOR(_))
+  }
+
   /** PQ-encode: `(idCol, pq_code)` with all m codes packed into ONE
-    * BIGINT (code_j in bits 4j..4j+3 at ksub=16) — the persistable
-    * index-as-data table ([[lshBucketTable]] analog): serving scans
-    * 8-byte codes, never vectors. */
+    * BIGINT — the persistable index-as-data table ([[lshBucketTable]]
+    * analog): serving scans 8-byte codes, never vectors. */
   def pqEncode(
       data: DataFrame,
       vecCol: String,
       idCol: String,
       codebooks: Seq[Seq[(Int, Seq[Double])]],
-      metric: Metric = Metric.Cosine): DataFrame = {
-    val ksub = codebooks.head.length
-    val bits = 64 - java.lang.Long.numberOfLeadingZeros((ksub - 1).toLong)
-    val codes = pqCodeColumns(col(vecCol), codebooks)
+      metric: Metric = Metric.Cosine): DataFrame =
+    prepareColumn(data, vecCol, metric)
+      .select(col(idCol), pqPackedCode(col(vecCol), codebooks).as("pq_code"))
+
+  /** The full FAISS-IVFPQ index layout as ONE persistable table:
+    * `(idCol, centroid_id, pq_code)` — coarse cell from [[ivfAssign]],
+    * packed sub-codes from [[pqEncode]]. Written `partitionBy
+    * ("centroid_id")`, a probe equi-join prunes unprobed cells to zero
+    * IO, and each scanned row is 16 bytes, never the vector. The
+    * 128-kernels-per-row encode runs HERE, once at build time — serving
+    * ([[ivfPqSearchIndexed]]) only unpacks bits. */
+  def ivfPqIndexTable(
+      data: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: Seq[(Long, Seq[Double])],
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      metric: Metric = Metric.Cosine): DataFrame =
     prepareColumn(data, vecCol, metric)
       .select(col(idCol),
-        codes.zipWithIndex
-          .map { case (c, j) => shiftleft(c, bits.toInt * j) }
-          .reduceLeft(_.bitwiseOR(_)).as("pq_code"))
+        ivfAssign(col(vecCol), centroids, metric).as("centroid_id"),
+        pqPackedCode(col(vecCol), codebooks).as("pq_code"))
+
+  /** ADC top-k over a persisted [[ivfPqIndexTable]]: routes the query to
+    * its `nProbes` nearest cells, equi-joins the broadcast probe frame
+    * against the code table, unpacks each sub-code with shift/mask (two
+    * integer ops — no kernel re-evaluation), and scores with the same
+    * fixed-order ADC fold as [[pqSearch]]. Bit-identical results to
+    * [[ivfPqSearch]] by construction; the scan side touches only
+    * `(id, centroid_id, pq_code)`. */
+  def ivfPqSearchIndexed(
+      index: DataFrame,
+      idCol: String,
+      query: DataFrame,
+      queryVecCol: String,
+      centroids: Seq[(Long, Seq[Double])],
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      nProbes: Int,
+      k: Int,
+      metric: Metric = Metric.Cosine): DataFrame = {
+    val m = codebooks.length
+    val s = codebooks.head.head._2.length
+    val bits = pqCodeBits(codebooks)
+    val mask = (1L << bits) - 1
+    val q = prepareColumn(query, queryVecCol, metric)
+      .withColumn("probe",
+        explode(slice(
+          sort_array(centroidStructs(col(queryVecCol), centroids, metric)),
+          1, nProbes)))
+      .select(col(queryVecCol), col("probe.cid").as("centroid_id"))
+    val score = (0 until m)
+      .map { j =>
+        val code = shiftrightunsigned(col("pq_code"), bits * j)
+          .bitwiseAND(lit(mask))
+        val qsub = slice(col(queryVecCol), j * s + 1, s)
+        val cvecs = typedlit(codebooks(j).map(_._2))
+        VectorExpressions.dot(qsub,
+          element_at(cvecs, (code + 1).cast("int")))
+      }
+      .foldLeft(lit(0.0))(_ + _)
+    index.join(broadcast(q), Seq("centroid_id"))
+      .withColumn("score", score)
+      .select(col(idCol), col("centroid_id"), col("score"))
+      .orderBy(desc("score"), col(idCol).asc)
+      .limit(k)
   }
 
   /** Asymmetric-distance (ADC) top-k by PQ: score every data row against
@@ -457,6 +526,43 @@ object VectorSearch {
     index.join(broadcast(q), Seq("centroid_id"))
       .withColumn("score", score)
       .select(col(idCol), col("centroid_id"), col("score"))
+      .orderBy(desc("score"), col(idCol).asc)
+      .limit(k)
+  }
+
+  /** IVF+PQ with an exact refine stage (Jégou et al. 2011 §V-C "re-ranking
+    * with source coding"; the reference's HNSW-==-bruteforce contract,
+    * tests/test_v3_features.py:29-46): the compressed ADC pass over the
+    * persisted code table nominates `nCandidates` ids, then ONLY those
+    * rows' true vectors are fetched and re-scored exactly — quantization
+    * error cannot reorder the final top-k within the candidate pool, so
+    * recall approaches exact search at nCandidates ≫ k while the corpus
+    * scan still reads 16-byte codes. The candidate fetch is a broadcast
+    * semi-join (≤nCandidates rows) against the vector table — at scale a
+    * pruned point-lookup, never a second full scan shuffle. */
+  def ivfPqSearchRefined(
+      index: DataFrame,
+      data: DataFrame,
+      vecCol: String,
+      idCol: String,
+      query: DataFrame,
+      queryVecCol: String,
+      centroids: Seq[(Long, Seq[Double])],
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      nProbes: Int,
+      nCandidates: Int,
+      k: Int,
+      metric: Metric = Metric.Cosine): DataFrame = {
+    val cands = ivfPqSearchIndexed(index, idCol, query, queryVecCol,
+      centroids, codebooks, nProbes, nCandidates, metric)
+      .select(col(idCol))
+    val q = prepareColumn(query, queryVecCol, metric)
+    prepareColumn(data, vecCol, metric)
+      .join(broadcast(cands), Seq(idCol))
+      .crossJoin(broadcast(q))
+      .withColumn("score",
+        metric.scorePrenormalized(col(vecCol), col(queryVecCol)))
+      .select(col(idCol), col("score"))
       .orderBy(desc("score"), col(idCol).asc)
       .limit(k)
   }

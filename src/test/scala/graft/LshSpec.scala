@@ -355,4 +355,52 @@ class LshSpec extends SparkSpec {
     // 0.02; deterministic fixture, so the floor pins just below.
     assert(mean >= 0.25, f"IVF+PQ recall regressed: $mean%.3f")
   }
+
+  test("IVF+PQ indexed: persisted code table reproduces the direct path bit-for-bit") {
+    val cents = VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val path = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "ivfpq_idx_").toString
+    VectorSearch.ivfPqIndexTable(emb, "embedding", "vec_id", cents, pqCbs,
+      Metric.Cosine)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    val index = spark.read
+      .schema("vec_id BIGINT, pq_code BIGINT, centroid_id BIGINT").parquet(path)
+    val direct = VectorSearch.ivfPqSearch(emb, "embedding", "vec_id",
+      q, "qvec", cents, pqCbs, nProbes = 2, k = 10, metric = Metric.Cosine)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val indexed = VectorSearch.ivfPqSearchIndexed(index, "vec_id",
+      q, "qvec", cents, pqCbs, nProbes = 2, k = 10, metric = Metric.Cosine)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(indexed == direct,
+      "indexed (shift/mask unpack) path diverged from the direct encode path")
+  }
+
+  test("IVF+PQ refined recall@10 >= 0.8 vs exact (the HNSW-replacement tier)") {
+    import spark.implicits._
+    val k = 10
+    val cents = VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine)
+    val index = VectorSearch.ivfPqIndexTable(emb, "embedding", "vec_id",
+      cents, pqCbs, Metric.Cosine)
+    val recalls = Seq(0L, 7L, 123L, 250L, 400L).map { qid =>
+      val q = emb.filter(col("vec_id") === qid)
+        .select(col("embedding").as("qvec"))
+      val exact = VectorSearch.topK(emb, "embedding", "vec_id",
+        q, "qvec", Metric.Cosine, k)
+        .select("vec_id").as[Long].collect().toSet
+      val refined = VectorSearch.ivfPqSearchRefined(index, emb, "embedding",
+        "vec_id", q, "qvec", cents, pqCbs, nProbes = 8, nCandidates = 200,
+        k = k, metric = Metric.Cosine)
+        .select("vec_id").as[Long].collect().toSet
+      (exact intersect refined).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF+PQ refined mean recall@$k over 5 queries: $mean%.3f " +
+      f"(per-query: ${recalls.map(r => f"$r%.2f").mkString(", ")})")
+    // exact re-rank removes quantization error inside the candidate
+    // pool, so recall is limited only by 4/16-probe routing + the
+    // 50-candidate ADC shortlist — the reference's near-exact ANN bar
+    // (test_v3_features.py:29-46).
+    assert(mean >= 0.8, f"refined recall below the HNSW-replacement floor: $mean%.3f")
+  }
 }
