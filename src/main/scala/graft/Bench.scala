@@ -74,16 +74,27 @@ object Bench {
       name -> median
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond resolution: sub-ms digits are noise and the full line
+    // must fit the driver's bounded output-tail window (BENCH_r05's
+    // 9-decimal line overflowed it and lost the total — parsed: null)
+    def r3(v: Double): Double = math.round(v * 1000).toDouble / 1000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = r3(results.map(_._2).filter(_ >= 0).sum)
     // 1-minute system load average at exit: wall times on a co-tenant
     // host inflate multiplicatively (BENCH_r04's 170s total re-benched
     // idle at 36s) — record the contention so a reader can tell a slow
     // engine from a busy machine. -1.0 if the platform can't report it.
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load_avg":$loadAvg,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load_avg":$loadAvg,"sf":"$sfDir"}"""
+    println(full)
+    // durable copy + a compact LAST line: the tail window keeps the END
+    // of output, so even if the full line's front is truncated the total
+    // stays parseable (and target/bench_last.json has the whole record)
+    val pw = new java.io.PrintWriter("target/bench_last.json")
+    try pw.println(full) finally pw.close()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"load_avg":$loadAvg,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

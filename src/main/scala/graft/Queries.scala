@@ -1863,12 +1863,15 @@ object Queries {
   // ---------------------------------------------------------- multimodal ---
 
   /** North-star multimodal plumbing: opaque binary payloads + typed
-    * metadata through the batched (stub) decode → feature-extract stage
-    * ([[Multimodal.extractFeatures]]); scalar projection of the result. */
+    * metadata through the feature-stat stage. The declared query runs
+    * the CODEGEN projection ([[Multimodal.featureStats]] — columnar
+    * scan, fused whole-stage codegen, no typed-Dataset per-row
+    * allocation); the mapPartitions decode boundary
+    * ([[Multimodal.extractFeatures]]) stays the integration point for
+    * real codecs and is pinned equal to this path in MultimodalSpec. */
   private def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
     val assets = Multimodal.assetsFromDocuments(Tables.documents(s, dir))
-    Multimodal.extractFeatures(assets, EmbeddingDim)
-      .select("asset_id", "kind", "byte_len", "digest", "feat_sum")
+    Multimodal.featureStats(assets, EmbeddingDim)
       .orderBy("asset_id")
   }
 

@@ -92,6 +92,30 @@ object Multimodal {
     }.toDF()
   }
 
+  /** The scalar half of [[extractFeatures]] as a pure codegen projection:
+    * same byte_len/digest/feat_sum math as the stub decoder, but as
+    * declarative column expressions — no typed-Dataset deserialization,
+    * no per-row case-class/payload-array allocation; the parquet scan
+    * stays columnar and whole-stage codegen fuses the projection.
+    * MultimodalSpec pins this equal to the mapPartitions path row for
+    * row; [[extractFeatures]] remains the batch decode boundary a real
+    * codec/model plugs into (where the per-row object cost is inherent
+    * to handing bytes to a decoder). */
+  def featureStats(assets: DataFrame, dim: Int): DataFrame = {
+    val fold = assets.select(
+      col("asset_id"), col("kind"),
+      length(col("payload")).cast("long").as("byte_len"),
+      md5(col("payload")).as("digest"))
+    // fi cycles the 32 hex digits in ascending order — the exact fold
+    // order of stubDecode's while loop (and the oracle's list_reduce)
+    fold.select(col("asset_id"), col("kind"), col("byte_len"), col("digest"),
+      aggregate(
+        transform(sequence(lit(1), lit(dim)),
+          fi => conv(col("digest").substr(((fi - 1) % 32 + 1).cast("int"), lit(1)),
+            16, 10).cast("double") / 15.0),
+        lit(0.0), (acc, x) => acc + x).as("feat_sum"))
+  }
+
   /** Exact integer floor division for non-negative operands (the
     * [[Layout]] trick): `(a − a mod b) / b`. */
   private def intDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =

@@ -48,6 +48,19 @@ class MultimodalSpec extends SparkSpec {
     assert(top.head.getAs[Long]("asset_id") == 0L) // self is most similar
   }
 
+  test("codegen featureStats equals the mapPartitions decode path row for row") {
+    // the declared query serves the projection; this equality keeps the
+    // batch decode boundary (where a real codec plugs in) honest
+    val cols = Seq("asset_id", "kind", "byte_len", "digest", "feat_sum")
+    val viaStub = feats.select(cols.head, cols.tail: _*)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSet
+    val viaProj = Multimodal.featureStats(assets, 16)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSet
+    assert(viaProj == viaStub)
+  }
+
   test("frame sampling: uniform spaced indices, correct slices, short assets dedup") {
     val frames = Multimodal.frameSample(assets, frameBytes = 32, k = 4)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
