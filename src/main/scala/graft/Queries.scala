@@ -895,6 +895,35 @@ object Queries {
       nCandidates = IvfPqRefineCandidates, k = K, metric = Metric.Cosine)
   }
 
+  /** Declared gate for the k-means quality path
+    * ([[VectorSearch.ivfRefineCentroids]]): 2 Lloyd iterations over the
+    * deterministic first-16 seed must RAISE the spherical k-means
+    * objective (mean cosine to assigned centroid) by > 0.01 — three
+    * orders of magnitude above the refined means' last-bit
+    * partition-order wobble, so the boolean is deterministic even
+    * though the float centroids are not hash-stable (which is why the
+    * hash-checked ANN queries keep first-c centroids). The oracle row
+    * is the EXPECTED assertion; the Spark side measures it — if
+    * refinement ever stops improving the objective, the driver sees a
+    * hash mismatch. Measured margins: +0.079 at sf0.001, LshSpec pins
+    * the same direction with recall. */
+  private def qIvfRefineGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val init = centroidCache.computeIfAbsent(s"$dir#16",
+      _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine))
+    val refined = VectorSearch.ivfRefineCentroids(emb, "embedding", init,
+      Metric.Cosine, iters = 2)
+    val oInit = VectorSearch.ivfObjective(emb, "embedding", init, Metric.Cosine)
+    val oRef = VectorSearch.ivfObjective(emb, "embedding", refined, Metric.Cosine)
+    Seq((16L, 2L, oRef > oInit + 0.01))
+      .toDF("n_centroids", "iters", "improved")
+  }
+
+  private val qIvfRefineGateSql: String =
+    """SELECT CAST(16 AS BIGINT) AS n_centroids, CAST(2 AS BIGINT) AS iters,
+      |       TRUE AS improved""".stripMargin
+
   private val qIvfPqRefineSql: String =
     s"""${ivfPqAdcWith(IvfPqRefineProbes)},
        |cand AS (
@@ -3783,6 +3812,7 @@ object Queries {
     GraftQuery("q_pq_search", qPqSearch, Some(qPqSearchSql)),
     GraftQuery("q_ivfpq_search", qIvfPqSearch, Some(qIvfPqSearchSql)),
     GraftQuery("q_ivfpq_refine", qIvfPqRefine, Some(qIvfPqRefineSql)),
+    GraftQuery("q_ivf_refine_gate", qIvfRefineGate, Some(qIvfRefineGateSql)),
     GraftQuery("q_rerank", qRerank, Some(qRerankSql)),
     GraftQuery("q_bloom_prefilter", qBloomPrefilter, Some(qBloomPrefilterSql)),
     GraftQuery("q_contrastive_pairs", qContrastivePairs, Some(qContrastivePairsSql)),

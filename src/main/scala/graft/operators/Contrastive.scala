@@ -58,16 +58,22 @@ object Contrastive {
       .select(col("anchor_id"), col("other_id").as("__pos"))
     // anchor-keyed equi-join, NOT broadcast: anchors can be a large
     // corpus fraction at scale — AQE picks the strategy
-    val random = anchors.select(col(idCol).as("anchor_id"))
+    val candidates = anchors.select(col(idCol).as("anchor_id"))
       .join(posOf, Seq("anchor_id"))
       .crossJoin(broadcast(n))
-      .select(col("anchor_id"), col("__pos"), col("__n"),
+      .select(col("anchor_id"), col("__n"),
         explode(array((1 to nRandom).map(lit): _*)).as("j"))
       .withColumn("other_id",
         pmod(conv(substring(md5(concat(col("anchor_id").cast("string"), lit(":"),
           col("j").cast("string"))), 1, 15), 16, 10).cast("long"), col("__n")))
-      .filter(col("other_id") =!= col("anchor_id") &&
-        col("other_id") =!= col("__pos"))
+      .filter(col("other_id") =!= col("anchor_id"))
+    // anti-join against ALL positives (not just rank 1): with nPos > 1 a
+    // hash-sampled id can collide with a rank-2..nPos positive, and a
+    // mislabeled pair poisons the loss. Key-only (anchor_id, other_id)
+    // shuffle, ≤ nPos rows per anchor on the build side.
+    val random = candidates
+      .join(positives.select("anchor_id", "other_id"),
+        Seq("anchor_id", "other_id"), "left_anti")
       .select(col("anchor_id"), col("other_id"),
         lit("random_negative").as("pair_type"), col("j").cast("long").as("pair_rank"))
     positives.unionByName(hard).unionByName(random)

@@ -28,10 +28,25 @@ object Layout {
   private def intDiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")
 
+  /** Supported input domain: `hi − lo ≤ 2^46`. Above that,
+    * `(v − lo)·65535` can overflow BIGINT (2^63/65535 ≈ 2^47) and the
+    * [[intDiv]] exact-double claim stops holding — either silently
+    * corrupts z-codes, so the guard fails loudly instead. Columns with
+    * wider ranges should be pre-scaled (e.g. `v div 2^16`) before
+    * layout; rank, not magnitude, is what Z-ordering consumes. */
+  val MaxRange: Long = 1L << 46
+
   /** Scale `v` ∈ [lo, hi] to a 16-bit integer rank:
-    * `(v − lo)·65535 div (hi − lo)` (0 when the range is degenerate). */
+    * `(v − lo)·65535 div (hi − lo)` (0 when the range is degenerate;
+    * in-plan `raise_error` beyond [[MaxRange]] — one codegen branch per
+    * row, never a wrong code). */
   def normalize16(v: Column, lo: Column, hi: Column): Column =
     when(hi === lo, lit(0L))
+      .when(hi - lo > lit(MaxRange),
+        raise_error(concat(lit("Layout.normalize16: column range "),
+          (hi - lo).cast("string"),
+          lit(s" exceeds 2^46 — pre-scale the column before Z-ordering")))
+          .cast("long"))
       .otherwise(intDiv((v - lo) * lit(65535L), hi - lo))
 
   /** Morton (Z-order) code of two 16-bit values: bit i of `a` lands at

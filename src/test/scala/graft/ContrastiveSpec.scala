@@ -50,6 +50,19 @@ class ContrastiveSpec extends SparkSpec {
     assert(perAnchor.forall(_ <= 5))
   }
 
+  test("nPos > 1: no random negative collides with ANY positive rank") {
+    val rows = Contrastive.minePairs(emb, "embedding", "vec_id", Metric.Cosine,
+      anchorFilter = col("vec_id") % 10 === 0,
+      nPos = 3, hardStart = 6, nHard = 5, nRandom = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val pos = rows.collect { case (a, o, "positive") => (a, o) }.toSet
+    assert(pos.nonEmpty)
+    val clash = rows.collect { case (a, o, "random_negative") if pos((a, o)) => (a, o) }
+    assert(clash.isEmpty,
+      s"random negatives re-emitted positive pairs (mislabeled): ${clash.take(5).toSeq}")
+  }
+
   test("mining is invariant to input partitioning") {
     val a = mine(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet

@@ -49,6 +49,18 @@ class LayoutSpec extends SparkSpec {
     assert(za < lb, "z-order custkey spans should stay below the full range")
   }
 
+  test("normalize16 fails loudly past the 2^46 range guard (no silent z-code corruption)") {
+    import spark.implicits._
+    val wide = Seq(0L, 1L << 50).toDF("v")
+    val ex = intercept[Exception] {
+      Layout.zorderStats(wide.withColumn("w", lit(1L)), "v", "w", 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("pre-scale")),
+      s"expected the range-guard raise_error, got: ${ex.getMessage}")
+  }
+
   test("zorderStats is deterministic across repartitioning") {
     val o = Tables.orders(spark, Sf0001).select(col("o_custkey"),
       datediff(col("o_orderdate"), lit("1970-01-01")).as("o_days"))
