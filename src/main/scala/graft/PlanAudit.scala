@@ -10,9 +10,10 @@ import org.apache.spark.sql.SparkSession
   *  - `BNLJ`: BroadcastNestedLoopJoin — allowed ONLY for 1-row
   *    broadcast frames: single-query knn / rag / bm25-family corpus
   *    stats (incl. q_rerank's bm25 stage), exact-knn crossJoins behind
-  *    partial top-k (q_knn_join / q_contrastive_pairs), and the
-  *    1-row bounds/count frames of q_zorder_layout and q_sim_histogram;
-  *    anything else needs a key
+  *    partial top-k (q_knn_join / q_contrastive_pairs), the
+  *    1-row bounds/count frames of q_zorder_layout and q_sim_histogram,
+  *    and q_ivfpq_refine's exact re-rank (1-row query frame ×
+  *    ≤nCandidates fetched vectors); anything else needs a key
   *  - `GLOBALWIN`: a Window with an EMPTY partition spec — the whole
   *    input funnels through one task (allowed only on already-cut ≤k-row
   *    frames, e.g. hybrid-search rank-10)
