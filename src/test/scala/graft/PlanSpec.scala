@@ -108,6 +108,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), s"no interval bucket explode:\n$p")
   }
 
+  test("q_ivfpq_search: serving scans the persisted code table, pruned by cell") {
+    val p = planOf("q_ivfpq_search")
+    // the probe equi-join must prune unprobed cells at the scan (partition
+    // column + dynamic pruning), and the code scan must never read vectors
+    assert(p.contains("PartitionFilters") && p.contains("dynamicpruning"),
+      s"probe join no longer prunes index partitions:\n$p")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,pq_code:bigint>"),
+      s"index scan reads more than (vec_id, pq_code):\n$p")
+    // 128-kernel in-query re-encode would reintroduce vec_euclidean over
+    // the data side — codes are unpacked by shift/mask only
+    assert(!p.contains("vec_euclidean"),
+      s"serving plan re-runs encode kernels:\n$p")
+  }
+
+  test("q_media_features: declared query is a codegen projection (no object boundary)") {
+    val p = planOf("q_media_features")
+    assert(!p.contains("DeserializeToObject") && !p.contains("MapPartitions"),
+      s"media feature query fell back to the typed-Dataset boundary:\n$p")
+  }
+
   test("no accidental cartesian products in non-knn queries") {
     // the exact-knn queries legitimately cross-join (scored all-pairs);
     // every other declared query must be cartesian-free. 1-row broadcast
