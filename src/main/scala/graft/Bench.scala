@@ -91,9 +91,17 @@ object Bench {
     println(full)
     // durable copy + a compact LAST line: the tail window keeps the END
     // of output, so even if the full line's front is truncated the total
-    // stays parseable (and target/bench_last.json has the whole record)
-    val pw = new java.io.PrintWriter("target/bench_last.json")
-    try pw.println(full) finally pw.close()
+    // stays parseable (and bench_last.json has the whole record). The
+    // copy is best-effort — a write failure must not eat the tail line
+    // the whole block exists to protect.
+    try {
+      val f = new java.io.File("target/bench_last.json")
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val pw = new java.io.PrintWriter(f)
+      try pw.println(full) finally pw.close()
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] bench_last.json write failed: ${e.getMessage}")
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"load_avg":$loadAvg,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -775,7 +775,7 @@ object Queries {
       centroids: Seq[(Long, Seq[Double])],
       cbs: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
     val path = ivfPqIndexCache.computeIfAbsent(dir, _ => {
-      val p = s"target/tmp/ivfpq_index_${java.util.UUID.randomUUID()}"
+      val p = s"/root/repo/target/tmp/ivfpq_index_${java.util.UUID.randomUUID()}"
       VectorSearch.ivfPqIndexTable(emb, "embedding", "vec_id", centroids, cbs,
         Metric.Cosine)
         .write.mode("overwrite").partitionBy("centroid_id").parquet(p)
@@ -791,7 +791,7 @@ object Queries {
     * [[qPqSearch]] ADC ranking over ONLY those cells' packed codes,
     * unpacked by shift/mask from the code table. Results are
     * bit-identical to the build-time [[VectorSearch.ivfPqSearch]]
-    * (PqSpec pins the equality through the parquet round-trip). */
+    * (LshSpec pins the equality through the parquet round-trip). */
   private def qIvfPqSearch(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val centroids = centroidCache.computeIfAbsent(s"$dir#16",
@@ -906,7 +906,10 @@ object Queries {
     * is the EXPECTED assertion; the Spark side measures it — if
     * refinement ever stops improving the objective, the driver sees a
     * hash mismatch. Measured margins: +0.079 at sf0.001, LshSpec pins
-    * the same direction with recall. */
+    * the same direction with recall. Caveat (accepted): the objectives
+    * collect at construction, so plan-guard sweeps see only the final
+    * 1-row LocalTableScan — the refine subplans' shapes are covered by
+    * LshSpec, not PlanAudit. */
   private def qIvfRefineGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")

@@ -28,13 +28,17 @@ object Layout {
   private def intDiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")
 
-  /** Supported input domain: `hi − lo ≤ 2^46`. Above that,
-    * `(v − lo)·65535` can overflow BIGINT (2^63/65535 ≈ 2^47) and the
-    * [[intDiv]] exact-double claim stops holding — either silently
-    * corrupts z-codes, so the guard fails loudly instead. Columns with
-    * wider ranges should be pre-scaled (e.g. `v div 2^16`) before
-    * layout; rank, not magnitude, is what Z-ordering consumes. */
-  val MaxRange: Long = 1L << 46
+  /** Supported input domain: `hi − lo ≤ 2^53/65535` (≈ 1.37e11). The
+    * BINDING constraint is [[intDiv]]'s exactness, which needs the
+    * product `(v − lo)·65535` to stay within the double-exact 2^53 —
+    * NOT the much looser BIGINT overflow at 2^63/65535 ≈ 2^47 (ranges
+    * between the two pass arithmetic but produce off-by-one ranks that
+    * diverge from an engine's exact integer division — verified by
+    * counterexample). Beyond the bound the guard fails loudly instead
+    * of silently corrupting z-codes. Columns with wider ranges should
+    * be pre-scaled (e.g. `v div 2^16`) before layout; rank, not
+    * magnitude, is what Z-ordering consumes. */
+  val MaxRange: Long = (1L << 53) / 65535L
 
   /** Scale `v` ∈ [lo, hi] to a 16-bit integer rank:
     * `(v − lo)·65535 div (hi − lo)` (0 when the range is degenerate;
@@ -45,7 +49,7 @@ object Layout {
       .when(hi - lo > lit(MaxRange),
         raise_error(concat(lit("Layout.normalize16: column range "),
           (hi - lo).cast("string"),
-          lit(s" exceeds 2^46 — pre-scale the column before Z-ordering")))
+          lit(s" exceeds 2^53/65535 — pre-scale the column before Z-ordering")))
           .cast("long"))
       .otherwise(intDiv((v - lo) * lit(65535L), hi - lo))
 

@@ -353,6 +353,29 @@ object VectorSearch {
   private def pqCodeBits(codebooks: Seq[Seq[(Int, Seq[Double])]]): Int =
     (64 - java.lang.Long.numberOfLeadingZeros((codebooks.head.length - 1).toLong)).toInt
 
+  /** The asymmetric-distance score `Σ_j dot(q_sub_j, centroid_j[code_j])`
+    * as ONE fixed-order fold seeded 0.0 — the single shared
+    * implementation behind [[pqSearch]], [[ivfPqSearch]] and
+    * [[ivfPqSearchIndexed]], parameterized only on where sub-code j
+    * comes from (a materialized `__code_j` column vs a shift/mask unpack
+    * of the packed BIGINT). One body ⇒ the three paths' doubles stay
+    * bit-identical by construction (LshSpec pins the equalities the
+    * oracle depends on). */
+  private def adcScore(
+      queryVec: Column,
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      codeFor: Int => Column): Column = {
+    val s = codebooks.head.head._2.length
+    codebooks.indices
+      .map { j =>
+        val qsub = slice(queryVec, j * s + 1, s)
+        val cvecs = typedlit(codebooks(j).map(_._2))
+        VectorExpressions.dot(qsub,
+          element_at(cvecs, (codeFor(j) + 1).cast("int")))
+      }
+      .foldLeft(lit(0.0))(_ + _)
+  }
+
   /** All m sub-codes packed into ONE BIGINT (code_j in bits 4j..4j+3 at
     * ksub=16) for a metric-prepared vector column. */
   private def pqPackedCode(
@@ -411,8 +434,6 @@ object VectorSearch {
       nProbes: Int,
       k: Int,
       metric: Metric = Metric.Cosine): DataFrame = {
-    val m = codebooks.length
-    val s = codebooks.head.head._2.length
     val bits = pqCodeBits(codebooks)
     val mask = (1L << bits) - 1
     val q = prepareColumn(query, queryVecCol, metric)
@@ -421,16 +442,8 @@ object VectorSearch {
           sort_array(centroidStructs(col(queryVecCol), centroids, metric)),
           1, nProbes)))
       .select(col(queryVecCol), col("probe.cid").as("centroid_id"))
-    val score = (0 until m)
-      .map { j =>
-        val code = shiftrightunsigned(col("pq_code"), bits * j)
-          .bitwiseAND(lit(mask))
-        val qsub = slice(col(queryVecCol), j * s + 1, s)
-        val cvecs = typedlit(codebooks(j).map(_._2))
-        VectorExpressions.dot(qsub,
-          element_at(cvecs, (code + 1).cast("int")))
-      }
-      .foldLeft(lit(0.0))(_ + _)
+    val score = adcScore(col(queryVecCol), codebooks,
+      j => shiftrightunsigned(col("pq_code"), bits * j).bitwiseAND(lit(mask)))
     index.join(broadcast(q), Seq("centroid_id"))
       .withColumn("score", score)
       .select(col(idCol), col("centroid_id"), col("score"))
@@ -461,14 +474,8 @@ object VectorSearch {
       .select(col(idCol) +: codes.zipWithIndex
         .map { case (c, j) => c.as(s"__code_$j") }: _*)
     val q = prepareColumn(query, queryVecCol, metric)
-    val score = (0 until m)
-      .map { j =>
-        val qsub = slice(col(queryVecCol), j * s + 1, s)
-        val cvecs = typedlit(codebooks(j).map(_._2))
-        VectorExpressions.dot(qsub,
-          element_at(cvecs, (col(s"__code_$j") + 1).cast("int")))
-      }
-      .foldLeft(lit(0.0))(_ + _)
+    val score =
+      adcScore(col(queryVecCol), codebooks, j => col(s"__code_$j"))
     withCodes.crossJoin(broadcast(q))
       .withColumn("score", score)
       .select(col(idCol), col("score"))
@@ -502,8 +509,6 @@ object VectorSearch {
       nProbes: Int,
       k: Int,
       metric: Metric = Metric.Cosine): DataFrame = {
-    val m = codebooks.length
-    val s = codebooks.head.head._2.length
     val codes = pqCodeColumns(col(vecCol), codebooks)
     val index = prepareColumn(Partitioning.spread(data), vecCol, metric)
       .select(col(idCol) +:
@@ -515,14 +520,8 @@ object VectorSearch {
           sort_array(centroidStructs(col(queryVecCol), centroids, metric)),
           1, nProbes)))
       .select(col(queryVecCol), col("probe.cid").as("centroid_id"))
-    val score = (0 until m)
-      .map { j =>
-        val qsub = slice(col(queryVecCol), j * s + 1, s)
-        val cvecs = typedlit(codebooks(j).map(_._2))
-        VectorExpressions.dot(qsub,
-          element_at(cvecs, (col(s"__code_$j") + 1).cast("int")))
-      }
-      .foldLeft(lit(0.0))(_ + _)
+    val score =
+      adcScore(col(queryVecCol), codebooks, j => col(s"__code_$j"))
     index.join(broadcast(q), Seq("centroid_id"))
       .withColumn("score", score)
       .select(col(idCol), col("centroid_id"), col("score"))

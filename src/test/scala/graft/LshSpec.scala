@@ -398,8 +398,8 @@ class LshSpec extends SparkSpec {
     info(f"IVF+PQ refined mean recall@$k over 5 queries: $mean%.3f " +
       f"(per-query: ${recalls.map(r => f"$r%.2f").mkString(", ")})")
     // exact re-rank removes quantization error inside the candidate
-    // pool, so recall is limited only by 4/16-probe routing + the
-    // 50-candidate ADC shortlist — the reference's near-exact ANN bar
+    // pool, so recall is limited only by 8/16-probe routing + the
+    // 200-candidate ADC shortlist — the reference's near-exact ANN bar
     // (test_v3_features.py:29-46).
     assert(mean >= 0.8, f"refined recall below the HNSW-replacement floor: $mean%.3f")
   }
