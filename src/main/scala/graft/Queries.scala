@@ -1089,6 +1089,64 @@ object Queries {
        |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Incremental near-dup — the ONLY near-dup shape that survives a
+    * continuously-growing 100 TB corpus: the historical corpus's LSH
+    * band table is persisted ONCE as an index artifact (the
+    * [[ivfPqIndexFrame]] pattern applied to text), and each arriving
+    * delta batch is shingled/minhashed/banded alone — O(delta), not
+    * O(corpus) — then equi-joined against the persisted keys.
+    * `broadcast(delta)` makes the join a zero-shuffle map-side probe of
+    * the index scan: the corpus never re-shuffles, never re-hashes.
+    * The fixture splits documents by `doc_id % 10` (0 = the arriving
+    * batch, else = historical corpus); the oracle recomputes both sides
+    * from scratch, certifying that the persisted-index path finds
+    * exactly the pairs a full recompute would. Output: one row per
+    * (new doc, corpus doc) band collision with the shared-band count —
+    * the downstream Jaccard/cosine verify is [[qNearDupPairs]]'s stage. */
+  private def qNeardupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val path = bandIndexCache.computeIfAbsent(dir, _ => {
+      val p = s"/root/repo/target/tmp/band_index_${java.util.UUID.randomUUID()}"
+      Sketches.minhashBands(
+        Sketches.minhashSignature(docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", ShingleK, MinhashM),
+        "doc_id", MinhashBands, MinhashM / MinhashBands)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    val index = s.read.schema("doc_id BIGINT, band INT, band_key STRING")
+      .parquet(path)
+    val deltaBands = Sketches.minhashBands(
+      Sketches.minhashSignature(docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", ShingleK, MinhashM),
+      "doc_id", MinhashBands, MinhashM / MinhashBands)
+      .select(col("doc_id").as("new_id"), col("band"), col("band_key"))
+    index.join(broadcast(deltaBands), Seq("band", "band_key"))
+      .groupBy(col("new_id"), col("doc_id").as("corpus_id"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("new_id", "corpus_id")
+  }
+
+  private val bandIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private lazy val qNeardupIncrementalSql: String = {
+    val rows = MinhashM / MinhashBands
+    val bandSelects = (0 until MinhashBands).map { b =>
+      val cols = (0 until rows).map(r => s"mh_${b * rows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS band_key FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $minhashCte,
+       |bands AS (
+       |  $bandSelects)
+       |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+       |       CAST(count(*) AS BIGINT) AS n_bands
+       |FROM bands a
+       |JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+       |WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** North-star dedup clustering: connected components over the minhash
     * candidate pair graph ([[Graph.connectedComponents]]) — the stage
     * between near-dup PAIRS and keep-one GROUPS. Every doc that collided
@@ -1135,6 +1193,64 @@ object Queries {
        |SELECT doc_id, component_id,
        |       CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS csize
        |FROM comp ORDER BY doc_id""".stripMargin
+  }
+
+  /** Keep-one-with-multiplicity dedup weighting — the training-data
+    * practice after clustering (keep each duplicate cluster's canonical
+    * doc, carry the cluster size as a sampling/loss weight so the kept
+    * doc still represents its duplicates' mass; Lee et al. 2022 §4
+    * discuss exactly this count-weighting alternative to hard removal).
+    * One row per KEPT doc: cluster representatives (doc_id ==
+    * component_id) with weight = cluster size, un-clustered docs with
+    * weight 1. Scale shape: the component frame holds only docs that
+    * collided in ≥1 LSH band — a small fraction of the corpus — so the
+    * corpus-side left join shuffles ids only, and the weight column is
+    * computed before the join (no corpus-wide window). */
+  private def qClusterWeights(s: SparkSession, dir: String): DataFrame = {
+    val cand = Sketches.minhashCandidates(Tables.documents(s, dir),
+      "doc_id", "text", k = ShingleK, m = MinhashM, bands = MinhashBands)
+    val comp = Graph.componentSizes(Graph.connectedComponents(cand, "a_id", "b_id"))
+      .select(col("id").as("doc_id"), col("component_id"), col("csize"))
+    Tables.documents(s, dir).select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .filter(col("component_id").isNull || col("component_id") === col("doc_id"))
+      .select(col("doc_id"), coalesce(col("csize"), lit(1L)).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val qClusterWeightsSql: String = {
+    val rows = MinhashM / MinhashBands
+    val bandSelects = (0 until MinhashBands).map { b =>
+      val cols = (0 until rows).map(r => s"mh_${b * rows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS band_key FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE $minhashCte,
+       |bands AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a
+       |  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+       |              AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT a_id AS u, b_id AS v FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (
+       |  SELECT u AS doc_id, least(u, min(v)) AS component_id
+       |  FROM reach GROUP BY u),
+       |w AS (
+       |  SELECT component_id, count(*) AS csize FROM comp GROUP BY component_id)
+       |SELECT d.doc_id, CAST(COALESCE(w.csize, 1) AS BIGINT) AS weight
+       |FROM documents d
+       |LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |LEFT JOIN w ON w.component_id = d.doc_id
+       |WHERE c.doc_id IS NULL OR c.component_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   private val WinnowK = 8
@@ -2493,6 +2609,57 @@ object Queries {
       |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli_sum
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Real Structured Streaming execution, driver-visible: the events
+    * fixture is staged into a landing directory, ingested through
+    * `readStream` ([[Streaming.eventsStream]] — FileStreamSource, the
+    * files-arrive shape), aggregated by the SAME [[Streaming
+    * .windowedCounts]] the batch query uses (30-minute tumbling windows,
+    * 1-hour watermark), drained with `Trigger.AvailableNow` into a
+    * memory sink in complete mode, and the final sink table returned.
+    * The DuckDB oracle recomputes the aggregation relationally, so the
+    * correctness gate certifies the streaming EXECUTION PATH end to end
+    * — source, watermarking state store, sink — not just the shared
+    * transform logic (which StreamingSpec pins batch==stream anyway).
+    * Scale shape: at 100 TB the landing dir is the object-store prefix
+    * new files land in; AvailableNow gives batch-drain semantics with
+    * streaming bookkeeping (exactly-once file tracking in the source
+    * log), and state is bounded by the watermark. */
+  private def qStreamIngest(s: SparkSession, dir: String): DataFrame = {
+    val landing = streamLandingCache.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Paths.get(
+        s"/root/repo/target/tmp/stream_landing_${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        d.resolve("events.parquet"))
+      d.toString
+    })
+    val sink = s"q_stream_ingest_sink_${math.abs(dir.hashCode)}"
+    if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+    val q = Streaming.windowedCounts(
+        Streaming.eventsStream(s, landing),
+        windowDur = "30 minutes", watermark = Some("1 hour"))
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(180000))
+      throw new IllegalStateException("q_stream_ingest: stream did not drain")
+    s.table(sink).orderBy("window_start_epoch", "event_type")
+  }
+
+  private val streamLandingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val qStreamIngestSql: String =
+    """SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS window_start_epoch,
+      |       event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli_sum
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Per-user sessionization (30-minute max gap) via native
     * `session_window`; oracle replays it with gaps-and-islands over
     * exact microsecond epochs. */
@@ -3843,6 +4010,8 @@ object Queries {
     GraftQuery("q_fingerprint_pairs", qFingerprintPairs, Some(qFingerprintPairsSql)),
     GraftQuery("q_neardup_minhash", qNearDupMinhash, Some(qNearDupMinhashSql)),
     GraftQuery("q_dedup_clusters", qDedupClusters, Some(qDedupClustersSql)),
+    GraftQuery("q_cluster_weights", qClusterWeights, Some(qClusterWeightsSql)),
+    GraftQuery("q_neardup_incremental", qNeardupIncremental, Some(qNeardupIncrementalSql)),
     GraftQuery("q_simhash", qSimhash, Some(qSimhashSql)),
     GraftQuery("q_text_quality", qTextQuality, Some(qTextQualitySql)),
     GraftQuery("q_repetition", qRepetition, Some(qRepetitionSql)),
@@ -3852,6 +4021,7 @@ object Queries {
     GraftQuery("q_jaccard_pairs", qJaccardPairs, Some(qJaccardPairsSql)),
     GraftQuery("q_media_features", qMediaFeatures, Some(qMediaFeaturesSql)),
     GraftQuery("q_events_window", qEventsWindow, Some(qEventsWindowSql)),
+    GraftQuery("q_stream_ingest", qStreamIngest, Some(qStreamIngestSql)),
     GraftQuery("q_events_sliding", qEventsSliding, Some(qEventsSlidingSql)),
     GraftQuery("q_sessionize", qSessionize, Some(qSessionizeSql)),
     GraftQuery("q_keep_first", qKeepFirst, Some(qKeepFirstSql)),

@@ -128,6 +128,21 @@ class PlanSpec extends SparkSpec {
       s"media feature query fell back to the typed-Dataset boundary:\n$p")
   }
 
+  test("q_neardup_incremental: delta broadcasts; the persisted index never re-hashes") {
+    val p = planOf("q_neardup_incremental")
+    // the corpus side must be the persisted band table feeding the join
+    // probe-side directly — a regression that re-bands the corpus would
+    // show a second documents.parquet scan; one that shuffles the index
+    // would replace the broadcast join with a sort-merge join
+    assert(p.contains("BroadcastHashJoin"),
+      s"delta side no longer broadcasts (index would shuffle at scale):\n$p")
+    assert(p.contains("band_index_"),
+      s"persisted band index not scanned:\n$p")
+    val corpusScans = "documents\\.parquet".r.findAllIn(p).size
+    assert(corpusScans == 1,
+      s"expected 1 documents scan (delta only), found $corpusScans:\n$p")
+  }
+
   test("no accidental cartesian products in non-knn queries") {
     // the exact-knn queries legitimately cross-join (scored all-pairs);
     // every other declared query must be cartesian-free. 1-row broadcast
