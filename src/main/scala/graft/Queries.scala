@@ -2645,13 +2645,60 @@ object Queries {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    if (!q.awaitTermination(180000))
+    if (!q.awaitTermination(180000)) {
+      q.stop()
       throw new IllegalStateException("q_stream_ingest: stream did not drain")
+    }
     s.table(sink).orderBy("window_start_epoch", "event_type")
   }
 
   private val streamLandingCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stateful streaming dedup executed FOR REAL: the landing-dir stream
+    * deduplicated on (user_id, event_type) with
+    * `dropDuplicatesWithinWatermark` — the at-least-once-upstream
+    * contract ([[Streaming.dedupStream]]): seen-key state is BOUNDED by
+    * the 1-hour watermark instead of growing for the stream's lifetime,
+    * which is what makes streaming dedup survive a year-long 100 TB
+    * ingest. Only the key columns are emitted (the surviving row's
+    * other fields depend on arrival order inside a micro-batch — keys
+    * are the deterministic part, and the fixture stages ONE file = ONE
+    * micro-batch, so no key is ever evicted-then-re-emitted). Oracle:
+    * relational SELECT DISTINCT. */
+  private def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val landing = streamLandingCache.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Paths.get(
+        s"/root/repo/target/tmp/stream_landing_${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        d.resolve("events.parquet"))
+      d.toString
+    })
+    val sink = s"q_stream_dedup_sink_${math.abs(dir.hashCode)}"
+    if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+    val q = Streaming.dedupStream(
+        Streaming.eventsStream(s, landing)
+          .select(col("user_id"), col("event_type"), col("ts")),
+        Seq("user_id", "event_type"), watermark = Some("1 hour"))
+      .select("user_id", "event_type")
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(180000)) {
+      q.stop()
+      throw new IllegalStateException("q_stream_dedup: stream did not drain")
+    }
+    s.table(sink).orderBy("user_id", "event_type")
+  }
+
+  private val qStreamDedupSql: String =
+    """SELECT DISTINCT user_id, event_type
+      |FROM events ORDER BY 1, 2""".stripMargin
 
   private val qStreamIngestSql: String =
     """SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS window_start_epoch,
@@ -4022,6 +4069,7 @@ object Queries {
     GraftQuery("q_media_features", qMediaFeatures, Some(qMediaFeaturesSql)),
     GraftQuery("q_events_window", qEventsWindow, Some(qEventsWindowSql)),
     GraftQuery("q_stream_ingest", qStreamIngest, Some(qStreamIngestSql)),
+    GraftQuery("q_stream_dedup", qStreamDedup, Some(qStreamDedupSql)),
     GraftQuery("q_events_sliding", qEventsSliding, Some(qEventsSlidingSql)),
     GraftQuery("q_sessionize", qSessionize, Some(qSessionizeSql)),
     GraftQuery("q_keep_first", qKeepFirst, Some(qKeepFirstSql)),

@@ -403,4 +403,31 @@ class LshSpec extends SparkSpec {
     // (test_v3_features.py:29-46).
     assert(mean >= 0.8, f"refined recall below the HNSW-replacement floor: $mean%.3f")
   }
+
+  test("IVF+PQ refined at full probe width == exact brute force (the knob reaches parity)") {
+    import spark.implicits._
+    // the reference's ANN bar is top-k == brute force (test_v3_features
+    // .py:29-46, ef_search=50 ~ near-exact). The refined tier reaches
+    // that bar EXACTLY when routing loss is removed (probe all cells)
+    // and the shortlist covers the corpus: quantization error cannot
+    // reorder the final top-k because the re-rank scores true vectors
+    // with the same kernel as brute force. This pins the tunable path
+    // to the reference's contract — serving configs trade it for IO.
+    val k = 10
+    val cents = VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine)
+    val index = VectorSearch.ivfPqIndexTable(emb, "embedding", "vec_id",
+      cents, pqCbs, Metric.Cosine)
+    Seq(0L, 123L, 400L).foreach { qid =>
+      val q = emb.filter(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      val exact = VectorSearch.topK(emb, "embedding", "vec_id",
+        q, "qvec", Metric.Cosine, k)
+        .select("vec_id").as[Long].collect().toSeq
+      val refined = VectorSearch.ivfPqSearchRefined(index, emb, "embedding",
+        "vec_id", q, "qvec", cents, pqCbs, nProbes = cents.size,
+        nCandidates = Int.MaxValue / 2, k = k, metric = Metric.Cosine)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(refined == exact,
+        s"full-width refined diverged from brute force for query $qid")
+    }
+  }
 }
