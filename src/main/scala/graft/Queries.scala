@@ -1395,6 +1395,47 @@ object Queries {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** PII/boilerplate scrub ([[TextOps.scrub]]) certified per source:
+    * two word-boundary redaction patterns applied in order, per-source
+    * doc counts, changed-doc counts, total redactions and a 60-bit
+    * md5 checksum of the scrubbed text (the [[qSourceRoundtrip]]
+    * checksum idiom — proves byte-exact replacement, not just counts).
+    * Patterns live in the Java-regex ∩ RE2 dialect so both engines
+    * run them identically. */
+  private def qScrubText(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextOps.scrub(docs, "text", ScrubPatterns)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("n_redactions") > 0).cast("long")).as("docs_changed"),
+        sum("n_redactions").as("redactions_sum"),
+        sum(conv(substring(md5(col("scrubbed")), 1, 15), 16, 10).cast("long")
+          % Sketches.MinhashPrime).as("scrub_hash_sum"))
+      .orderBy("source")
+  }
+
+  private val ScrubPatterns: Seq[(String, String)] =
+    Seq("\\bcustomer\\b" -> "<pii>", "\\bkey\\b" -> "<pii>")
+
+  private val qScrubTextSql: String = {
+    val Seq((p1, r1), (p2, r2)) = ScrubPatterns
+    s"""SELECT source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_changed,
+       |       CAST(sum(hits) AS BIGINT) AS redactions_sum,
+       |       CAST(sum(CAST('0x' || substr(md5(cleaned), 1, 15) AS BIGINT)
+       |                % ${Sketches.MinhashPrime}) AS BIGINT) AS scrub_hash_sum
+       |FROM (
+       |  SELECT source,
+       |         length(regexp_extract_all(text, '$p1'))
+       |           + length(regexp_extract_all(text, '$p2')) AS hits,
+       |         regexp_replace(regexp_replace(text, '$p1', '$r1', 'g'),
+       |                        '$p2', '$r2', 'g') AS cleaned
+       |  FROM documents)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   private val Bm25Terms = Seq("spark", "join", "window")
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
@@ -2699,6 +2740,52 @@ object Queries {
   private val qStreamDedupSql: String =
     """SELECT DISTINCT user_id, event_type
       |FROM events ORDER BY 1, 2""".stripMargin
+
+  /** Stream-stream interval self-join executed FOR REAL under the gate:
+    * the landing-dir events stream joined with itself on user_id within
+    * a 1-day event-time bound ([[Streaming.correlatedPairs]] — the SAME
+    * function that builds q_event_pairs' batch plan). Both sides carry
+    * a 1-hour watermark and the join condition time-bounds the event
+    * times, so join state is evicted as the watermark advances — what
+    * keeps a year-long correlation join's state at O(join window), not
+    * O(stream). Inner joins emit each matched pair in the micro-batch
+    * where both rows are present (no watermark holdback), so
+    * `AvailableNow` drains to the complete pair set; the declared
+    * result aggregates the sink in batch to q_event_pairs' grouped
+    * shape, certifying the streaming join against the relational
+    * oracle. */
+  private def qStreamPairs(s: SparkSession, dir: String): DataFrame = {
+    val landing = streamLandingCache.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Paths.get(
+        s"/root/repo/target/tmp/stream_landing_${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        d.resolve("events.parquet"))
+      d.toString
+    })
+    val sink = s"q_stream_pairs_sink_${math.abs(dir.hashCode)}"
+    if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+    val ev = Streaming.eventsStream(s, landing).withWatermark("ts", "1 hour")
+    val q = Streaming.correlatedPairs(ev, ev, withinSeconds = 86400)
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(180000)) {
+      q.stop()
+      throw new IllegalStateException("q_stream_pairs: stream did not drain")
+    }
+    s.table(sink)
+      .groupBy("a_type", "b_type")
+      .agg(count(lit(1)).as("n_pairs"), sum("gap_micros").as("gap_micros_sum"))
+      .orderBy("a_type", "b_type")
+  }
+
+  // def, not val: qEventPairsSql initializes later in this object
+  private def qStreamPairsSql: String = qEventPairsSql
 
   private val qStreamIngestSql: String =
     """SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS window_start_epoch,
@@ -4061,6 +4148,7 @@ object Queries {
     GraftQuery("q_neardup_incremental", qNeardupIncremental, Some(qNeardupIncrementalSql)),
     GraftQuery("q_simhash", qSimhash, Some(qSimhashSql)),
     GraftQuery("q_text_quality", qTextQuality, Some(qTextQualitySql)),
+    GraftQuery("q_scrub_text", qScrubText, Some(qScrubTextSql)),
     GraftQuery("q_repetition", qRepetition, Some(qRepetitionSql)),
     GraftQuery("q_bm25", qBm25, Some(qBm25Sql)),
     GraftQuery("q_hybrid_search", qHybridSearch, Some(qHybridSearchSql)),
@@ -4070,6 +4158,7 @@ object Queries {
     GraftQuery("q_events_window", qEventsWindow, Some(qEventsWindowSql)),
     GraftQuery("q_stream_ingest", qStreamIngest, Some(qStreamIngestSql)),
     GraftQuery("q_stream_dedup", qStreamDedup, Some(qStreamDedupSql)),
+    GraftQuery("q_stream_pairs", qStreamPairs, Some(qStreamPairsSql)),
     GraftQuery("q_events_sliding", qEventsSliding, Some(qEventsSlidingSql)),
     GraftQuery("q_sessionize", qSessionize, Some(qSessionizeSql)),
     GraftQuery("q_keep_first", qKeepFirst, Some(qKeepFirstSql)),

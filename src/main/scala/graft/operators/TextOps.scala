@@ -129,6 +129,34 @@ object TextOps {
           col("stop_ratio") <= 0.5).cast("int"))
   }
 
+  /** Pattern-based redaction — the PII/boilerplate scrub stage of a
+    * corpus pipeline (emails, phone numbers, ToS boilerplate). Each
+    * (pattern, replacement) pair is applied in order as a global
+    * `regexp_replace`; `n_redactions` counts matches on the ORIGINAL
+    * text (before any replacement) so per-source audits measure scrub
+    * pressure independent of pattern order. Pure per-row projection —
+    * no shuffle, codegen regex, the shape that sweeps 100 TB at scan
+    * speed. Patterns must stay in the Java-regex ∩ RE2 dialect
+    * (character classes, `\b`, `+`) so the DuckDB oracle replays them
+    * exactly. */
+  def scrub(
+      docs: DataFrame, textCol: String,
+      patterns: Seq[(String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "scrub needs at least one pattern")
+    val text = col(textCol)
+    val hits = patterns
+      .map { case (p, _) =>
+        size(regexp_extract_all(text, lit(p), lit(0))).cast("long") }
+      .reduce(_ + _)
+    val cleaned = patterns.foldLeft(text) {
+      case (c, (p, r)) => regexp_replace(c, p, r)
+    }
+    // regex-heavy per-row projection: spread a single-file input first
+    Partitioning.spread(docs)
+      .withColumn("scrubbed", cleaned)
+      .withColumn("n_redactions", hits)
+  }
+
   /** Within-document repetition metrics — the C4/Gopher-style filters
     * that catch boilerplate and degenerate (looping) text: duplicate
     * token-bigram fraction and most-common-token fraction. All ratios

@@ -354,4 +354,30 @@ class CorpusOpsSpec extends SparkSpec {
       Packing.packingStats(docs, "doc_id", "text", "pk", 4, 100)
     }
   }
+
+  // ------------------------------------------------------------- scrub ---
+
+  test("scrub matches a sequential regex model: counts on original, replacements in order") {
+    val pats = Seq("\\bcustomer\\b" -> "<pii>", "\\bkey\\b" -> "<pii>")
+    val got = TextOps.scrub(docs, "text", pats)
+      .select("doc_id", "scrubbed", "n_redactions")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    docRows.foreach { case (id, text) =>
+      val hits = pats.map { case (p, _) => p.r.findAllIn(text).size.toLong }.sum
+      val cleaned = pats.foldLeft(text) { case (t, (p, r)) => t.replaceAll(p, r) }
+      assert(got(id) == ((cleaned, hits)), s"doc $id")
+    }
+  }
+
+  test("scrub counts hits on the ORIGINAL text, not on earlier patterns' output") {
+    import spark.implicits._
+    // "b" first rewrites to "a c"; the "a c" pattern must still count 0
+    // (it only exists post-replacement) while the replacement chain DOES
+    // apply to the rewritten text.
+    val df = Seq((1L, "x b y")).toDF("doc_id", "text")
+    val row = TextOps.scrub(df, "text", Seq("b" -> "a c", "a c" -> "z"))
+      .select("scrubbed", "n_redactions").collect().head
+    assert(row.getString(0) == "x z y")
+    assert(row.getLong(1) == 1L)
+  }
 }
