@@ -2787,6 +2787,54 @@ object Queries {
   // def, not val: qEventPairsSql initializes later in this object
   private def qStreamPairsSql: String = qEventPairsSql
 
+  private val embLandingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Streamed ANN index maintenance executed FOR REAL under the gate:
+    * the embeddings landing-dir stream bucketed through the SAME
+    * stateless per-row sign-LSH assignment the batch index build uses
+    * ([[VectorSearch.lshBucketTable]]), append mode with NO state at
+    * all — bucketing is a pure function of the vector, which is exactly
+    * why stream-maintained indexes equal a batch rebuild (LshSpec pins
+    * the same equality for the batch append path). At scale this is the
+    * index freshness path: vectors land in the object-store prefix, the
+    * stream emits (id, band, bucket) rows into the bucketed index
+    * table, queries see them next micro-batch — no corpus re-scan, no
+    * rebuild. Oracle: the full-rebuild bucketing replayed arithmetically
+    * (q_index_append's oracle — the gated claim is streamed == rebuilt). */
+  private def qStreamIndex(s: SparkSession, dir: String): DataFrame = {
+    val landing = embLandingCache.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Paths.get(
+        s"/root/repo/target/tmp/emb_landing_${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/embeddings.parquet"),
+        d.resolve("embeddings.parquet"))
+      d.toString
+    })
+    val sink = s"q_stream_index_sink_${math.abs(dir.hashCode)}"
+    if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+    val q = VectorSearch.lshBucketTable(
+        Streaming.embeddingsStream(s, landing), "embedding", "vec_id",
+        Metric.Cosine, EmbeddingDim, bits = LshMultiBits, bands = IndexBands)
+      .select(col("vec_id"), col("band").cast("long").as("band"), col("bucket"))
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(180000)) {
+      q.stop()
+      throw new IllegalStateException("q_stream_index: stream did not drain")
+    }
+    s.table(sink).orderBy("vec_id", "band")
+  }
+
+  // def, not val: qIndexAppendSql (the full-rebuild replay) initializes
+  // earlier in the file but keep the reference lazy for safety
+  private def qStreamIndexSql: String = qIndexAppendSql
+
   private val qStreamIngestSql: String =
     """SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS window_start_epoch,
       |       event_type,
@@ -4159,6 +4207,7 @@ object Queries {
     GraftQuery("q_stream_ingest", qStreamIngest, Some(qStreamIngestSql)),
     GraftQuery("q_stream_dedup", qStreamDedup, Some(qStreamDedupSql)),
     GraftQuery("q_stream_pairs", qStreamPairs, Some(qStreamPairsSql)),
+    GraftQuery("q_stream_index", qStreamIndex, Some(qStreamIndexSql)),
     GraftQuery("q_events_sliding", qEventsSliding, Some(qEventsSlidingSql)),
     GraftQuery("q_sessionize", qSessionize, Some(qSessionizeSql)),
     GraftQuery("q_keep_first", qKeepFirst, Some(qKeepFirstSql)),
