@@ -2835,6 +2835,104 @@ object Queries {
   // earlier in the file but keep the reference lazy for safety
   private def qStreamIndexSql: String = qIndexAppendSql
 
+  private val sessLandingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Custom-state streaming sessionization executed FOR REAL under the
+    * gate — the hardest streaming path in the repo:
+    * [[Streaming.closedSessions]]'s `flatMapGroupsWithState` with an
+    * EVENT-TIME timeout, which `session_window` (q_sessionize) cannot
+    * express: sessions are emitted exactly once, ON CLOSE, from custom
+    * per-user state. The landing dir is staged as THREE files read at
+    * `maxFilesPerTrigger=1` (one file = one micro-batch): the fixture,
+    * then two single-row far-future sentinel files for ONE sentinel
+    * user, the second within the session gap of the first. Spark
+    * applies a watermark update one batch AFTER its data, so sentinel
+    * 1's batch flushes most fixture sessions and sentinel 2's batch —
+    * whose operative watermark comes from sentinel 1's far-future
+    * event — flushes ALL of them by timeout. The sentinel's own session
+    * is never emitted under EITHER drain behavior: sentinel 2 extends
+    * it (same user, inside the gap) rather than closing it, and the
+    * trailing NO-DATA micro-batch that `AvailableNow` runs to advance
+    * the final watermark (observed: it leaked a distinct-user second
+    * sentinel in the first cut) still leaves the watermark a full
+    * watermark-delay behind the extended session's timeout. The oracle
+    * would hash-fail if a sentinel row leaked. This models the real
+    * unbounded stream, where the watermark always advances past any
+    * session's gap. State is O(open sessions); timeouts evict — the
+    * 100 TB shape. Oracle: the inclusive-gap rule replayed relationally
+    * (lag → cumulative session id) on floor-second epochs, exactly
+    * [[Streaming.closedSessions]]'s arithmetic. */
+  private def qStreamSessions(s: SparkSession, dir: String): DataFrame = {
+    val landing = sessLandingCache.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Paths.get(
+        s"/root/repo/target/tmp/sess_landing_${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        d.resolve("b0.parquet"))
+      val dayNanos = 86400L * 1000000000L
+      val maxTsNanos =
+        Tables.events(s, dir).agg(max(unix_micros(col("ts")))).head.getLong(0) * 1000L
+      Seq(("b1.parquet", -1L, maxTsNanos + 10L * dayNanos),
+          ("b2.parquet", -1L, maxTsNanos + 10L * dayNanos + 600L * 1000000000L)).foreach {
+        case (name, uid, tsNanos) =>
+          Thread.sleep(30) // distinct mod-times → deterministic file order
+          val tmp = d.resolve(s"__tmp_$name")
+          s.range(1).select(
+              lit(uid).as("event_id"), lit(tsNanos).as("ts"),
+              lit(uid).as("user_id"), lit("sentinel").as("event_type"),
+              lit(0.0).as("value"), lit("{}").as("props"))
+            .coalesce(1).write.parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp)
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          java.nio.file.Files.move(part, d.resolve(name))
+          java.nio.file.Files.list(tmp).forEach(java.nio.file.Files.delete(_))
+          java.nio.file.Files.delete(tmp)
+      }
+      d.toString
+    })
+    val sink = s"q_stream_sessions_sink_${math.abs(dir.hashCode)}"
+    if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+    val q = Streaming.closedSessions(
+        Streaming.eventsStream(s, landing, maxFilesPerTrigger = Some(1)),
+        gapSecs = 1800L, watermark = "1 hour")
+      .toDF()
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(180000)) {
+      q.stop()
+      throw new IllegalStateException("q_stream_sessions: stream did not drain")
+    }
+    s.table(sink).orderBy("user_id", "session_start_epoch")
+  }
+
+  private val qStreamSessionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+      |  FROM events),
+      |d AS (
+      |  SELECT user_id, ep,
+      |         CASE WHEN ep - LAG(ep) OVER (PARTITION BY user_id ORDER BY ep) <= 1800
+      |              THEN 0 ELSE 1 END AS is_new
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, ep,
+      |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ep
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM d)
+      |SELECT user_id,
+      |       MIN(ep) AS session_start_epoch,
+      |       MAX(ep) AS session_end_epoch,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_epoch""".stripMargin
+
   private val qStreamIngestSql: String =
     """SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS window_start_epoch,
       |       event_type,
@@ -4208,6 +4306,7 @@ object Queries {
     GraftQuery("q_stream_dedup", qStreamDedup, Some(qStreamDedupSql)),
     GraftQuery("q_stream_pairs", qStreamPairs, Some(qStreamPairsSql)),
     GraftQuery("q_stream_index", qStreamIndex, Some(qStreamIndexSql)),
+    GraftQuery("q_stream_sessions", qStreamSessions, Some(qStreamSessionsSql)),
     GraftQuery("q_events_sliding", qEventsSliding, Some(qEventsSlidingSql)),
     GraftQuery("q_sessionize", qSessionize, Some(qSessionizeSql)),
     GraftQuery("q_keep_first", qKeepFirst, Some(qKeepFirstSql)),

@@ -280,13 +280,60 @@ object Streaming {
     * backlog like a batch). Spark's `FileStreamSource` cannot stream a
     * single bare file, so callers stage fixture files into a directory
     * first. nanos→µs conversion mirrors [[graft.Tables.events]]. */
-  def eventsStream(spark: SparkSession, landingDir: String): DataFrame = {
+  def eventsStream(
+      spark: SparkSession,
+      landingDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(EventsSchema)
+    val reader = spark.readStream.schema(EventsSchema)
+    // rate limit = micro-batch pacing: with AvailableNow each file
+    // becomes its own batch, which is what lets a staged landing dir
+    // exercise cross-batch watermark advancement (timeout flushing)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .parquet(landingDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Idempotent micro-batch publish — the EXACTLY-ONCE SINK side of the
+    * streaming story (the sources above cover exactly-once reads via the
+    * FileStreamSource log). `foreachBatch` delivers (batch, batchId) with
+    * AT-LEAST-ONCE semantics: after a crash between "sink written" and
+    * "offsets committed", the SAME batchId is redelivered and a naive
+    * append duplicates it. Writing each batch into its own
+    * `_batch_id=<id>` partition with DYNAMIC partition overwrite makes
+    * replay overwrite byte-identical data instead of appending —
+    * idempotence from layout, no transaction log needed, which is the
+    * portable exactly-once contract on any object store that supports
+    * atomic directory replace. Readers see the union of batch
+    * partitions; `_batch_id` is a physical-layout column the logical
+    * schema drops on read ([[readPublished]]).
+    *
+    * StreamingSpec pins the contract: replaying a batchId leaves the
+    * published table row-identical. */
+  def idempotentPublish(batch: DataFrame, batchId: Long, path: String): Unit =
+    batch.sparkSession.synchronized {
+      // partitionOverwriteMode is session-wide; scope it to this write
+      val conf = batch.sparkSession.conf
+      val prev = conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        batch
+          .withColumn("_batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .write
+          .mode("overwrite")
+          .partitionBy("_batch_id")
+          .parquet(path)
+      finally prev match {
+        case Some(v) => conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+
+  /** The logical view over an [[idempotentPublish]] table: batch
+    * partitions unioned, the layout column dropped. */
+  def readPublished(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("_batch_id")
 
   /** Schema-explicit embeddings FileStreamSource with the same
     * float→double widening as [[graft.Tables.embeddings]] — the
