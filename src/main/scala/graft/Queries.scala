@@ -650,6 +650,76 @@ object Queries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Multi-probe LSH knn join ([[VectorSearch.multiProbeKnnJoin]], Lv
+    * et al. VLDB 2007): the query probes its own bucket PLUS the two
+    * buckets reached by flipping the lowest-|margin| sign bits — recall
+    * bought per-query at serving time against the UNCHANGED single-band
+    * index, instead of per-corpus with more bands. The probe
+    * generation (projections → abs margins → first-match argmin with
+    * lowest-index tie-break → bit flips) is pure deterministic
+    * arithmetic, replayed expression-for-expression by the oracle. */
+  private def qAnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    VectorSearch.multiProbeKnnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim, bits = 8, flips = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  private val qAnnMultiprobeSql: String = {
+    val bits = 8
+    def w(j: Int) = s"(CAST((li * ${j + 1} * 7919) % 193 AS DOUBLE) / 193.0 - 0.5)"
+    def proj(j: Int) =
+      Oracle.foldSum(s"list_transform(range(1, ${EmbeddingDim + 1}), li -> nemb[li] * ${w(j)})")
+    val pSelect = (0 until bits).map(j => s"${proj(j)} AS p$j").mkString(",\n       ")
+    val aSelect = (0 until bits).map(j => s"abs(p$j) AS a$j").mkString(", ")
+    val bucketExpr = (0 until bits)
+      .map(j => s"(CASE WHEN p$j > 0.0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val leastA = s"LEAST(${(0 until bits).map(j => s"a$j").mkString(", ")})"
+    val bv1Case = "CASE " +
+      (0 until bits).map(j => s"WHEN a$j = mn1 THEN ${1L << j}").mkString(" ") + " ELSE 0 END"
+    val penSelect = (0 until bits)
+      .map(j => s"a$j + (CASE WHEN bv1 = ${1L << j} THEN 1e9 ELSE 0.0 END) AS c$j")
+      .mkString(", ")
+    val leastC = s"LEAST(${(0 until bits).map(j => s"c$j").mkString(", ")})"
+    val bv2Case = "CASE " +
+      (0 until bits).map(j => s"WHEN c$j = mn2 THEN ${1L << j}").mkString(" ") + " ELSE 0 END"
+    val score = Oracle.dot("qn.nemb", "dn.nemb", EmbeddingDim)
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |qp AS (
+       |  SELECT vec_id AS query_id,
+       |       $pSelect
+       |  FROM n),
+       |qa AS (SELECT query_id, $aSelect, $bucketExpr AS bucket FROM qp),
+       |q1 AS (SELECT *, $leastA AS mn1 FROM qa),
+       |q2 AS (SELECT *, $bv1Case AS bv1 FROM q1),
+       |q3 AS (SELECT *, $penSelect FROM q2),
+       |q4 AS (SELECT *, $leastC AS mn2 FROM q3),
+       |q5 AS (SELECT *, $bv2Case AS bv2 FROM q4),
+       |probes AS (
+       |  SELECT query_id, bucket AS pb FROM q5
+       |  UNION ALL SELECT query_id, xor(bucket, bv1) FROM q5
+       |  UNION ALL SELECT query_id, xor(bucket, bv2) FROM q5),
+       |db AS (SELECT vec_id AS neighbor_id, nemb,
+       |       ${Oracle.lshBucket("nemb", EmbeddingDim, bits)} AS bucket FROM n),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, db.neighbor_id
+       |  FROM probes p JOIN db ON p.pb = db.bucket
+       |  WHERE p.query_id <> db.neighbor_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id, $score AS score
+       |  FROM cand c JOIN n qn ON c.query_id = qn.vec_id
+       |              JOIN n dn ON c.neighbor_id = dn.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, score, rank
+       |FROM r WHERE rank <= $KnnJoinK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Split id for the incremental-index query: rows below are the
     * "existing" persisted index, rows at/above are the append batch.
     * 400 < every fixture's embedding count (500/500/2000), so both
@@ -4256,6 +4326,7 @@ object Queries {
     GraftQuery("q_bucketed_join", qBucketedJoin, Some(qBucketedJoinSql)),
     GraftQuery("q_ann_lsh", qAnnLsh, Some(qAnnLshSql)),
     GraftQuery("q_ann_lsh_multi", qAnnLshMulti, Some(qAnnLshMultiSql)),
+    GraftQuery("q_ann_multiprobe", qAnnMultiprobe, Some(qAnnMultiprobeSql)),
     GraftQuery("q_index_append", qIndexAppend, Some(qIndexAppendSql)),
     GraftQuery("q_ann_ivf", qAnnIvf, Some(qAnnIvfSql)),
     GraftQuery("q_semantic_dedup", qSemanticDedup, Some(qSemanticDedupSql)),

@@ -800,4 +800,80 @@ object VectorSearch {
       .withColumn("score", metric.scorePrenormalized(col("__qvec"), col("__dvec")))
     rankTopK(scored, k, excludeSelf = false)
   }
+
+  /** Query-side multi-probe LSH (Lv et al., "Multi-Probe LSH", VLDB
+    * 2007): instead of buying recall with more bands (index cost linear
+    * in bands — [[multibandKnnJoin]]), probe the buckets MOST LIKELY to
+    * hold missed neighbors — those reached by flipping the sign bits
+    * whose hyperplane projections have the smallest |margin| (a
+    * near-zero projection means the neighbor plausibly landed on the
+    * other side). The INDEX is untouched — the same single-band
+    * `(id, bucket)` table [[lshBucketTable]] persists — so recall is
+    * bought per-QUERY at serving time: `1 + flips` bucket probes per
+    * query instead of a bigger index. That is the knob asymmetry that
+    * matters at 100 TB: probes multiply the query side of the equi-join
+    * (tiny), never the corpus side or the stored index.
+    *
+    * Candidate handling mirrors [[multibandKnnJoin]]: probe hits are
+    * OR-deduplicated while still scalar id pairs, vectors join back by
+    * id once per distinct candidate for codegen scoring. Everything is
+    * deterministic — argmin margins tie-break to the lowest plane
+    * index via first-match CASE semantics identical in Spark and SQL —
+    * so the oracle replays the full probe generation. Candidate sets
+    * strictly contain the single-probe ones, so recall ≥
+    * [[bucketedKnnJoin]]'s at the same (bits) — pinned in LshSpec. */
+  def multiProbeKnnJoin(
+      queries: DataFrame,
+      data: DataFrame,
+      vecCol: String,
+      idCol: String,
+      metric: Metric,
+      k: Int,
+      dim: Int,
+      bits: Int = 8,
+      flips: Int = 2,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(flips == 1 || flips == 2, s"1 or 2 probe flips supported, got $flips")
+    val qSpread = Partitioning.spread(queries)
+    val di = prepareColumn(data, vecCol, metric)
+      .select(col(idCol).as("neighbor_id"),
+        lshBucketBand(col(vecCol), dim, bits, band = 0).as("bucket"))
+    // materialize the per-plane projections once per query row
+    val qp = prepareColumn(qSpread, vecCol, metric)
+      .select(col(idCol).as("query_id") +: (0 until bits).map(j =>
+        VectorExpressions.dot(col(vecCol), hyperplane(j, dim)).as(s"__p$j")): _*)
+    val a = (0 until bits).map(j => abs(col(s"__p$j")))
+    val bucket = (0 until bits).map(j =>
+      when(col(s"__p$j") > lit(0.0), lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    // first plane whose |margin| equals the running minimum — ties go to
+    // the lowest index in BOTH engines (first-match CASE semantics)
+    def firstMatchBit(keys: Seq[Column], target: Column): Column =
+      keys.zipWithIndex.reverse.foldLeft(lit(0L): Column) { case (els, (kc, j)) =>
+        when(kc === target, lit(1L << j)).otherwise(els)
+      }
+    val bv1 = firstMatchBit(a, least(a: _*))
+    // exclude the first flip by penalty, not index juggling: the +1e9
+    // dwarfs any |projection| of a normalized vector
+    val pen = (0 until bits).map(j =>
+      a(j) + when(bv1 === lit(1L << j), lit(1e9)).otherwise(lit(0.0)))
+    val bv2 = firstMatchBit(pen, least(pen: _*))
+    val probes =
+      if (flips == 1) array(bucket, bucket.bitwiseXOR(bv1))
+      else array(bucket, bucket.bitwiseXOR(bv1), bucket.bitwiseXOR(bv2))
+    val qi = qp.select(col("query_id"), explode(probes).as("bucket"))
+    val joined = qi.join(di, Seq("bucket"))
+    val nonSelf =
+      if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
+      else joined
+    val candidates = nonSelf.select("query_id", "neighbor_id").distinct()
+    val qv = prepareColumn(qSpread, vecCol, metric)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+    val dv = prepareColumn(data, vecCol, metric)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__dvec"))
+    val scored = candidates
+      .join(qv, Seq("query_id"))
+      .join(dv, Seq("neighbor_id"))
+      .withColumn("score", metric.scorePrenormalized(col("__qvec"), col("__dvec")))
+    rankTopK(scored, k, excludeSelf = false)
+  }
 }

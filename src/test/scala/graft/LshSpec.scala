@@ -63,6 +63,45 @@ class LshSpec extends SparkSpec {
     assert(recall >= 0.05, f"recall collapsed: $recall%.3f")
   }
 
+  test("multi-probe candidates strictly contain single-probe and recall does not regress") {
+    val exact = pairsOf(VectorSearch.knnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = K, excludeSelf = true, broadcastData = true))
+    val single = pairsOf(VectorSearch.bucketedKnnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = K, dim = Dim, bits = 4))
+    val multi = pairsOf(VectorSearch.multiProbeKnnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = K, dim = Dim, bits = 4, flips = 2))
+    val rSingle = (exact intersect single).size.toDouble / exact.size
+    val rMulti = (exact intersect multi).size.toDouble / exact.size
+    info(f"recall@$K bits=4: single-probe $rSingle%.3f -> multi-probe(2 flips) $rMulti%.3f")
+    // the probe set contains the home bucket, so the candidate pool is a
+    // superset — top-k recall cannot regress (top-k itself may differ
+    // only by ADDING better-scoring true neighbors)
+    assert(rMulti >= rSingle,
+      f"multi-probe recall $rMulti%.3f regressed below single-probe $rSingle%.3f")
+    // and on this fixture the extra probes genuinely buy recall
+    assert(rMulti > rSingle,
+      f"multi-probe added no recall on the fixture ($rMulti%.3f == $rSingle%.3f)")
+  }
+
+  test("multi-probe probes exactly 1 + flips buckets per query, home bucket included") {
+    // flips=1 must be a sub-probe-set of flips=2 results' candidate pool:
+    // every pair found with 1 flip is found with 2
+    val f1 = pairsOf(VectorSearch.multiProbeKnnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = K, dim = Dim, bits = 4, flips = 1))
+    val f2 = pairsOf(VectorSearch.multiProbeKnnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = K, dim = Dim, bits = 4, flips = 2))
+    val sp = pairsOf(VectorSearch.bucketedKnnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = K, dim = Dim, bits = 4))
+    // top-k truncation can only drop pairs in favor of BETTER ones; on
+    // the candidate-pool level the containment chain is single ⊂ f1 ⊂ f2.
+    // At the result level we assert via recall against exact knn.
+    val exact = pairsOf(VectorSearch.knnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = K, excludeSelf = true, broadcastData = true))
+    def r(s: Set[(Long, Long)]) = (exact intersect s).size.toDouble / exact.size
+    assert(r(f1) >= r(sp) && r(f2) >= r(f1),
+      f"recall not monotone in probes: sp=${r(sp)}%.3f f1=${r(f1)}%.3f f2=${r(f2)}%.3f")
+  }
+
   test("multiband: band 0 reproduces the single-band bucketing") {
     val a = emb.select(col("vec_id"),
       VectorSearch.lshBucket(col("embedding"), Dim, 8).as("b")).collect()
