@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Metric
+import graft.operators.{Graph, Sketches, Temporal, TextOps, VectorSearch}
+import graft.streaming.Streaming
+
+/** Empty-input robustness sweep: every operator family must return an
+  * EMPTY result — not throw, not hang, not emit spurious rows — when its
+  * input frame has zero rows. At 100 TB this is not a corner case: a
+  * partition-pruned read, a filter that matches nothing, or an empty
+  * delta batch in an incremental pipeline all hand operators an empty
+  * frame with a full schema, and a crash there kills a whole job that
+  * did real work upstream. (Operators whose CONTRACT needs rows —
+  * `ivfCentroids`' collect of c rows, `pqCodebooks` — are index-BUILD
+  * steps a deployment runs once on a known-nonempty corpus; their
+  * `require` failing fast on empty is the correct behavior and is not
+  * relaxed here.) */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val noDocs =
+    Tables.documents(spark, Sf0001).filter(lit(false))
+  private lazy val noEvents =
+    Tables.events(spark, Sf0001).filter(lit(false))
+  private lazy val noEmb =
+    Tables.embeddings(spark, Sf0001).filter(lit(false))
+  private lazy val someEmb =
+    Tables.embeddings(spark, Sf0001).select("vec_id", "embedding").limit(20)
+
+  test("text ops: stats, chunks, scrub, segment dedup on zero documents") {
+    assert(TextOps.textStats(noDocs, "lang", "n_chars", "text").count() == 0)
+    assert(TextOps.chunkDocuments(noDocs, "doc_id", "text", 100).count() == 0)
+    assert(TextOps.scrub(noDocs, "text",
+      Seq("[0-9]{3}-[0-9]{4}" -> "<phone>")).count() == 0)
+    assert(TextOps.segmentDedup(noDocs, "doc_id", "text", 80).count() == 0)
+  }
+
+  test("sketches: minhash signatures and band table on zero documents") {
+    val sig = Sketches.minhashSignature(noDocs, "doc_id", "text", k = 5, m = 16)
+    assert(sig.count() == 0)
+    assert(Sketches.minhashBands(sig, "doc_id", bands = 4, rowsPerBand = 4).count() == 0)
+  }
+
+  test("graph: connected components of an empty edge list") {
+    val labels = Graph.connectedComponents(
+      noDocs.select(col("doc_id").as("a"), col("doc_id").as("b")), "a", "b")
+    assert(labels.count() == 0)
+  }
+
+  test("dedup: keep-first on zero rows") {
+    assert(Temporal.keepFirst(noEvents,
+      Seq("user_id"), Seq("ts", "event_id"), Seq("event_type")).count() == 0)
+  }
+
+  test("knn: empty corpus yields no neighbors; empty queries yield no results") {
+    assert(VectorSearch.knnJoin(someEmb, noEmb.select("vec_id", "embedding"),
+      "embedding", "vec_id", Metric.Cosine, k = 5, broadcastData = true).count() == 0)
+    assert(VectorSearch.bucketedKnnJoin(noEmb.select("vec_id", "embedding"), someEmb,
+      "embedding", "vec_id", Metric.Cosine, k = 5, dim = Tables.EmbeddingDim).count() == 0)
+    assert(VectorSearch.multiProbeKnnJoin(noEmb.select("vec_id", "embedding"), someEmb,
+      "embedding", "vec_id", Metric.Cosine, k = 5,
+      dim = Tables.EmbeddingDim).count() == 0)
+    assert(VectorSearch.multibandKnnJoin(someEmb, noEmb.select("vec_id", "embedding"),
+      "embedding", "vec_id", Metric.Cosine, k = 5,
+      dim = Tables.EmbeddingDim, bits = 4, bands = 2).count() == 0)
+  }
+
+  test("index tables: LSH bucket table and appends on zero vectors") {
+    val idx = VectorSearch.lshBucketTable(noEmb.select("vec_id", "embedding"),
+      "embedding", "vec_id", Metric.Cosine, Tables.EmbeddingDim, bits = 8, bands = 4)
+    assert(idx.count() == 0)
+    // appending an empty delta to a real index is the everyday shape:
+    // an ingest tick with no new vectors must be a no-op, not a failure
+    val real = VectorSearch.lshBucketTable(someEmb, "embedding", "vec_id",
+      Metric.Cosine, Tables.EmbeddingDim, bits = 8, bands = 4)
+    val appended = VectorSearch.lshIndexAppend(real,
+      noEmb.select("vec_id", "embedding"), "embedding", "vec_id",
+      Metric.Cosine, Tables.EmbeddingDim, bits = 8, bands = 4)
+    assert(appended.count() == real.count())
+  }
+
+  test("streaming transforms: windowed counts, burst flags, sessionize on zero events") {
+    assert(Streaming.windowedCounts(noEvents).count() == 0)
+    assert(Streaming.burstFlags(Streaming.windowedCounts(noEvents)).count() == 0)
+    assert(Streaming.sessionize(noEvents).count() == 0)
+    assert(Streaming.userRunningStats(noEvents).count() == 0)
+  }
+}
