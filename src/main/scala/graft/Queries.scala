@@ -2905,6 +2905,72 @@ object Queries {
   // earlier in the file but keep the reference lazy for safety
   private def qStreamIndexSql: String = qIndexAppendSql
 
+  /** Streamed PQ code maintenance executed FOR REAL under the gate —
+    * [[qStreamIndex]]'s analog for the COMPRESSED serving tier: the
+    * embeddings landing-dir stream encoded through [[VectorSearch
+    * .pqEncode]] against FROZEN codebooks (the standard PQ serving
+    * contract: retrain codebooks offline, never per insert — the same
+    * freeze that makes [[VectorSearch.ivfIndexAppend]] exact). Encoding
+    * is a pure per-row projection (struct-min over 16-entry codebooks,
+    * no state store), so streamed code rows equal a batch re-encode
+    * exactly; at scale this keeps the 8-byte-code table fresh as
+    * vectors land, with no corpus re-encode. Oracle: the per-subspace
+    * argmin assignment replayed relationally and bit-packed. */
+  private def qStreamCodes(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val cbs = pqCodebookCache.computeIfAbsent(dir, _ =>
+      VectorSearch.pqCodebooks(emb, "embedding", "vec_id", PqM, PqKsub, Metric.Cosine))
+    val landing = embLandingCache.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Paths.get(
+        s"/root/repo/target/tmp/emb_landing_${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/embeddings.parquet"),
+        d.resolve("embeddings.parquet"))
+      d.toString
+    })
+    val sink = s"q_stream_codes_sink_${math.abs(dir.hashCode)}"
+    if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+    val q = VectorSearch.pqEncode(
+        Streaming.embeddingsStream(s, landing), "embedding", "vec_id",
+        cbs, Metric.Cosine)
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(180000)) {
+      q.stop()
+      throw new IllegalStateException("q_stream_codes: stream did not drain")
+    }
+    s.table(sink).orderBy("vec_id")
+  }
+
+  private val qStreamCodesSql: String = {
+    val sSub = EmbeddingDim / PqM
+    val subA = s"list_slice(v.nemb, gs.j * $sSub + 1, gs.j * $sSub + $sSub)"
+    val subC = s"list_slice(c.nemb, gs.j * $sSub + 1, gs.j * $sSub + $sSub)"
+    val dist = Oracle.euclideanDistance(subA, subC, sSub)
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |cb AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS code, nemb
+       |  FROM (SELECT vec_id, nemb FROM n ORDER BY vec_id LIMIT $PqKsub)),
+       |d AS (
+       |  SELECT v.vec_id, gs.j, c.code, $dist AS dist
+       |  FROM n v CROSS JOIN cb c CROSS JOIN generate_series(0, ${PqM - 1}) gs(j)),
+       |a AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT vec_id, j, code,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, j
+       |                              ORDER BY dist ASC, code ASC) AS rn
+       |    FROM d) WHERE rn = 1)
+       |SELECT vec_id,
+       |       CAST(sum(code * (1::BIGINT << (4 * j))) AS BIGINT) AS pq_code
+       |FROM a GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   private val sessLandingCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3542,6 +3608,46 @@ object Queries {
        |       $EmbeddingDim AS dim,
        |       'cosine' AS metric_name
        |FROM embeddings""".stripMargin
+
+  /** Schema evolution across parquet generations — the schema-drift
+    * reality of a corpus written over years: an old generation lacks a
+    * column a newer crawler added. Two generations are WRITTEN (even
+    * keys without `price_cents`, odd keys with it) and read back through
+    * ONE `mergeSchema` scan: Spark unions the footers' schemas and
+    * null-fills the missing column in old files — no rewrite of the old
+    * generation, which at 100 TB is the difference between a metadata
+    * merge and a full-corpus migration. The aggregate proves the merged
+    * frame is exactly old ∪ new (counts per status, non-null count and
+    * exact-cents sum only from the evolved generation). Oracle replays
+    * the generation split relationally from the original table. */
+  private def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"/root/repo/target/tmp/q_schema_evo_$safe"
+    val orders = Tables.orders(s, dir)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$root/gen=1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      .write.mode("overwrite").parquet(s"$root/gen=2")
+    s.read.option("mergeSchema", "true").parquet(root)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("price_cents")).as("n_priced"),
+        coalesce(sum("price_cents"), lit(0L)).as("price_cents_sum"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val qSchemaEvolutionSql: String =
+    """SELECT o_orderstatus,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT) AS n_priced,
+      |       CAST(COALESCE(sum(CASE WHEN o_orderkey % 2 = 1
+      |                     THEN CAST(floor(o_totalprice * 100) AS BIGINT) END), 0)
+      |            AS BIGINT) AS price_cents_sum
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** Per-language EXACT percentiles of document length — corpus
     * length-distribution analytics. Spark's `percentile` (exact, linear
@@ -4304,6 +4410,7 @@ object Queries {
     GraftQuery("q_text_stats", qTextStats, Some(qTextStatsSql)),
     GraftQuery("q_multimodal", qMultimodal, Some(qMultimodalSql)),
     GraftQuery("q_save_load", qSaveLoad, Some(qSaveLoadSql)),
+    GraftQuery("q_schema_evolution", qSchemaEvolution, Some(qSchemaEvolutionSql)),
     GraftQuery("q_source_roundtrip", qSourceRoundtrip, Some(qSourceRoundtripSql)),
     GraftQuery("q_partition_prune", qPartitionPrune, Some(qPartitionPruneSql)),
     GraftQuery("q_compaction", qCompaction, Some(qCompactionSql)),
@@ -4378,6 +4485,7 @@ object Queries {
     GraftQuery("q_stream_pairs", qStreamPairs, Some(qStreamPairsSql)),
     GraftQuery("q_stream_index", qStreamIndex, Some(qStreamIndexSql)),
     GraftQuery("q_stream_sessions", qStreamSessions, Some(qStreamSessionsSql)),
+    GraftQuery("q_stream_codes", qStreamCodes, Some(qStreamCodesSql)),
     GraftQuery("q_events_sliding", qEventsSliding, Some(qEventsSlidingSql)),
     GraftQuery("q_sessionize", qSessionize, Some(qSessionizeSql)),
     GraftQuery("q_keep_first", qKeepFirst, Some(qKeepFirstSql)),
