@@ -838,29 +838,53 @@ object VectorSearch {
     val di = prepareColumn(data, vecCol, metric)
       .select(col(idCol).as("neighbor_id"),
         lshBucketBand(col(vecCol), dim, bits, band = 0).as("bucket"))
-    // materialize the per-plane projections once per query row
+    // Probe generation is STAGED through aliased projections so each
+    // subexpression is computed once and referenced as an attribute.
+    // Composing it as one Column tree re-expands bv1 inside every
+    // penalty term and the penalties inside bv2 (~10k nodes), which
+    // blows the generated doConsume past janino's method limit — codegen
+    // falls back to interpreted and logs ERROR per run. CollapseProject
+    // keeps these stages apart because each alias is non-cheap and
+    // multiply-referenced.
+    def firstMatchBit(keys: Seq[Column], target: Column): Column =
+      keys.zipWithIndex.reverse.foldLeft(lit(0L): Column) { case (els, (kc, j)) =>
+        // ties go to the lowest plane index in BOTH engines
+        // (first-match CASE semantics)
+        when(kc === target, lit(1L << j)).otherwise(els)
+      }
+    // stage 1: per-plane projections, once per query row
     val qp = prepareColumn(qSpread, vecCol, metric)
       .select(col(idCol).as("query_id") +: (0 until bits).map(j =>
         VectorExpressions.dot(col(vecCol), hyperplane(j, dim)).as(s"__p$j")): _*)
-    val a = (0 until bits).map(j => abs(col(s"__p$j")))
-    val bucket = (0 until bits).map(j =>
-      when(col(s"__p$j") > lit(0.0), lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    // first plane whose |margin| equals the running minimum — ties go to
-    // the lowest index in BOTH engines (first-match CASE semantics)
-    def firstMatchBit(keys: Seq[Column], target: Column): Column =
-      keys.zipWithIndex.reverse.foldLeft(lit(0L): Column) { case (els, (kc, j)) =>
-        when(kc === target, lit(1L << j)).otherwise(els)
-      }
-    val bv1 = firstMatchBit(a, least(a: _*))
-    // exclude the first flip by penalty, not index juggling: the +1e9
-    // dwarfs any |projection| of a normalized vector
-    val pen = (0 until bits).map(j =>
-      a(j) + when(bv1 === lit(1L << j), lit(1e9)).otherwise(lit(0.0)))
-    val bv2 = firstMatchBit(pen, least(pen: _*))
+    // stage 2: abs margins + home bucket from the materialized projections
+    val s2 = qp.select(
+      col("query_id") +:
+        (0 until bits).map(j =>
+          when(col(s"__p$j") > lit(0.0), lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("__bucket") +:
+        (0 until bits).map(j => abs(col(s"__p$j")).as(s"__a$j")): _*)
+    // stage 3: first flip bit = argmin |margin|
+    val aCols = (0 until bits).map(j => col(s"__a$j"))
+    val s3 = s2.select(
+      col("query_id") +: col("__bucket") +:
+        firstMatchBit(aCols, least(aCols: _*)).as("__bv1") +:
+        aCols.zipWithIndex.map { case (c, j) => c.as(s"__a$j") }: _*)
+    // stage 4: second flip = argmin with the first excluded by penalty —
+    // the +1e9 dwarfs any |projection| of a normalized vector
+    val s4 = s3.select(
+      col("query_id") +: col("__bucket") +: col("__bv1") +:
+        (0 until bits).map(j =>
+          (col(s"__a$j") +
+            when(col("__bv1") === lit(1L << j), lit(1e9)).otherwise(lit(0.0)))
+            .as(s"__c$j")): _*)
+    val cCols = (0 until bits).map(j => col(s"__c$j"))
+    val s5 = s4.select(col("query_id"), col("__bucket"), col("__bv1"),
+      firstMatchBit(cCols, least(cCols: _*)).as("__bv2"))
     val probes =
-      if (flips == 1) array(bucket, bucket.bitwiseXOR(bv1))
-      else array(bucket, bucket.bitwiseXOR(bv1), bucket.bitwiseXOR(bv2))
-    val qi = qp.select(col("query_id"), explode(probes).as("bucket"))
+      if (flips == 1) array(col("__bucket"), col("__bucket").bitwiseXOR(col("__bv1")))
+      else array(col("__bucket"), col("__bucket").bitwiseXOR(col("__bv1")),
+        col("__bucket").bitwiseXOR(col("__bv2")))
+    val qi = s5.select(col("query_id"), explode(probes).as("bucket"))
     val joined = qi.join(di, Seq("bucket"))
     val nonSelf =
       if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))

@@ -83,6 +83,24 @@ class LshSpec extends SparkSpec {
       f"multi-probe added no recall on the fixture ($rMulti%.3f == $rSingle%.3f)")
   }
 
+  test("multi-probe probe generation stays within codegen limits (no interpreted fallback)") {
+    // the r6 regression this pins: composing the probe arithmetic as one
+    // Column tree re-expanded bv1/penalties into a ~10k-node expression,
+    // blew janino's method limit and silently fell back to interpreted
+    // execution (ERROR CodeGenerator per run). With fallback disabled,
+    // any recurrence fails the test instead of degrading silently.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val n = VectorSearch.multiProbeKnnJoin(emb, emb, "embedding", "vec_id",
+        Metric.Cosine, k = K, dim = Dim, bits = 8, flips = 2).count()
+      assert(n > 0)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("multi-probe probes exactly 1 + flips buckets per query, home bucket included") {
     // flips=1 must be a sub-probe-set of flips=2 results' candidate pool:
     // every pair found with 1 flip is found with 2
