@@ -3020,11 +3020,17 @@ object Queries {
               lit(uid).as("user_id"), lit("sentinel").as("event_type"),
               lit(0.0).as("value"), lit("{}").as("props"))
             .coalesce(1).write.parquet(tmp.toString)
-          val part = java.nio.file.Files.list(tmp)
-            .filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
+          val entries = {
+            val st = java.nio.file.Files.list(tmp)
+            try {
+              import scala.jdk.CollectionConverters._
+              st.iterator().asScala.toList
+            } finally st.close()
+          }
+          val part = entries
+            .find(_.getFileName.toString.endsWith(".parquet")).get
           java.nio.file.Files.move(part, d.resolve(name))
-          java.nio.file.Files.list(tmp).forEach(java.nio.file.Files.delete(_))
+          entries.filterNot(_ == part).foreach(java.nio.file.Files.delete(_))
           java.nio.file.Files.delete(tmp)
       }
       d.toString
