@@ -401,6 +401,42 @@ object Queries {
        |FROM firsts WHERE rn = 1
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** df threshold for [[qBoilerplateScrub]] — ≥3 distinct docs marks a
+    * segment boilerplate; the fixture corpus has 16–220 such segments
+    * per sf (non-trivial everywhere, minDf=2 would shade into plain
+    * near-dup territory). */
+  private val BoilerplateMinDf = 3
+
+  /** Document-frequency boilerplate cut
+    * ([[TextOps.scrubFrequentSegments]]): segments in ≥[[BoilerplateMinDf]]
+    * distinct docs are cut EVERYWHERE — including the first occurrence
+    * that [[qSegDedup]] keeps. Same certificate shape as q_seg_dedup:
+    * per-doc survivor counts + md5 of the reassembled text, so the
+    * oracle checks the reassembly, not just the cut. */
+  private def qBoilerplateScrub(s: SparkSession, dir: String): DataFrame =
+    TextOps.scrubFrequentSegments(Tables.documents(s, dir), "doc_id", "text",
+        SegDedupSize, BoilerplateMinDf)
+      .select(col("doc_id"), col("kept_segs"), col("kept_chars"),
+        md5(col("dedup_text").cast("binary")).as("scrub_hash"))
+      .orderBy("doc_id")
+
+  private val qBoilerplateScrubSql: String =
+    s"""WITH segs AS (
+       |  SELECT doc_id, CAST(gs.i AS BIGINT) AS seg_index,
+       |         substr(text, CAST(gs.i * $SegDedupSize + 1 AS INTEGER), $SegDedupSize) AS seg_text
+       |  FROM documents CROSS JOIN generate_series(0, ${MaxSegs - 1}) gs(i)
+       |  WHERE gs.i < greatest(CAST(ceil(length(text) / $SegDedupSize.0) AS BIGINT), 1)),
+       |freq AS (
+       |  SELECT seg_hash
+       |  FROM (SELECT DISTINCT md5(seg_text) AS seg_hash, doc_id FROM segs) s
+       |  GROUP BY 1 HAVING count(*) >= $BoilerplateMinDf)
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS kept_segs,
+       |       CAST(sum(length(seg_text)) AS BIGINT) AS kept_chars,
+       |       md5(string_agg(seg_text, '' ORDER BY seg_index)) AS scrub_hash
+       |FROM segs WHERE md5(seg_text) NOT IN (SELECT seg_hash FROM freq)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Top-k for [[qVocabTopk]] — deep enough to cross the content-word
     * boundary below the corpus's handful of boilerplate tokens. */
   private val VocabK = 25
@@ -3998,6 +4034,41 @@ object Queries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  private val ReservoirSalt = "panel1"
+
+  /** Per-language fixture doc counts are ≥63 at every sf, so the
+    * exact-N contract (not the all-rows passthrough) is exercised
+    * everywhere. */
+  private val ReservoirN = 20
+
+  /** Exact-N per-group sampling ([[Splits.reservoirSample]], bottom-k
+    * by hash): exactly [[ReservoirN]] docs per language with their
+    * sample ranks — the eval-slice/audit-panel contract that
+    * [[Splits.quotaSample]]'s rate-capped form deliberately does not
+    * make. The oracle replays the identical 60-bit `md5(salt:id)` hash
+    * order; the Spark plan keeps a partial WindowGroupLimit below the
+    * exchange (PlanSpec), so only ≤ n rows per group per partition ever
+    * shuffle. */
+  private def qReservoirSample(s: SparkSession, dir: String): DataFrame =
+    Splits.reservoirSample(Tables.documents(s, dir), "doc_id", "lang",
+        ReservoirSalt, ReservoirN)
+      .select("doc_id", "lang", "n_chars", "sample_rank")
+      .orderBy("lang", "sample_rank")
+
+  private val qReservoirSampleSql: String = {
+    val p = Sketches.MinhashPrime
+    val hv =
+      s"(CAST('0x' || substr(md5('$ReservoirSalt:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % $p)"
+    s"""WITH r AS (
+       |  SELECT doc_id, lang, n_chars,
+       |         ROW_NUMBER() OVER (PARTITION BY lang
+       |                            ORDER BY $hv ASC, doc_id ASC) AS sample_rank
+       |  FROM documents)
+       |SELECT doc_id, lang, n_chars, CAST(sample_rank AS BIGINT) AS sample_rank
+       |FROM r WHERE sample_rank <= $ReservoirN
+       |ORDER BY lang, sample_rank""".stripMargin
+  }
+
   private val SnapOldSalt = "snapA"
   private val SnapNewSalt = "snapB"
   private val SnapModSalt = "snapC"
@@ -4425,6 +4496,8 @@ object Queries {
     GraftQuery("q_contamination", qContamination, Some(qContaminationSql)),
     GraftQuery("q_corpus_pipeline", qCorpusPipeline, Some(qCorpusPipelineSql)),
     GraftQuery("q_quota_sample", qQuotaSample, Some(qQuotaSampleSql)),
+    GraftQuery("q_reservoir_sample", qReservoirSample, Some(qReservoirSampleSql)),
+    GraftQuery("q_boilerplate_scrub", qBoilerplateScrub, Some(qBoilerplateScrubSql)),
     GraftQuery("q_temperature_mix", qTemperatureMix, Some(qTemperatureMixSql)),
     GraftQuery("q_snapshot_diff", qSnapshotDiff, Some(qSnapshotDiffSql)),
     GraftQuery("q_quality_cut", qQualityCut, Some(qQualityCutSql)),

@@ -19,13 +19,21 @@ object Splits {
   /** Buckets per unit probability — per-mille×10 resolution. */
   val Buckets: Long = 10000L
 
-  /** Uniform bucket in [0, [[Buckets]]) from `md5(salt:id)` — the first
-    * 15 hex chars as a 60-bit integer, reduced mod a Mersenne prime then
-    * the bucket count (both engines compute it identically; see
-    * [[Sketches.shingleHash]]). */
+  /** Full-resolution uniform hash in [0, [[Sketches.MinhashPrime]]) from
+    * `md5(salt:id)` — the first 15 hex chars as a 60-bit integer reduced
+    * mod a Mersenne prime (both engines compute it identically; see
+    * [[Sketches.shingleHash]]). The pre-bucket value of [[hashBucket]];
+    * use it where hash ORDER matters ([[reservoirSample]]) — at corpus
+    * scale a 10⁴-bucket order would decide rank boundaries by the id
+    * tie-break inside one giant bucket run. */
+  def hashValue(idCol: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), idCol.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % Sketches.MinhashPrime
+
+  /** Uniform bucket in [0, [[Buckets]]) — [[hashValue]] reduced to the
+    * bucket count. */
   def hashBucket(idCol: Column, salt: String): Column =
-    (conv(substring(md5(concat(lit(salt), lit(":"), idCol.cast("string"))), 1, 15), 16, 10)
-      .cast("long") % Sketches.MinhashPrime) % Buckets
+    hashValue(idCol, salt) % Buckets
 
   /** Append a `split` column assigning each row to the first label whose
     * cumulative weight bound exceeds the row's hash bucket. Weights are
@@ -54,6 +62,39 @@ object Splits {
     * same salt — nested samples for staged experiments). */
   def sample(df: DataFrame, idCol: String, salt: String, rate: Double): DataFrame =
     df.filter(hashBucket(col(idCol), salt) < math.round(rate * Buckets))
+
+  /** Exact-N-per-group deterministic sample ("bottom-k by hash", the
+    * distributed stand-in for per-group reservoir sampling): keep the
+    * `n` rows with the smallest `(hashValue, id)` in each group, with
+    * their 1-based `sample_rank`. Complements [[quotaSample]]: that form
+    * is rate-capped (approximate counts, zero corpus shuffle) for
+    * mixture balancing; this one is for contracts that need EXACTLY n
+    * rows per group (eval slices, per-domain audit panels, labeling
+    * batches).
+    *
+    * Scale: the naive per-group window would funnel the whole corpus
+    * through a low-cardinality exchange (the pathology [[quotaSample]]'s
+    * doc describes). Spark's `InferWindowGroupLimit` breaks it: the
+    * `row_number ≤ n` filter plants a PARTIAL WindowGroupLimit below the
+    * exchange, so each input partition forwards at most n rows per
+    * group — shuffle volume is ≤ n·P rows regardless of corpus size
+    * (PlanSpec pins the partial node below the exchange). Hash order
+    * makes the kept set a pure function of `(salt, id)`: stable across
+    * runs, partitionings and engines, and samples NEST — the bottom-10
+    * set is a subset of the bottom-20 set at the same salt. */
+  def reservoirSample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      salt: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(hashValue(col(idCol), salt).asc, col(idCol).asc)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= n)
+  }
 
   /** Per-group quota sampling — cap each `groupCol` value (source,
     * domain, language …) at ~`quota` rows, the mixture-balancing step of

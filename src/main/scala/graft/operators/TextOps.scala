@@ -248,6 +248,43 @@ object TextOps {
     segs.join(firsts, Seq(idCol, "seg_index"))
   }
 
+  /** Document-frequency boilerplate cut — the OTHER CCNet frequent-line
+    * rule: a segment occurring in `minDf`-or-more DISTINCT documents is
+    * boilerplate (headers, nav bars, license blocks) and EVERY copy is
+    * removed — including the first, which [[segmentDedup]]'s
+    * keep-first-occurrence rule would preserve. Documents reassemble
+    * from their surviving segments; a document that was all boilerplate
+    * vanishes.
+    *
+    * Scale shape: df is exact WITHOUT `count(distinct)` — dedup
+    * `(seg_hash, doc)` first, then count (the [[vocabTopK]] two-level
+    * pattern; both exchanges carry a 32-byte hash plus an id). The cut
+    * itself anti-joins `(id, seg_index, seg_hash)` key rows — never
+    * text — against the frequent-hash set (Zipfian corpus repetition
+    * makes that set heavy-hitter-small, so AQE broadcasts it); segment
+    * text crosses the wire exactly once, in the doc-keyed reassembly,
+    * same as [[survivingSegments]]. */
+  def scrubFrequentSegments(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      segSize: Int,
+      minDf: Int): DataFrame = {
+    require(minDf >= 2, s"minDf below 2 would scrub every segment, got $minDf")
+    val segs = chunkDocuments(Partitioning.spread(docs), idCol, textCol, segSize)
+      .withColumnRenamed("chunk_index", "seg_index")
+      .withColumnRenamed("chunk_text", "seg_text")
+    val hashed = segs.select(col(idCol), col("seg_index"),
+      md5(col("seg_text").cast("binary")).as("seg_hash"))
+    val frequent = hashed.select(col("seg_hash"), col(idCol)).distinct()
+      .groupBy("seg_hash").agg(count(lit(1)).as("seg_df"))
+      .filter(col("seg_df") >= minDf)
+      .select("seg_hash")
+    val kept = hashed.join(frequent, Seq("seg_hash"), "left_anti")
+      .select(col(idCol), col("seg_index"))
+    reassembleSegments(segs.join(kept, Seq(idCol, "seg_index")), idCol)
+  }
+
   /** The reassembly half of [[segmentDedup]]: surviving segments back
     * into documents, in segment order. */
   def reassembleSegments(segs: DataFrame, idCol: String): DataFrame =

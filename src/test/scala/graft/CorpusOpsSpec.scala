@@ -86,6 +86,55 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Set(1L))
   }
 
+  // ------------------------------------------- scrubFrequentSegments ---
+
+  test("scrubFrequentSegments matches a sequential df-threshold model") {
+    val size = 30
+    val minDf = 3
+    // model: df = DISTINCT docs containing the segment; cut every copy
+    // of segments at/over the threshold (first occurrences included)
+    val df = docRows
+      .flatMap { case (id, text) => segsOf(text, size).distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expected = docRows.flatMap { case (id, text) =>
+      val kept = segsOf(text, size).filter(df(_) < minDf)
+      if (kept.isEmpty) None
+      else Some(id -> (kept.size.toLong,
+        kept.map(_.length.toLong).sum, kept.mkString))
+    }.toMap
+
+    val got = TextOps.scrubFrequentSegments(docs, "doc_id", "text", size, minDf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got == expected)
+    // the threshold genuinely bites on the fixture
+    assert(expected.values.map(_._1).sum <
+      docRows.map(t => segsOf(t._2, size).size.toLong).sum,
+      "fixture has no df>=3 segments at size 30 — the scrub certifies a no-op")
+  }
+
+  test("scrubFrequentSegments cuts EVERY copy (unlike segmentDedup's keep-first)") {
+    import spark.implicits._
+    // "xxxx" appears in 3 docs -> boilerplate at minDf=3, all 3 copies cut;
+    // "yyyy"/"zzzz"/"wwww" are unique and survive; doc 3 (all boilerplate) vanishes
+    val dup = Seq((1L, "xxxxyyyy"), (2L, "xxxxzzzz"), (3L, "xxxx"), (4L, "wwww"))
+      .toDF("doc_id", "text")
+    val got = TextOps.scrubFrequentSegments(dup, "doc_id", "text", 4, minDf = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == Map(1L -> "yyyy", 2L -> "zzzz", 4L -> "wwww"), s"got $got")
+  }
+
+  test("scrubFrequentSegments counts df per DISTINCT doc (within-doc repeats don't trip it)") {
+    import spark.implicits._
+    // "abab" repeats 3x inside doc 1 but df=1 -> below minDf=2, survives
+    val df = Seq((1L, "ababababab".take(8) + "abab"), (2L, "cdcd"))
+      .toDF("doc_id", "text")
+    val got = TextOps.scrubFrequentSegments(df, "doc_id", "text", 4, minDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L), s"got $got")
+  }
+
   // --------------------------------------------------------- vocabTopK ---
 
   test("vocabTopK matches an exact word-count model") {

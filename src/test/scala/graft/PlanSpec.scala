@@ -55,6 +55,16 @@ class PlanSpec extends SparkSpec {
       s"no pre-shuffle partial top-k:\n$p")
   }
 
+  test("q_reservoir_sample: partial WindowGroupLimit keeps the corpus off the exchange") {
+    val p = planOf("q_reservoir_sample")
+    assert(p.contains("WindowGroupLimit"), s"no partial group limit:\n$p")
+    // the partial node must run BELOW the group-key exchange, so each
+    // partition forwards at most n rows per group — without it the whole
+    // corpus funnels through the low-cardinality lang shuffle
+    assert(p.lastIndexOf("WindowGroupLimit") > p.indexOf("Exchange"),
+      s"no pre-shuffle partial group limit:\n$p")
+  }
+
   test("q_neardup_minhash: the signature subtree is materialized once") {
     val p = planOf("q_neardup_minhash")
     // the localCheckpoint materializes the signature, so BOTH self-join

@@ -51,6 +51,35 @@ class SplitsSpec extends SparkSpec {
     assert(s5.nonEmpty && s20.size > s5.size)
   }
 
+  test("reservoirSample: exactly min(n, group size) rows per group, ranks contiguous") {
+    val n = 20
+    val sampled = Splits.reservoirSample(docs, "doc_id", "lang", "panel", n)
+    val perGroup = sampled.groupBy("lang").agg(
+        count(lit(1)).as("kept"), max("sample_rank").as("max_rk"),
+        min("sample_rank").as("min_rk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGroup.length == sizes.size, "a group vanished")
+    perGroup.foreach { case (lang, kept, maxRk, minRk) =>
+      assert(kept == math.min(n.toLong, sizes(lang)), s"$lang kept $kept")
+      assert(minRk == 1L && maxRk == kept, s"$lang ranks not 1..$kept")
+    }
+    // n above every group size degrades to a full passthrough with ranks
+    val all = Splits.reservoirSample(docs, "doc_id", "lang", "panel", 100000)
+    assert(all.count() == docs.count())
+  }
+
+  test("reservoirSample: samples nest and survive repartitioning") {
+    def ids(df: org.apache.spark.sql.DataFrame, n: Int) =
+      Splits.reservoirSample(df, "doc_id", "lang", "panel", n)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s10 = ids(docs, 10)
+    val s25 = ids(docs, 25)
+    assert(s10.subsetOf(s25), s"nesting violated: ${(s10 -- s25).size} ids leak")
+    assert(ids(docs.repartition(13), 10) == s10, "sample not partition-stable")
+  }
+
   test("k-fold assignment partitions rows, stays stable, and balances within 2x") {
     val emb = Tables.embeddings(spark, Sf0001).select("vec_id")
     def folds(df: org.apache.spark.sql.DataFrame) = df
