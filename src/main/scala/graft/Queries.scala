@@ -4069,6 +4069,41 @@ object Queries {
        |ORDER BY lang, sample_rank""".stripMargin
   }
 
+  private val SampleSplitId = 400
+  private val SampleSalt = "panelA"
+  private val SampleN = 10
+
+  /** Incremental eval-panel maintenance ([[Splits.reservoirAppend]]):
+    * bottom-k by hash is mergeable, so the persisted per-source sample
+    * absorbs the delta batch (docs at/above [[SampleSplitId]]) by
+    * re-ranking `n·groups + |delta|` rows — the base corpus is never
+    * re-scanned. Spark runs the genuine incremental path; the oracle
+    * replays a FULL-corpus recompute — their equality IS the
+    * mergeability claim (the [[qIndexAppend]] contract, for samples). */
+  private def qSampleAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.filter(col("doc_id") < SampleSplitId)
+    val delta = docs.filter(col("doc_id") >= SampleSplitId)
+    val persisted = Splits.reservoirSample(base, "doc_id", "source", SampleSalt, SampleN)
+    Splits.reservoirAppend(persisted, delta, "doc_id", "source", SampleSalt, SampleN)
+      .select("doc_id", "source", "sample_rank")
+      .orderBy("source", "sample_rank")
+  }
+
+  private val qSampleAppendSql: String = {
+    val p = Sketches.MinhashPrime
+    val hv =
+      s"(CAST('0x' || substr(md5('$SampleSalt:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % $p)"
+    s"""WITH r AS (
+       |  SELECT doc_id, source,
+       |         ROW_NUMBER() OVER (PARTITION BY source
+       |                            ORDER BY $hv ASC, doc_id ASC) AS sample_rank
+       |  FROM documents)
+       |SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+       |FROM r WHERE sample_rank <= $SampleN
+       |ORDER BY source, sample_rank""".stripMargin
+  }
+
   private val SnapOldSalt = "snapA"
   private val SnapNewSalt = "snapB"
   private val SnapModSalt = "snapC"
@@ -4498,6 +4533,7 @@ object Queries {
     GraftQuery("q_quota_sample", qQuotaSample, Some(qQuotaSampleSql)),
     GraftQuery("q_reservoir_sample", qReservoirSample, Some(qReservoirSampleSql)),
     GraftQuery("q_boilerplate_scrub", qBoilerplateScrub, Some(qBoilerplateScrubSql)),
+    GraftQuery("q_sample_append", qSampleAppend, Some(qSampleAppendSql)),
     GraftQuery("q_temperature_mix", qTemperatureMix, Some(qTemperatureMixSql)),
     GraftQuery("q_snapshot_diff", qSnapshotDiff, Some(qSnapshotDiffSql)),
     GraftQuery("q_quality_cut", qQualityCut, Some(qQualityCutSql)),

@@ -96,6 +96,23 @@ object Splits {
       .filter(col("sample_rank") <= n)
   }
 
+  /** Incremental maintenance of a [[reservoirSample]] panel: bottom-k by
+    * hash is MERGEABLE — `bottomK(bottomK(A) ∪ B) = bottomK(A ∪ B)` —
+    * so a persisted sample absorbs a delta batch by re-ranking only
+    * `n·groups + |delta|` rows; the base corpus is never re-scanned
+    * (the [[graft.VectorSearch.lshIndexAppend]] contract, for samples).
+    * `sample` is a prior output of [[reservoirSample]] (its
+    * `sample_rank` is recomputed — a delta row can displace a kept
+    * one). */
+  def reservoirAppend(
+      sample: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      groupCol: String,
+      salt: String,
+      n: Int): DataFrame =
+    reservoirSample(sample.drop("sample_rank").unionByName(delta), idCol, groupCol, salt, n)
+
   /** Per-group quota sampling — cap each `groupCol` value (source,
     * domain, language …) at ~`quota` rows, the mixture-balancing step of
     * every pretraining pipeline (a handful of giant domains otherwise

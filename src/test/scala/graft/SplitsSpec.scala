@@ -80,6 +80,33 @@ class SplitsSpec extends SparkSpec {
     assert(ids(docs.repartition(13), 10) == s10, "sample not partition-stable")
   }
 
+  test("reservoirAppend equals a full recompute at any split point (mergeability)") {
+    def full = Splits.reservoirSample(docs, "doc_id", "lang", "panel", 15)
+      .select("doc_id", "lang", "sample_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    for (split <- Seq(1L, 100L, 499L)) {
+      val base = Splits.reservoirSample(
+        docs.filter(col("doc_id") < split), "doc_id", "lang", "panel", 15)
+      val got = Splits.reservoirAppend(base,
+          docs.filter(col("doc_id") >= split), "doc_id", "lang", "panel", 15)
+        .select("doc_id", "lang", "sample_rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == full, s"incremental != full at split $split")
+    }
+  }
+
+  test("reservoirAppend survives a parquet round-trip of the persisted sample") {
+    val dir = java.nio.file.Files.createTempDirectory("rs_panel").toString
+    Splits.reservoirSample(docs.filter(col("doc_id") < 250), "doc_id", "lang", "panel", 15)
+      .write.mode("overwrite").parquet(dir)
+    val got = Splits.reservoirAppend(spark.read.parquet(dir),
+        docs.filter(col("doc_id") >= 250), "doc_id", "lang", "panel", 15)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = Splits.reservoirSample(docs, "doc_id", "lang", "panel", 15)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == full)
+  }
+
   test("k-fold assignment partitions rows, stays stable, and balances within 2x") {
     val emb = Tables.embeddings(spark, Sf0001).select("vec_id")
     def folds(df: org.apache.spark.sql.DataFrame) = df
