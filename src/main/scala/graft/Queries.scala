@@ -437,6 +437,44 @@ object Queries {
        |FROM segs WHERE md5(seg_text) NOT IN (SELECT seg_hash FROM freq)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Bucket count for [[qFeatureHash]] — small enough that collisions
+    * genuinely occur on the fixture (the hashing trick's defining
+    * behavior), large enough that the per-doc vectors stay sparse. */
+  private val FeatureHashK = 256
+
+  /** Vocabulary-free feature extraction ([[TextOps.featureHash]],
+    * hashing trick): per-doc certificate over the sparse hashed
+    * bag-of-words — nonzeros, token total, squared l2 norm and max
+    * bucket count are all exact integers, so the certificate is
+    * engine-portable with no float tolerance. */
+  private def qFeatureHash(s: SparkSession, dir: String): DataFrame =
+    TextOps.featureHash(Tables.documents(s, dir), "doc_id", "text", FeatureHashK)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("nnz"),
+        sum("count").as("n_tokens"),
+        sum(col("count") * col("count")).as("l2sq"),
+        max("count").as("max_count"))
+      .orderBy("doc_id")
+
+  private val qFeatureHashSql: String = {
+    val p = Sketches.MinhashPrime
+    val bucket =
+      s"((CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % $p) % $FeatureHashK)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, $bucket AS bucket, count(*) AS c
+       |  FROM toks GROUP BY 1, 2)
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS nnz,
+       |       CAST(sum(c) AS BIGINT) AS n_tokens,
+       |       CAST(sum(c * c) AS BIGINT) AS l2sq,
+       |       CAST(max(c) AS BIGINT) AS max_count
+       |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Top-k for [[qVocabTopk]] — deep enough to cross the content-word
     * boundary below the corpus's handful of boilerplate tokens. */
   private val VocabK = 25
@@ -4534,6 +4572,7 @@ object Queries {
     GraftQuery("q_reservoir_sample", qReservoirSample, Some(qReservoirSampleSql)),
     GraftQuery("q_boilerplate_scrub", qBoilerplateScrub, Some(qBoilerplateScrubSql)),
     GraftQuery("q_sample_append", qSampleAppend, Some(qSampleAppendSql)),
+    GraftQuery("q_feature_hash", qFeatureHash, Some(qFeatureHashSql)),
     GraftQuery("q_temperature_mix", qTemperatureMix, Some(qTemperatureMixSql)),
     GraftQuery("q_snapshot_diff", qSnapshotDiff, Some(qSnapshotDiffSql)),
     GraftQuery("q_quality_cut", qQualityCut, Some(qQualityCutSql)),

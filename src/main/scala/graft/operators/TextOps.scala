@@ -296,6 +296,31 @@ object TextOps {
           array_sort(collect_list(struct(col("seg_index"), col("seg_text")))),
           seg => seg("seg_text")), "").as("dedup_text"))
 
+  /** Hashing-trick bag-of-words featurizer (the HashingVectorizer /
+    * Weinberger et al. 2009 layout): token → bucket =
+    * `shingleHash(token) mod k`, per-doc bucket counts in sparse COO
+    * form `(idCol, bucket BIGINT, count BIGINT)`. The point at corpus
+    * scale is being VOCABULARY-FREE: no dictionary build, no broadcast
+    * of a vocab table, no drift when new tokens appear — a token hashes
+    * to the same bucket on every engine, run, and partition, so
+    * features from different corpus slices concatenate trivially.
+    * Downstream: linear classifiers, cheap doc similarity, duplicate
+    * screening where embeddings are overkill.
+    *
+    * Scale shape: explode → ONE partial-final HashAggregate pair keyed
+    * (id, bucket); the exchange carries two longs and a count per
+    * nonzero — token strings never shuffle ([[Sketches.shingleHash]]'s
+    * md5 runs map-side). */
+  def featureHash(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"bucket count must be positive, got $k")
+    Partitioning.spread(docs)
+      .select(col(idCol), explode(tokens(col(textCol))).as("__token"))
+      .groupBy(col(idCol),
+        (Sketches.shingleHash(col("__token")) % k).as("bucket"))
+      .agg(count(lit(1)).as("count"))
+  }
+
   /** Marker-word profiles for the n-gram/stopword language-ID heuristic
     * (north star). Candidates scored by marker occurrences; ties break
     * alphabetically. */

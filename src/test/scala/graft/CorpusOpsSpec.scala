@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Packing, Splits, Temporal, TextOps}
+import graft.operators.{Packing, Sketches, Splits, Temporal, TextOps}
 
 /** Round-5 corpus operators, each checked against an independent Scala
   * model (not the SQL oracle — that runs in the driver's DuckDB gate):
@@ -133,6 +133,41 @@ class CorpusOpsSpec extends SparkSpec {
     val got = TextOps.scrubFrequentSegments(df, "doc_id", "text", 4, minDf = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 3L, 2L -> 1L), s"got $got")
+  }
+
+  // ------------------------------------------------------- featureHash ---
+
+  test("featureHash matches a sequential hashing-trick model") {
+    val k = 64
+    // model mirrors Sketches.shingleHash: md5 -> first 15 hex -> mod P -> mod k
+    def bucketOf(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(d.take(15), 16) % Sketches.MinhashPrime) % k
+    }
+    val expected = docRows.flatMap { case (id, text) =>
+      text.trim.split(" +", -1).toSeq.groupBy(bucketOf)
+        .map { case (b, toks) => (id, b) -> toks.size.toLong }
+    }.toMap
+    val got = TextOps.featureHash(docs, "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    // collisions genuinely occur at this k (the trick's defining behavior)
+    assert(expected.keys.groupBy(_._1).exists(_._2.size < 64))
+  }
+
+  test("featureHash buckets are stable across partitionings and corpus slices") {
+    val k = 64
+    def vecs(df: org.apache.spark.sql.DataFrame) =
+      TextOps.featureHash(df, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = vecs(docs)
+    assert(vecs(docs.repartition(13)) == whole, "not partition-stable")
+    // features computed on independent slices concatenate to the whole —
+    // the vocabulary-free property (no shared dictionary to drift)
+    val a = vecs(docs.filter(col("doc_id") < 250))
+    val b = vecs(docs.filter(col("doc_id") >= 250))
+    assert(a ++ b == whole, "slice features disagree with whole-corpus features")
   }
 
   // --------------------------------------------------------- vocabTopK ---
