@@ -36,6 +36,23 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.segmentDedup(noDocs, "doc_id", "text", 80).count() == 0)
   }
 
+  test("sampling and features: reservoir, append, scrub, featurizer on zero documents") {
+    import graft.operators.Splits
+    assert(Splits.reservoirSample(noDocs, "doc_id", "lang", "s", 5).count() == 0)
+    // empty DELTA is the everyday incremental shape: sample passes through
+    val sample = Splits.reservoirSample(
+      Tables.documents(spark, Sf0001).limit(30), "doc_id", "lang", "s", 5)
+    assert(Splits.reservoirAppend(sample, noDocs, "doc_id", "lang", "s", 5).count()
+      == sample.count())
+    // empty BASE sample absorbs a delta as a fresh sample
+    assert(Splits.reservoirAppend(
+      Splits.reservoirSample(noDocs, "doc_id", "lang", "s", 5),
+      Tables.documents(spark, Sf0001).limit(30), "doc_id", "lang", "s", 5).count()
+      == sample.count())
+    assert(TextOps.scrubFrequentSegments(noDocs, "doc_id", "text", 30, 3).count() == 0)
+    assert(TextOps.featureHash(noDocs, "doc_id", "text", 64).count() == 0)
+  }
+
   test("sketches: minhash signatures and band table on zero documents") {
     val sig = Sketches.minhashSignature(noDocs, "doc_id", "text", k = 5, m = 16)
     assert(sig.count() == 0)
