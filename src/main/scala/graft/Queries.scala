@@ -2840,6 +2840,61 @@ object Queries {
   private val streamLandingCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val docLandingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val featurePubCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Streamed corpus featurization executed FOR REAL under the gate,
+    * AND the first driver-gated exercise of the exactly-once SINK
+    * contract: the documents landing-dir stream is featurized per
+    * micro-batch by the SAME [[TextOps.featureHash]] the batch query
+    * uses (stateless per-doc work — no aggregation state store needed)
+    * and published through [[Streaming.idempotentPublish]] (dynamic
+    * `_batch_id` partition overwrite — a redelivered batch overwrites
+    * byte-identical data instead of appending). Streamed features equal
+    * the batch featurization because hashed features from independent
+    * corpus slices concatenate exactly (CorpusOpsSpec pins the slice
+    * property); the oracle replays the whole-corpus certificate. At
+    * scale this is the freshness path: crawled docs land, features
+    * appear next micro-batch, no corpus re-featurization. */
+  private def qStreamFeatures(s: SparkSession, dir: String): DataFrame = {
+    val landing = docLandingCache.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Paths.get(
+        s"/root/repo/target/tmp/doc_landing_${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        d.resolve("documents.parquet"))
+      d.toString
+    })
+    val pub = featurePubCache.computeIfAbsent(dir, _ =>
+      s"/root/repo/target/tmp/feature_pub_${java.util.UUID.randomUUID()}")
+    val q = Streaming.documentsStream(s, landing)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Streaming.idempotentPublish(
+          TextOps.featureHash(batch, "doc_id", "text", FeatureHashK), id, pub)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(180000)) {
+      q.stop()
+      throw new IllegalStateException("q_stream_features: stream did not drain")
+    }
+    Streaming.readPublished(s, pub)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("nnz"),
+        sum("count").as("n_tokens"),
+        sum(col("count") * col("count")).as("l2sq"),
+        max("count").as("max_count"))
+      .orderBy("doc_id")
+  }
+
+  // the streamed features must equal the batch featurization exactly
+  private def qStreamFeaturesSql: String = qFeatureHashSql
+
   /** Stateful streaming dedup executed FOR REAL: the landing-dir stream
     * deduplicated on (user_id, event_type) with
     * `dropDuplicatesWithinWatermark` — the at-least-once-upstream
@@ -4640,6 +4695,7 @@ object Queries {
     GraftQuery("q_stream_index", qStreamIndex, Some(qStreamIndexSql)),
     GraftQuery("q_stream_sessions", qStreamSessions, Some(qStreamSessionsSql)),
     GraftQuery("q_stream_codes", qStreamCodes, Some(qStreamCodesSql)),
+    GraftQuery("q_stream_features", qStreamFeatures, Some(qStreamFeaturesSql)),
     GraftQuery("q_events_sliding", qEventsSliding, Some(qEventsSlidingSql)),
     GraftQuery("q_sessionize", qSessionize, Some(qSessionizeSql)),
     GraftQuery("q_keep_first", qKeepFirst, Some(qKeepFirstSql)),

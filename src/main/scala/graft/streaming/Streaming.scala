@@ -335,6 +335,23 @@ object Streaming {
   def readPublished(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("_batch_id")
 
+  /** Schema-explicit documents FileStreamSource — the corpus-ingest
+    * side of the streaming story: freshly crawled docs land as parquet
+    * files and flow through the SAME stateless per-doc operators
+    * (featurization, quality scores, scrubbing) the batch pipeline
+    * uses. */
+  def documentsStream(spark: SparkSession, landingDir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+  }
+
   /** Schema-explicit embeddings FileStreamSource with the same
     * float→double widening as [[graft.Tables.embeddings]] — the
     * streaming-ingest side of index maintenance: freshly arrived vectors
