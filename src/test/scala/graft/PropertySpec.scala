@@ -173,6 +173,49 @@ class PropertySpec extends SparkSpec {
       s"kept segments $totalKept != distinct segments ${distinctIn.size}")
   }
 
+  test("scrubFrequentSegments + segmentDedup conservation on generated corpora") {
+    val texts = samples(docGen, 80, 31L)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val segSize = 5
+    val minDf = 2
+    def segs(t: String) = if (t.isEmpty) Seq("") else t.grouped(segSize).toSeq
+    val dfOf = texts.zipWithIndex
+      .flatMap { case (t, i) => segs(t).distinct.map(_ -> i) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val out = TextOps.scrubFrequentSegments(df, "doc_id", "text", segSize, minDf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    // kept segments corpus-wide == occurrences of below-threshold segments
+    val expKept = texts.flatMap(segs).count(s => dfOf(s) < minDf).toLong
+    assert(out.values.map(_._1).sum == expKept)
+    // a doc made entirely of frequent segments is absent, never empty-but-present
+    out.foreach { case (id, (k, text)) =>
+      assert(k > 0 && (text.nonEmpty || segs(texts(id.toInt)).contains("")),
+        s"doc $id survived with no content")
+    }
+  }
+
+  test("reservoirSample invariants on generated group layouts") {
+    val rowGen = for {
+      g <- Gen.choose(0, 5)
+      id <- Gen.choose(0L, 100000L)
+    } yield (id, s"g$g")
+    val rows = samples(rowGen, 300, 37L).distinctBy(_._1)
+    val df = rows.toDF("id", "grp")
+    val n = 7
+    val out = graft.operators.Splits.reservoirSample(df, "id", "grp", "pp", n)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byGroup = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    val gotByGroup = out.groupBy(_._2)
+    // exact-N (or whole group), contiguous ranks, sample ⊆ input
+    gotByGroup.foreach { case (g, picked) =>
+      assert(picked.length == math.min(n, byGroup(g)), s"group $g size off")
+      assert(picked.map(_._3).sorted.toSeq == (1L to picked.length), s"group $g ranks")
+    }
+    assert(out.map(r => (r._1, r._2)).toSet.subsetOf(rows.toSet))
+    // groups with any rows are all represented
+    assert(gotByGroup.keySet == byGroup.keySet)
+  }
+
   test("packingStats conserves docs and tokens over generated corpora") {
     val texts = samples(docGen, 60, 29L).filter(_.nonEmpty)
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
