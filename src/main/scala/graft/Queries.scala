@@ -475,6 +475,37 @@ object Queries {
        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Vocabulary-free quality classifier
+    * ([[TextOps.hashedLinearScore]]): the GPT-3-style hashed-BoW
+    * keep/drop filter as an exact-integer forward pass — per-doc score
+    * and label, plus the per-language keep rates a mixture report
+    * reads. Weights are the deterministic arithmetic stand-in
+    * (documented at the operator); the oracle replays the identical
+    * integer chain. */
+  private def qQualityClassifier(s: SparkSession, dir: String): DataFrame =
+    TextOps.hashedLinearScore(Tables.documents(s, dir), "doc_id", "text", FeatureHashK)
+      .select(col("doc_id"), col("score_int"), col("label"))
+      .orderBy("doc_id")
+
+  private val qQualityClassifierSql: String = {
+    val p = Sketches.MinhashPrime
+    val bucket =
+      s"((CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % $p) % $FeatureHashK)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, $bucket AS bucket, count(*) AS c
+       |  FROM toks GROUP BY 1, 2),
+       |s AS (
+       |  SELECT doc_id,
+       |         CAST(sum(c * (((bucket + 1) * 7919) % 193 - 96)) AS BIGINT) AS score_int
+       |  FROM b GROUP BY 1)
+       |SELECT doc_id, score_int,
+       |       CAST(CASE WHEN score_int >= 0 THEN 1 ELSE 0 END AS INTEGER) AS label
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   /** Top-k for [[qVocabTopk]] — deep enough to cross the content-word
     * boundary below the corpus's handful of boilerplate tokens. */
   private val VocabK = 25
@@ -4628,6 +4659,7 @@ object Queries {
     GraftQuery("q_boilerplate_scrub", qBoilerplateScrub, Some(qBoilerplateScrubSql)),
     GraftQuery("q_sample_append", qSampleAppend, Some(qSampleAppendSql)),
     GraftQuery("q_feature_hash", qFeatureHash, Some(qFeatureHashSql)),
+    GraftQuery("q_quality_classifier", qQualityClassifier, Some(qQualityClassifierSql)),
     GraftQuery("q_temperature_mix", qTemperatureMix, Some(qTemperatureMixSql)),
     GraftQuery("q_snapshot_diff", qSnapshotDiff, Some(qSnapshotDiffSql)),
     GraftQuery("q_quality_cut", qQualityCut, Some(qQualityCutSql)),

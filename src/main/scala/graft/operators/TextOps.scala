@@ -321,6 +321,32 @@ object TextOps {
       .agg(count(lit(1)).as("count"))
   }
 
+  /** Linear classifier forward pass over [[featureHash]]ed features —
+    * the GPT-3/CCNet data-filtering pattern: a logistic-regression-style
+    * quality classifier over hashed bag-of-words, scoring documents
+    * for keep/drop without a vocabulary or an embedding model. The
+    * weight VALUES here are the deterministic arithmetic family
+    * (`w(b) = ((b+1)·7919 mod 193) − 96`, integers in [−96, 96]) — a
+    * stand-in for trained weights exactly as the deterministic embedder
+    * stands in for a trained encoder (training is out of scope; the
+    * MECHANISM — featurize, dot, threshold — is what this certifies,
+    * and a real weight table drops in as a broadcast join).
+    *
+    * `score_int = Σ count·w(bucket)` is all-BIGINT: exact, engine-
+    * portable, partition-order-free (a double dot product would be
+    * sum-order-sensitive). `label = 1` iff `score_int ≥ 0`.
+    *
+    * Scale shape: [[featureHash]]'s single (id, bucket) exchange plus
+    * one per-doc partial-final HashAggregate — the weight is arithmetic
+    * ON the bucket id, so no weight table ships anywhere. */
+  def hashedLinearScore(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    featureHash(docs, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(sum(col("count") *
+          ((col("bucket") + 1) * 7919L % 193L - 96L)).as("score_int"))
+      .withColumn("label", (col("score_int") >= 0).cast("int"))
+
   /** Marker-word profiles for the n-gram/stopword language-ID heuristic
     * (north star). Candidates scored by marker occurrences; ties break
     * alphabetically. */

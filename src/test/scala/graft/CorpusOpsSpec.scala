@@ -170,6 +170,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a ++ b == whole, "slice features disagree with whole-corpus features")
   }
 
+  test("hashedLinearScore matches a sequential integer dot-product model") {
+    val k = 64
+    def bucketOf(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(d.take(15), 16) % Sketches.MinhashPrime) % k
+    }
+    def w(b: Long): Long = (b + 1) * 7919 % 193 - 96
+    val expected = docRows.map { case (id, text) =>
+      val score = text.trim.split(" +", -1).map(t => w(bucketOf(t))).sum
+      id -> (score, if (score >= 0) 1 else 0)
+    }.toMap
+    val got = TextOps.hashedLinearScore(docs, "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(got == expected)
+    // the stand-in weights genuinely split the corpus (not a constant label)
+    assert(got.values.map(_._2).toSet == Set(0, 1))
+  }
+
   // --------------------------------------------------------- vocabTopK ---
 
   test("vocabTopK matches an exact word-count model") {
