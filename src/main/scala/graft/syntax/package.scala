@@ -109,5 +109,25 @@ package object syntax {
     /** [[Layout.zorderStats]]: Z-order layout + skipping stats. */
     def zorderLayout(colA: String, colB: String, buckets: Int = 16): DataFrame =
       Layout.zorderStats(df, colA, colB, buckets)
+
+    /** [[Splits.reservoirSample]]: exact-N-per-group bottom-k panel. */
+    def reservoirSampled(group: String, salt: String, n: Int,
+        id: String = "doc_id"): DataFrame =
+      Splits.reservoirSample(df, id, group, salt, n)
+
+    /** [[TextOps.scrubFrequentSegments]]: df-threshold boilerplate cut. */
+    def boilerplateScrubbed(segSize: Int, minDf: Int,
+        id: String = "doc_id", text: String = "text"): DataFrame =
+      TextOps.scrubFrequentSegments(df, id, text, segSize, minDf)
+
+    /** [[TextOps.featureHash]]: hashed bag-of-words COO features. */
+    def featureHashed(k: Int, id: String = "doc_id",
+        text: String = "text"): DataFrame =
+      TextOps.featureHash(df, id, text, k)
+
+    /** [[TextOps.hashedLinearScore]]: hashed-BoW quality scores. */
+    def qualityScored(k: Int, id: String = "doc_id",
+        text: String = "text"): DataFrame =
+      TextOps.hashedLinearScore(df, id, text, k)
   }
 }

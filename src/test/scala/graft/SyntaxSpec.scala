@@ -28,6 +28,14 @@ class SyntaxSpec extends SparkSpec {
     val orders = Tables.orders(spark, Sf0001)
     assert(samePlan(orders.zorderLayout("o_orderkey", "o_custkey"),
       Layout.zorderStats(orders, "o_orderkey", "o_custkey", 16)))
+    assert(samePlan(docs.reservoirSampled("lang", "s", 5),
+      Splits.reservoirSample(docs, "doc_id", "lang", "s", 5)))
+    assert(samePlan(docs.boilerplateScrubbed(30, 3),
+      TextOps.scrubFrequentSegments(docs, "doc_id", "text", 30, 3)))
+    assert(samePlan(docs.featureHashed(64),
+      TextOps.featureHash(docs, "doc_id", "text", 64)))
+    assert(samePlan(docs.qualityScored(64),
+      TextOps.hashedLinearScore(docs, "doc_id", "text", 64)))
   }
 
   test("a chained pipeline composes and runs") {
@@ -36,5 +44,14 @@ class SyntaxSpec extends SparkSpec {
       .segmentDeduped(30)
       .count()
     assert(out > 0)
+  }
+
+  test("a classifier-gated sampling pipeline composes and runs") {
+    import org.apache.spark.sql.functions.col
+    val kept = docs
+      .join(docs.qualityScored(64).filter(col("label") === 1).select("doc_id"), "doc_id")
+      .reservoirSampled("lang", "panel", 5)
+      .boilerplateScrubbed(30, 3)
+    assert(kept.count() > 0)
   }
 }
