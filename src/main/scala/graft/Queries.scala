@@ -4316,6 +4316,66 @@ object Queries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  private val FilterMixSalt = "fm1"
+  private val FilterMixTarget = 150L
+
+  /** Classifier-gated mixture: the two r6 filtering stages composed as
+    * ONE oracle row — hashed-BoW quality classifier
+    * ([[TextOps.hashedLinearScore]], keep label=1) feeding α=0.5
+    * temperature resampling ([[Splits.temperatureSample]]) over the
+    * kept set, certified by per-language counts and id checksums. The
+    * whole chain is integer arithmetic (score, sqrt-weights,
+    * thresholds), so the composition replays exactly; scale shape is
+    * the two stages' own (one (id,bucket) exchange + broadcast
+    * thresholds + per-row hash filter — no corpus shuffle). */
+  private def qFilterMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val kept = docs.join(
+      TextOps.hashedLinearScore(docs, "doc_id", "text", FeatureHashK)
+        .filter(col("label") === 1).select("doc_id"),
+      "doc_id")
+    Splits.temperatureSample(kept, "doc_id", "lang", FilterMixSalt, FilterMixTarget)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+      .orderBy("lang")
+  }
+
+  private val qFilterMixSql: String = {
+    val p = Sketches.MinhashPrime
+    val b = Splits.Buckets
+    val fbucket =
+      s"((CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % $p) % $FeatureHashK)"
+    val mixBucket =
+      s"((CAST('0x' || substr(md5('$FilterMixSalt:' || CAST(k.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % $p) % $b)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+       |  FROM documents),
+       |fb AS (
+       |  SELECT doc_id, $fbucket AS bucket, count(*) AS c
+       |  FROM toks GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT doc_id,
+       |         CAST(sum(c * (((bucket + 1) * 7919) % 193 - 96)) AS BIGINT) AS score_int
+       |  FROM fb GROUP BY 1),
+       |kept AS (
+       |  SELECT d.doc_id, d.lang FROM documents d
+       |  JOIN sc ON d.doc_id = sc.doc_id WHERE sc.score_int >= 0),
+       |c AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(floor(sqrt(count(*)) * 1000) AS BIGINT) AS w
+       |  FROM kept GROUP BY lang),
+       |t AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM c),
+       |th AS (
+       |  SELECT lang, least($b, ($FilterMixTarget * w * $b) // (wsum * n)) AS keep_below
+       |  FROM c CROSS JOIN t)
+       |SELECT k.lang AS lang,
+       |       CAST(count(*) AS BIGINT) AS n_kept,
+       |       CAST(sum(k.doc_id) AS BIGINT) AS id_sum
+       |FROM kept k JOIN th ON k.lang = th.lang
+       |WHERE $mixBucket < th.keep_below
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Per-group quantile quality cut: keep each language's top half by
     * length ([[Splits.quantileFilter]] at p=0.5 on the integer
     * `n_chars`) — the relative-to-group filter shape (no corpus window;
@@ -4661,6 +4721,7 @@ object Queries {
     GraftQuery("q_feature_hash", qFeatureHash, Some(qFeatureHashSql)),
     GraftQuery("q_quality_classifier", qQualityClassifier, Some(qQualityClassifierSql)),
     GraftQuery("q_temperature_mix", qTemperatureMix, Some(qTemperatureMixSql)),
+    GraftQuery("q_filter_mix", qFilterMix, Some(qFilterMixSql)),
     GraftQuery("q_snapshot_diff", qSnapshotDiff, Some(qSnapshotDiffSql)),
     GraftQuery("q_quality_cut", qQualityCut, Some(qQualityCutSql)),
     GraftQuery("q_pack_sequences", qPackSequences, Some(qPackSequencesSql)),
