@@ -28,6 +28,18 @@ object TrainingDataPipeline {
     val clean = docs.qualityFiltered().segmentDeduped(segSize = 30)
     println(s"quality+dedup kept ${clean.count()} of ${docs.count()} docs")
 
+    // r6 stages: classifier gate (hashed-BoW keep/drop), corpus-wide
+    // boilerplate cut, and an exact-20-per-language eval panel
+    import org.apache.spark.sql.functions.col
+    val gated = docs.join(
+      docs.qualityScored(k = 256).filter(col("label") === 1).select("doc_id"),
+      "doc_id")
+    println(s"classifier kept ${gated.count()} docs")
+    println(s"boilerplate scrub kept " +
+      s"${gated.boilerplateScrubbed(segSize = 30, minDf = 3).count()} docs")
+    docs.reservoirSampled("lang", salt = "demo", n = 20)
+      .groupBy("lang").count().show()
+
     // mixture: α=0.5 temperature balance over languages, then the
     // per-shard sequence-packing layout for 256-token contexts
     val mixed = docs.temperatureSampled("lang", salt = "demo", targetTotal = 200)
