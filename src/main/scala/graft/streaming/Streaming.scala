@@ -340,16 +340,19 @@ object Streaming {
     * files and flow through the SAME stateless per-doc operators
     * (featurization, quality scores, scrubbing) the batch pipeline
     * uses. */
-  def documentsStream(spark: SparkSession, landingDir: String): DataFrame = {
+  def documentsStream(
+      spark: SparkSession,
+      landingDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
       StructField("lang", StringType),
       StructField("source", StringType),
       StructField("n_chars", LongType)))
-    spark.readStream
-      .schema(schema)
-      .parquet(landingDir)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(landingDir)
   }
 
   /** Schema-explicit embeddings FileStreamSource with the same

@@ -406,6 +406,80 @@ class StreamingSpec extends SparkSpec {
     assert(Streaming.readPublished(spark, pub).count() == expected)
   }
 
+  /** Stage the sf0.001 documents as three landing files (so
+    * `maxFilesPerTrigger=1` yields three micro-batches) and return the
+    * staging dir. */
+  private def stageDocBatches(dir: String): Unit = {
+    val docs = Tables.documents(spark, Sf0001)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    Seq(
+      docs.filter(col("doc_id") < 150),
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 350),
+      docs.filter(col("doc_id") >= 350)
+    ).zipWithIndex.foreach { case (part, i) =>
+      part.coalesce(1).write.mode("overwrite").parquet(s"$dir/b$i")
+      Thread.sleep(20)
+    }
+  }
+
+  test("multi-batch streamed featurization through the idempotent sink == batch featureHash") {
+    val base = "/root/repo/target/stream_features_test"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    stageDocBatches(s"$base/landing")
+    val pub = s"$base/pub"
+    val q = Streaming.documentsStream(spark, s"$base/landing/b*", maxFilesPerTrigger = Some(1))
+      .writeStream
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streaming.idempotentPublish(
+          graft.operators.TextOps.featureHash(batch, "doc_id", "text", 64), id, pub))
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "feature stream did not drain")
+    // ≥2 batch partitions actually published (the cross-batch shape)
+    assert(spark.read.parquet(pub).select("_batch_id").distinct().count() >= 2)
+    val streamed = Streaming.readPublished(spark, pub)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.operators.TextOps
+      .featureHash(Tables.documents(spark, Sf0001), "doc_id", "text", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, "streamed features diverge from batch featurization")
+  }
+
+  test("streamed reservoir panel maintenance: per-batch merge-append == batch bottom-k") {
+    import graft.operators.Splits
+    val base = "/root/repo/target/stream_panel_test"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    stageDocBatches(s"$base/landing")
+    val panel = s"$base/panel"
+    val n = 8
+    val q = Streaming.documentsStream(spark, s"$base/landing/b*", maxFilesPerTrigger = Some(1))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val merged =
+          if (new java.io.File(panel).exists())
+            Splits.reservoirAppend(
+              spark.read.parquet(panel), batch, "doc_id", "lang", "panel", n)
+          else Splits.reservoirSample(batch, "doc_id", "lang", "panel", n)
+        // materialize before overwriting the path the plan reads from;
+        // the panel is n·groups rows by construction, so this is tiny
+        merged.localCheckpoint().write.mode("overwrite").parquet(panel)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "panel stream did not drain")
+    val streamed = spark.read.parquet(panel)
+      .select("doc_id", "lang", "sample_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val full = Splits.reservoirSample(
+        Tables.documents(spark, Sf0001), "doc_id", "lang", "panel", n)
+      .select("doc_id", "lang", "sample_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == full,
+      "panel maintained across micro-batches diverges from the batch sample")
+  }
+
   test("checkpoint restart resumes incrementally: only files landed since the last run are processed") {
     // the operational restart contract at 100 TB: a nightly AvailableNow
     // run over an object-store prefix must process ONLY what landed since
