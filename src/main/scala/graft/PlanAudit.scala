@@ -12,8 +12,10 @@ import org.apache.spark.sql.SparkSession
   *    stats (incl. q_rerank's bm25 stage), exact-knn crossJoins behind
   *    partial top-k (q_knn_join / q_contrastive_pairs), the
   *    1-row bounds/count frames of q_zorder_layout and q_sim_histogram,
-  *    and q_ivfpq_refine's exact re-rank (1-row query frame ×
-  *    ≤nCandidates fetched vectors); anything else needs a key
+  *    q_ivfpq_refine's exact re-rank (1-row query frame ×
+  *    ≤nCandidates fetched vectors), and the 1-row Σ√n weight frame
+  *    inside temperatureSample (q_temperature_mix, q_filter_mix);
+  *    anything else needs a key
   *  - `GLOBALWIN`: a Window with an EMPTY partition spec — the whole
   *    input funnels through one task (allowed only on already-cut ≤k-row
   *    frames, e.g. hybrid-search rank-10)
