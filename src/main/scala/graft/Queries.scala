@@ -4193,6 +4193,28 @@ object Queries {
        |ORDER BY lang, sample_rank""".stripMargin
   }
 
+  private val GroupTopKN = 10
+
+  /** Per-group top-k by value ([[Temporal.groupTopK]]): each language's
+    * [[GroupTopKN]] longest documents with ranks — the
+    * curriculum-selection shape, under the same partial-WindowGroupLimit
+    * contract as [[qReservoirSample]] (by value instead of by hash). */
+  private def qGroupTopk(s: SparkSession, dir: String): DataFrame =
+    Temporal.groupTopK(Tables.documents(s, dir), "lang", "n_chars", "doc_id",
+        GroupTopKN)
+      .select("doc_id", "lang", "n_chars", "group_rank")
+      .orderBy("lang", "group_rank")
+
+  private val qGroupTopkSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, lang, n_chars,
+       |         ROW_NUMBER() OVER (PARTITION BY lang
+       |                            ORDER BY n_chars DESC, doc_id ASC) AS group_rank
+       |  FROM documents)
+       |SELECT doc_id, lang, n_chars, CAST(group_rank AS BIGINT) AS group_rank
+       |FROM r WHERE group_rank <= $GroupTopKN
+       |ORDER BY lang, group_rank""".stripMargin
+
   private val SampleSplitId = 400
   private val SampleSalt = "panelA"
   private val SampleN = 10
@@ -4718,6 +4740,7 @@ object Queries {
     GraftQuery("q_reservoir_sample", qReservoirSample, Some(qReservoirSampleSql)),
     GraftQuery("q_boilerplate_scrub", qBoilerplateScrub, Some(qBoilerplateScrubSql)),
     GraftQuery("q_sample_append", qSampleAppend, Some(qSampleAppendSql)),
+    GraftQuery("q_group_topk", qGroupTopk, Some(qGroupTopkSql)),
     GraftQuery("q_feature_hash", qFeatureHash, Some(qFeatureHashSql)),
     GraftQuery("q_quality_classifier", qQualityClassifier, Some(qQualityClassifierSql)),
     GraftQuery("q_temperature_mix", qTemperatureMix, Some(qTemperatureMixSql)),

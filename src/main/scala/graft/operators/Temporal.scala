@@ -100,6 +100,33 @@ object Temporal {
         (orderCols ++ payloadCols).map(c => col(s"__first.$c").as(c)): _*)
   }
 
+  /** Per-group top-k by VALUE — [[keepFirst]]'s k-generalization and
+    * [[graft.operators.Splits.reservoirSample]]'s by-value complement:
+    * the n rows with the largest (or smallest) `valueCol` in each
+    * group, ties broken by `tieCol` ascending, with a 1-based
+    * `group_rank`. The curriculum-selection / per-domain-leaderboard
+    * shape ("top-quality docs per language").
+    *
+    * Scale: same `InferWindowGroupLimit` contract as reservoirSample —
+    * the `row_number ≤ n` filter plants a PARTIAL WindowGroupLimit
+    * below the group-key exchange, so each partition forwards at most
+    * n rows per group (PlanSpec pins the partial node; the naive
+    * window would funnel the corpus through the low-cardinality key). */
+  def groupTopK(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      tieCol: String,
+      n: Int,
+      largest: Boolean = true): DataFrame = {
+    require(n > 0, s"top-k size must be positive, got $n")
+    val primary = if (largest) col(valueCol).desc else col(valueCol).asc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(primary, col(tieCol).asc)
+    df.withColumn("group_rank", row_number().over(w).cast("long"))
+      .filter(col("group_rank") <= n)
+  }
+
   /** Range join: every (point, interval) pair with `lo <= pt <= hi` —
     * point-in-interval matching with NO equi-key (events to windows,
     * readings to validity ranges). All three columns must be LONG

@@ -129,5 +129,10 @@ package object syntax {
     def qualityScored(k: Int, id: String = "doc_id",
         text: String = "text"): DataFrame =
       TextOps.hashedLinearScore(df, id, text, k)
+
+    /** [[Temporal.groupTopK]]: per-group top-k rows by value. */
+    def groupTop(group: String, value: String, tie: String, n: Int,
+        largest: Boolean = true): DataFrame =
+      Temporal.groupTopK(df, group, value, tie, n, largest)
   }
 }

@@ -170,6 +170,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a ++ b == whole, "slice features disagree with whole-corpus features")
   }
 
+  test("groupTopK matches a sequential sort-take model and keeps small groups whole") {
+    val langs = docs.select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = langs.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      rows.sortBy(r => (-r._3, r._1)).take(4).zipWithIndex
+        .map { case ((id, _, nc), i) => (id, lang, nc, i + 1L) }
+    }.toSet
+    val got = Temporal.groupTopK(docs, "lang", "n_chars", "doc_id", 4)
+      .select("doc_id", "lang", "n_chars", "group_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    // n above the group sizes degrades to a full ranked passthrough
+    assert(Temporal.groupTopK(docs, "lang", "n_chars", "doc_id", 100000).count()
+      == docs.count())
+    // smallest=false picks the other tail
+    val shortest = Temporal.groupTopK(docs, "lang", "n_chars", "doc_id", 1,
+      largest = false).collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_chars")).toMap
+    val minByLang = langs.groupBy(_._2).view.mapValues(_.map(_._3).min).toMap
+    assert(shortest == minByLang)
+  }
+
   test("hashedLinearScore matches a sequential integer dot-product model") {
     val k = 64
     def bucketOf(tok: String): Long = {

@@ -65,6 +65,13 @@ class PlanSpec extends SparkSpec {
       s"no pre-shuffle partial group limit:\n$p")
   }
 
+  test("q_group_topk: partial WindowGroupLimit below the exchange (by-value top-k)") {
+    val p = planOf("q_group_topk")
+    assert(p.contains("WindowGroupLimit"), s"no partial group limit:\n$p")
+    assert(p.lastIndexOf("WindowGroupLimit") > p.indexOf("Exchange"),
+      s"no pre-shuffle partial group limit:\n$p")
+  }
+
   test("q_neardup_minhash: the signature subtree is materialized once") {
     val p = planOf("q_neardup_minhash")
     // the localCheckpoint materializes the signature, so BOTH self-join

@@ -36,6 +36,8 @@ class SyntaxSpec extends SparkSpec {
       TextOps.featureHash(docs, "doc_id", "text", 64)))
     assert(samePlan(docs.qualityScored(64),
       TextOps.hashedLinearScore(docs, "doc_id", "text", 64)))
+    assert(samePlan(docs.groupTop("lang", "n_chars", "doc_id", 5),
+      Temporal.groupTopK(docs, "lang", "n_chars", "doc_id", 5)))
   }
 
   test("a chained pipeline composes and runs") {
