@@ -51,6 +51,8 @@ class EmptyInputSpec extends SparkSpec {
       == sample.count())
     assert(TextOps.scrubFrequentSegments(noDocs, "doc_id", "text", 30, 3).count() == 0)
     assert(TextOps.featureHash(noDocs, "doc_id", "text", 64).count() == 0)
+    assert(TextOps.hashedLinearScore(noDocs, "doc_id", "text", 64).count() == 0)
+    assert(Temporal.groupTopK(noDocs, "lang", "n_chars", "doc_id", 5).count() == 0)
   }
 
   test("sketches: minhash signatures and band table on zero documents") {
