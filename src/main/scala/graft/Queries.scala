@@ -83,6 +83,29 @@ object Queries {
        |ORDER BY score DESC, vec_id ASC LIMIT $K""".stripMargin
   }
 
+  /** The SQL surface under the gate: the flagship cosine top-k written
+    * as a PLAIN SQL STRING over a temp view, through the parser and the
+    * FunctionRegistry-registered `vec_cosine` kernel
+    * ([[GraftFunctions]] / [[GraftExtensions]]) — certifying that a
+    * SQL-only user gets the same engine as the DataFrame API (same
+    * codegen kernel, same `TakeOrderedAndProject` top-k plan;
+    * SqlFunctionsSpec pins kernel-level parity, this row pins the
+    * end-to-end result). Oracle: identical to [[qKnnCosine]]'s —
+    * bit-equality across the two entry paths is the claim. */
+  private def qSqlSurface(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.embeddings(s, dir).select("vec_id", "embedding")
+      .createOrReplaceTempView("graft_emb_sql")
+    s.sql(
+      s"""SELECT e.vec_id AS vec_id, vec_cosine(e.embedding, q.embedding) AS score
+         |FROM graft_emb_sql e
+         |CROSS JOIN (SELECT embedding FROM graft_emb_sql WHERE vec_id = 0) q
+         |ORDER BY score DESC, vec_id ASC
+         |LIMIT $K""".stripMargin)
+  }
+
+  private def qSqlSurfaceSql: String = qKnnCosineSql
+
   /** O9+O6: top-10 by raw dot product. */
   private def qKnnDot(s: SparkSession, dir: String): DataFrame =
     VectorSearch.topK(
@@ -4707,6 +4730,7 @@ object Queries {
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q_knn_cosine", qKnnCosine, Some(qKnnCosineSql)),
+    GraftQuery("q_sql_surface", qSqlSurface, Some(qSqlSurfaceSql)),
     GraftQuery("q_knn_dot", qKnnDot, Some(qKnnDotSql)),
     GraftQuery("q_knn_euclid", qKnnEuclid, Some(qKnnEuclidSql)),
     GraftQuery("q_filter_search", qFilterSearch, Some(qFilterSearchSql)),

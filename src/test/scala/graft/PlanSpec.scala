@@ -45,6 +45,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"full sort instead of top-k:\n$p")
   }
 
+  test("q_sql_surface: the SQL-string entry path plans the same top-k as the DataFrame API") {
+    val p = planOf("q_sql_surface")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort instead of top-k:\n$p")
+    assert(p.contains("vec_cosine"), s"registered kernel absent from the plan:\n$p")
+  }
+
   test("q_knn_join: partial top-k (WindowGroupLimit) runs below the exchange") {
     val p = planOf("q_knn_join")
     val limitIdx = p.indexOf("WindowGroupLimit")
