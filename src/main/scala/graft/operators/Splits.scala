@@ -100,7 +100,7 @@ object Splits {
     * hash is MERGEABLE — `bottomK(bottomK(A) ∪ B) = bottomK(A ∪ B)` —
     * so a persisted sample absorbs a delta batch by re-ranking only
     * `n·groups + |delta|` rows; the base corpus is never re-scanned
-    * (the [[graft.VectorSearch.lshIndexAppend]] contract, for samples).
+    * (the [[VectorSearch.lshIndexAppend]] contract, for samples).
     * `sample` is a prior output of [[reservoirSample]] (its
     * `sample_rank` is recomputed — a delta row can displace a kept
     * one). */
