@@ -19,13 +19,15 @@ object Verify {
     // comma-separated query names to dump.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +46,20 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Loud-failure contract (VERDICT r6 #4): a thrown query must never
+    // produce a silently smaller CORRECTNESS file. skipped.json is always
+    // written (empty list when clean) so the driver's artifact dir is
+    // self-auditing; any skip also exits non-zero — AFTER all dumps and
+    // oracle_sql.json are on disk, so a tolerant driver still has every
+    // completed result.
+    Files.writeString(Paths.get(s"$outDir/skipped.json"),
+      failed.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size}/${selected.size} queries FAILED to dump: " +
+          failed.sorted.mkString(", "))
+      sys.exit(2)
+    }
   }
 }

@@ -347,6 +347,25 @@ object TextOps {
           ((col("bucket") + 1) * 7919L % 193L - 96L)).as("score_int"))
       .withColumn("label", (col("score_int") >= 0).cast("int"))
 
+  /** [[hashedLinearScore]] with a TRAINED weight table — the production
+    * form the arithmetic-weight stand-in documents: a fitted classifier's
+    * coefficients arrive as a `(bucket BIGINT, weight BIGINT)` table
+    * (k rows — model-sized, kilobytes even at k = 2²⁰) and join the
+    * hashed features as an explicit BROADCAST: every executor dots its
+    * feature partition against an in-memory copy of the model, so the
+    * corpus-sized feature side never reshuffles for the join (pinned in
+    * PlanSpec). Buckets absent from the table (L1-zeroed coefficients)
+    * score 0 via the left join. Integer weights keep the forward pass
+    * exact and order-free, exactly as in [[hashedLinearScore]]. */
+  def hashedLinearScoreWeighted(
+      docs: DataFrame, idCol: String, textCol: String, k: Int,
+      weights: DataFrame): DataFrame =
+    featureHash(docs, idCol, textCol, k)
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("count") * coalesce(col("weight"), lit(0L))).as("score_int"))
+      .withColumn("label", (col("score_int") >= 0).cast("int"))
+
   /** Marker-word profiles for the n-gram/stopword language-ID heuristic
     * (north star). Candidates scored by marker occurrences; ties break
     * alphabetically. */

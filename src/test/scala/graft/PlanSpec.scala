@@ -98,6 +98,14 @@ class PlanSpec extends SparkSpec {
       s"bm25 joined its term-count-sized sides with a shuffle join:\n$p")
   }
 
+  test("q_classifier_trained: the weight table broadcasts (corpus features never reshuffle for the model)") {
+    val p = planOf("q_classifier_trained")
+    assert(p.contains("BroadcastHashJoin"),
+      s"trained-weight table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"model join shuffled the corpus-sized feature side:\n$p")
+  }
+
   test("q_split and q_quantize stay pure projections (zero exchanges before the declared sort)") {
     for (name <- Seq("q_split", "q_quantize")) {
       val p = planOf(name)

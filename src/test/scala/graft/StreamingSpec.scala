@@ -199,10 +199,7 @@ class StreamingSpec extends SparkSpec {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       Thread.sleep(20)
     }
-    val in = spark.readStream.schema(Streaming.EventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val in = Streaming.eventsStream(spark, dir.toString, maxFilesPerTrigger = Some(1))
     val q = Streaming.dedupStream(in, Seq("event_id"), Some("40 days"))
       .writeStream.format("memory").queryName("dedup_stream")
       .outputMode("append")
