@@ -400,16 +400,27 @@ object TextOps {
       .limit(k)
   }
 
-  /** Word n-grams of `text` in document order (empty for docs with
-    * fewer than `n` tokens). Guarded against Spark's descending
-    * `sequence` when `stop < start`. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-grams from an already-materialized token ARRAY column, in
+    * document order (empty for docs with fewer than `n` tokens).
+    * Guarded against Spark's descending `sequence` when `stop < start`.
+    *
+    * Takes the token array, NOT the text: higher-order-function lambdas
+    * are interpreted (no codegen), so an expression argument here is
+    * re-evaluated per lambda call — passing `tokens(text)` directly
+    * re-ran the regex split 3× PER N-GRAM (≈160 splits of the full text
+    * per document; the round-6 q_trigram_topk 8s-idle regression).
+    * Callers project the token array into a column first, so the split
+    * runs once per row and the lambda does three O(1) `element_at`s. */
+  def wordNgramsOfTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** [[wordNgramsOfTokens]] over `tokens(text)` — only safe where the
+    * caller materializes the result before fan-out (see above). */
+  def wordNgrams(text: Column, n: Int): Column =
+    wordNgramsOfTokens(tokens(text), n)
 
   /** Corpus n-gram heavy hitters — the KenLM-style language-model count
     * table, top-k slice: same two-level (ngram, doc) → ngram shape as
@@ -419,7 +430,8 @@ object TextOps {
   def ngramTopK(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
     val perDoc = Partitioning.spread(docs)
-      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("ngram"))
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(wordNgramsOfTokens(col("__toks"), n)).as("ngram"))
       .groupBy("ngram", idCol)
       .agg(count(lit(1)).as("__tf"))
     perDoc.groupBy("ngram")
@@ -461,7 +473,8 @@ object TextOps {
       floor(graft.expressions.VectorExpressions.platformLn(
         x.cast("double")) * lit(1e6)).cast("long")
     val grams = Partitioning.spread(docs)
-      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("ngram"))
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(wordNgramsOfTokens(col("__toks"), n)).as("ngram"))
       .select(col(idCol),
         conv(substring(md5(col("ngram")), 1, 15), 16, 10).cast("long").as("gh"))
       .localCheckpoint()
