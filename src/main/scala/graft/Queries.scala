@@ -2951,11 +2951,16 @@ object Queries {
     * session width. At production scale the state partition count is
     * sized to state volume ÷ executor memory — here state is fixture-
     * sized, so a handful of partitions is the honest shape. */
-  private def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+  private def withStreamPartitions[T](
+      s: SparkSession, n: Int, extraConfs: Map[String, String] = Map.empty)(
+      body: => T): T = {
+    val confs = Map("spark.sql.shuffle.partitions" -> n.toString) ++ extraConfs
+    val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
   }
 
   private val docLandingCache =
@@ -3086,7 +3091,12 @@ object Queries {
     val sink = s"q_stream_pairs_sink_${math.abs(dir.hashCode)}"
     if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
     val ev = Streaming.eventsStream(s, landing).withWatermark("ts", "1 hour")
-    val q = withStreamPartitions(s, 8) {
+    // inner stream-stream joins emit each pair in the micro-batch where
+    // both rows arrive (no watermark holdback), so the trailing no-data
+    // watermark-advance batch does pure state-eviction bookkeeping here
+    // — skip it (it cannot change the result set)
+    val q = withStreamPartitions(s, 8,
+        Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) {
       Streaming.correlatedPairs(ev, ev, withinSeconds = 86400)
         .writeStream
         .format("memory")
