@@ -635,6 +635,45 @@ object Queries {
        |       CAST(logprob_micro AS DOUBLE) / 1e6 / n_ngrams AS avg_logprob
        |FROM scored ORDER BY doc_id""".stripMargin
 
+  /** n for [[qDecontaminate]] — the standard 13 of the GPT-3 appendix-C
+    * protocol (a shared 13-gram is copying, not coincidence). */
+  private val ContamN = 13
+
+  /** Benchmark decontamination ([[TextOps.contaminationReport]]): an
+    * id-hash slice of the corpus plays the eval benchmark (every 10th
+    * doc), the rest plays the training corpus; the report lists each
+    * training doc sharing ≥1 distinct 13-gram with the eval set and how
+    * many. The eval gram set broadcasts; the corpus-side probe is
+    * map-side (PlanSpec pins the BroadcastHashJoin). Oracle: the same
+    * split, md5-hash and distinct-join replayed relationally. */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextOps.contaminationReport(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", ContamN)
+      .orderBy("doc_id")
+  }
+
+  private val qDecontaminateSql: String = {
+    val parts = (0 until ContamN).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+       |ng AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(t) - ${ContamN - 1}, 0) + 1),
+       |           i -> $parts)) AS ngram
+       |  FROM toks),
+       |g AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(ngram), 1, 15) AS BIGINT) AS gh
+       |  FROM ng),
+       |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 10 = 7),
+       |tr AS (SELECT DISTINCT doc_id, gh FROM g WHERE doc_id % 10 <> 7)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+       |FROM tr JOIN ev USING (gh)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** North-star vocabulary heavy hitters: top-[[VocabK]] tokens by
     * occurrence with document frequencies ([[TextOps.vocabTopK]]) — the
     * distributed word count every new crawl gets first. Ties break on
@@ -4841,6 +4880,7 @@ object Queries {
     GraftQuery("q_vocab_topk", qVocabTopk, Some(qVocabTopkSql)),
     GraftQuery("q_trigram_topk", qTrigramTopk, Some(qTrigramTopkSql)),
     GraftQuery("q_lm_score", qLmScore, Some(qLmScoreSql)),
+    GraftQuery("q_decontaminate", qDecontaminate, Some(qDecontaminateSql)),
     GraftQuery("q_neardup_pairs", qNearDupPairs, Some(qNearDupPairsSql)),
     GraftQuery("q_text_stats", qTextStats, Some(qTextStatsSql)),
     GraftQuery("q_multimodal", qMultimodal, Some(qMultimodalSql)),

@@ -492,6 +492,40 @@ object TextOps {
         col("logprob_micro").cast("double") / lit(1e6) / col("n_ngrams"))
   }
 
+  /** Benchmark decontamination — the GPT-3-appendix/PaLM protocol: flag
+    * training documents that share any word `n`-gram with an evaluation
+    * set, so eval benchmarks aren't memorized via training leakage. The
+    * standard n is 13 (long enough that a shared gram is evidence of
+    * copying, not coincidence). Output: one row per CONTAMINATED
+    * training doc — `(idCol, n_hit_grams)` = how many of its distinct
+    * n-grams appear in the eval set; clean docs are absent (the report
+    * is an audit/removal list, and at corpus scale emitting the clean
+    * majority would be the expensive no-op).
+    *
+    * Scale shape: n-grams reduce to 60-bit md5-derived BIGINT keys
+    * map-side (gram text never shuffles); the train side dedupes
+    * (id, gh) through one partial-final HashAggregate pair of 16-byte
+    * rows; the EVAL side is benchmark-sized (thousands of docs against
+    * a 100 TB corpus), so its distinct gram set BROADCASTS and the
+    * containment probe is a map-side BroadcastHashJoin — the corpus
+    * never reshuffles for the check (PlanSpec-pinned). Hash collisions
+    * can flag a clean doc (never miss a dirty one) — the conservative
+    * direction for decontamination, and the oracle mirrors the same
+    * hash. */
+  def contaminationReport(docs: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(wordNgramsOfTokens(col("__toks"), n)).as("ngram"))
+      .select(col(idCol),
+        conv(substring(md5(col("ngram")), 1, 15), 16, 10).cast("long").as("gh"))
+    val evalGrams = grams(evalDocs).select("gh").distinct()
+    grams(Partitioning.spread(docs)).distinct()
+      .join(broadcast(evalGrams), "gh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_grams"))
+  }
+
   /** Predicted language per document: the candidate with the most marker
     * hits (tie → alphabetically first). Output: (idCol, predicted). */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

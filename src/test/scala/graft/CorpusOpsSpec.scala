@@ -504,4 +504,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(row.getString(0) == "x z y")
     assert(row.getLong(1) == 1L)
   }
+
+  // --------------------------------------------- contaminationReport ---
+
+  test("contaminationReport flags planted n-gram leaks, counts distinct shared grams, omits clean docs") {
+    import spark.implicits._
+    val n = 4
+    val evalText = "alpha beta gamma delta epsilon"        // grams: a..d, b..e
+    val train = Seq(
+      // doc 1 copies BOTH eval 4-grams (the full 5-token window), and
+      // repeats one of them — distinct counting must report 2, not 3
+      (1L, s"$evalText and alpha beta gamma delta again"),
+      (2L, "alpha beta gamma nope delta epsilon zeta eta"), // no shared 4-gram
+      (3L, "one two three"),                                // shorter than n
+      (4L, "beta gamma delta epsilon tail")                 // copies 1 gram
+    ).toDF("doc_id", "text")
+    val evalDocs = Seq((100L, evalText)).toDF("doc_id", "text")
+    val got = TextOps.contaminationReport(train, evalDocs, "doc_id", "text", n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 4L -> 1L), s"got $got")
+  }
 }

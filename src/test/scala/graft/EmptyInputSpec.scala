@@ -52,7 +52,17 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.scrubFrequentSegments(noDocs, "doc_id", "text", 30, 3).count() == 0)
     assert(TextOps.featureHash(noDocs, "doc_id", "text", 64).count() == 0)
     assert(TextOps.hashedLinearScore(noDocs, "doc_id", "text", 64).count() == 0)
+    val w = spark.range(4).select(col("id").as("bucket"), col("id").as("weight"))
+    assert(TextOps.hashedLinearScoreWeighted(noDocs, "doc_id", "text", 64, w)
+      .count() == 0)
     assert(Temporal.groupTopK(noDocs, "lang", "n_chars", "doc_id", 5).count() == 0)
+    // empty corpus AND empty eval set are both everyday shapes (a fully
+    // pruned read / a benchmark with no grams of length ≥ n)
+    val someDocs = Tables.documents(spark, Sf0001).limit(20)
+    assert(TextOps.contaminationReport(noDocs, someDocs, "doc_id", "text", 5)
+      .count() == 0)
+    assert(TextOps.contaminationReport(someDocs, noDocs, "doc_id", "text", 5)
+      .count() == 0)
   }
 
   test("sketches: minhash signatures and band table on zero documents") {

@@ -106,6 +106,14 @@ class PlanSpec extends SparkSpec {
       s"model join shuffled the corpus-sized feature side:\n$p")
   }
 
+  test("q_decontaminate: the eval gram set broadcasts (the corpus never reshuffles for the probe)") {
+    val p = planOf("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval gram set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"containment probe shuffled the corpus gram side:\n$p")
+  }
+
   test("q_split and q_quantize stay pure projections (zero exchanges before the declared sort)") {
     for (name <- Seq("q_split", "q_quantize")) {
       val p = planOf(name)
