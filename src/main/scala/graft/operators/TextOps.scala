@@ -105,7 +105,10 @@ object TextOps {
   def qualityMetrics(
       docs: DataFrame, idCol: String, textCol: String, nCharsCol: String): DataFrame = {
     val text = col(textCol)
-    val toks = tokens(text)
+    // token array materialized once per row — the stopword filter is an
+    // interpreted HOF, so an inline `tokens(text)` child would re-run
+    // the regex split per expression (see wordNgramsOfTokens)
+    val toks = col("__toks")
     val nTokens = size(toks).cast("long")
     val meanTokenLen =
       length(regexp_replace(text, " ", "")).cast("double") / nTokens
@@ -115,7 +118,9 @@ object TextOps {
       size(filter(toks, t => t.isInCollection(EnStopwords))).cast("double") / nTokens
     val bpeTokens = size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
     // regex-heavy per-row projection: spread a single-file input first
-    Partitioning.spread(docs).select(
+    Partitioning.spread(docs)
+      .withColumn("__toks", tokens(text))
+      .select(
       col(idCol),
       nTokens.as("n_tokens"),
       bpeTokens.as("bpe_tokens"),
@@ -529,12 +534,16 @@ object TextOps {
   /** Predicted language per document: the candidate with the most marker
     * hits (tie → alphabetically first). Output: (idCol, predicted). */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
+    // one materialized token array feeds all five candidate filters —
+    // each filter is an interpreted HOF, so inlining `tokens(text)`
+    // would re-run the regex split once per language per row
+    val toks = col("__toks")
     val candidates = LangMarkers.map { case (lang, markers) =>
       struct(lit(lang).as("cand"),
         size(filter(toks, t => t.isInCollection(markers))).cast("long").as("hits"))
     }
     val scored = Partitioning.spread(docs)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), explode(array(candidates: _*)).as("c"))
       .select(col(idCol), col("c.cand").as("cand"), col("c.hits").as("hits"))
     val w = Window.partitionBy(idCol).orderBy(desc("hits"), asc("cand"))
