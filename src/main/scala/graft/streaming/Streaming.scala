@@ -352,41 +352,34 @@ object Streaming {
   def readPublished(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("_batch_id")
 
-  /** Schema-explicit documents FileStreamSource — the corpus-ingest
-    * side of the streaming story: freshly crawled docs land as parquet
-    * files and flow through the SAME stateless per-doc operators
-    * (featurization, quality scores, scrubbing) the batch pipeline
-    * uses. */
+  /** Documents FileStreamSource — the corpus-ingest side of the
+    * streaming story: freshly crawled docs land as parquet files and
+    * flow through the SAME stateless per-doc operators (featurization,
+    * quality scores, scrubbing) the batch pipeline uses. The stream
+    * schema is SNIFFED from the landing dir's footers (footer IO only),
+    * not hard-coded — the round-6 events regression showed a
+    * user-supplied schema silently mis-reads a regenerated fixture
+    * whose physical types drifted. */
   def documentsStream(
       spark: SparkSession,
       landingDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("text", StringType),
-      StructField("lang", StringType),
-      StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val reader = spark.readStream.schema(schema)
+    val reader = spark.readStream.schema(spark.read.parquet(landingDir).schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(landingDir)
   }
 
-  /** Schema-explicit embeddings FileStreamSource with the same
-    * float→double widening as [[graft.Tables.embeddings]] — the
-    * streaming-ingest side of index maintenance: freshly arrived vectors
-    * flow through the SAME stateless bucket/code assignment the batch
-    * index build uses (assignments are pure per-row functions, so
-    * stream-maintained index tables equal a batch rebuild — pinned in
-    * StreamingSpec). */
-  def embeddingsStream(spark: SparkSession, landingDir: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType)),
-      StructField("label", IntegerType)))
+  /** Embeddings FileStreamSource with the same float→double widening as
+    * [[graft.Tables.embeddings]] — the streaming-ingest side of index
+    * maintenance: freshly arrived vectors flow through the SAME
+    * stateless bucket/code assignment the batch index build uses
+    * (assignments are pure per-row functions, so stream-maintained
+    * index tables equal a batch rebuild — pinned in StreamingSpec).
+    * Schema footer-sniffed as in [[documentsStream]]; the widening cast
+    * is a no-op if the fixture ever ships doubles. */
+  def embeddingsStream(spark: SparkSession, landingDir: String): DataFrame =
     spark.readStream
-      .schema(schema)
+      .schema(spark.read.parquet(landingDir).schema)
       .parquet(landingDir)
       .withColumn("embedding", col("embedding").cast("array<double>"))
-  }
 }
