@@ -69,9 +69,13 @@ object Graph {
         .join(labels.select(col("id").as("v"), col("label").as("nl")), "v")
         .groupBy(col("u").as("id"))
         .agg(min("nl").as("mn"))
+      // carry the pre-round label through the round so the convergence
+      // check is a FILTER on the checkpointed frame (labels only ever
+      // decrease, so converged ⟺ no row changed) — a join back against
+      // the previous labels would add a shuffle per round
       val propagated = labels
         .join(nbrLabel, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("mn"), col("label"))).as("label"))
       // pointer jump: label ← label(label). Every label value is itself
       // a vertex id (init = own id; min over vertex ids stays a vertex
@@ -79,12 +83,10 @@ object Graph {
       val next = propagated
         .join(propagated.select(col("id").as("label"), col("label").as("l2")),
           "label")
-        .select(col("id"), col("l2").as("label"))
+        .select(col("id"), col("__old"), col("l2").as("label"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("__old")).isEmpty
+      labels = next.select("id", "label")
       round += 1
     }
     require(converged,
