@@ -3117,6 +3117,86 @@ object Queries {
     * result aggregates the sink in batch to q_event_pairs' grouped
     * shape, certifying the streaming join against the relational
     * oracle. */
+  /** Stream-STATIC broadcast enrichment executed FOR REAL under the
+    * gate — the third join class of the streaming story (q_stream_pairs
+    * covers stream-stream; this is the dimension-lookup shape): each
+    * micro-batch of the events stream joins a STATIC per-type profile
+    * (exact integer sum/count of the historical batch table) via an
+    * explicit `broadcast()`. Stream-static joins are STATELESS — no
+    * state store, no watermark needed; Spark re-plans the batch side
+    * per micro-batch and ships it map-side, which at 100 TB is exactly
+    * how ingest enrichment against reference data works (the stream
+    * never reshuffles). The "above the historical type mean" flag is
+    * the all-BIGINT cross-multiply `milli·n > Σmilli` — no division, no
+    * float threshold, so the flag is bit-deterministic cross-engine.
+    * Oracle: the same profile and cross-multiply replayed relationally. */
+  private def qStreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val landing = streamLandingCache.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Paths.get(
+        s"/root/repo/target/tmp/stream_landing_${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        d.resolve("events.parquet"))
+      d.toString
+    })
+    val sink = s"q_stream_enrich_sink_${math.abs(dir.hashCode)}"
+    if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+    val profile = Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(col("value") * 1000).cast("long").as("milli"))
+      .groupBy("event_type")
+      .agg(sum("milli").as("type_milli_sum"), count(lit(1)).as("type_n"))
+    val q = withStreamPartitions(s, 8,
+        Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) {
+      Streaming.eventsStream(s, landing)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 1000).cast("long").as("milli"))
+        .join(broadcast(profile), "event_type")
+        .select(col("event_id"), col("event_type"), col("milli"),
+          (col("milli") * col("type_n") > col("type_milli_sum"))
+            .cast("int").as("above_mean"))
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    if (!q.awaitTermination(180000)) {
+      q.stop()
+      throw new IllegalStateException("q_stream_enrich: stream did not drain")
+    }
+    s.table(sink)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("above_mean").as("n_above_mean"),
+        sum(when(col("above_mean") === 1, col("milli"))).as("milli_above_sum"))
+      .orderBy("event_type")
+  }
+
+  private val qStreamEnrichSql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |         CAST(floor(value * 1000) AS BIGINT) AS milli
+      |  FROM events),
+      |p AS (
+      |  SELECT event_type,
+      |         CAST(sum(milli) AS BIGINT) AS type_milli_sum,
+      |         CAST(count(*) AS BIGINT) AS type_n
+      |  FROM e GROUP BY 1),
+      |j AS (
+      |  SELECT e.event_type, e.milli,
+      |         CASE WHEN e.milli * p.type_n > p.type_milli_sum
+      |              THEN 1 ELSE 0 END AS above_mean
+      |  FROM e JOIN p USING (event_type))
+      |SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(above_mean) AS BIGINT) AS n_above_mean,
+      |       CAST(sum(CASE WHEN above_mean = 1 THEN milli END) AS BIGINT)
+      |         AS milli_above_sum
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def qStreamPairs(s: SparkSession, dir: String): DataFrame = {
     val landing = streamLandingCache.computeIfAbsent(dir, _ => {
       val d = java.nio.file.Paths.get(
@@ -4966,6 +5046,7 @@ object Queries {
     GraftQuery("q_stream_ingest", qStreamIngest, Some(qStreamIngestSql)),
     GraftQuery("q_stream_dedup", qStreamDedup, Some(qStreamDedupSql)),
     GraftQuery("q_stream_pairs", qStreamPairs, Some(qStreamPairsSql)),
+    GraftQuery("q_stream_enrich", qStreamEnrich, Some(qStreamEnrichSql)),
     GraftQuery("q_stream_index", qStreamIndex, Some(qStreamIndexSql)),
     GraftQuery("q_stream_sessions", qStreamSessions, Some(qStreamSessionsSql)),
     GraftQuery("q_stream_codes", qStreamCodes, Some(qStreamCodesSql)),
