@@ -2968,7 +2968,7 @@ object Queries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
-    if (!q.awaitTermination(180000)) {
+    if (!q.awaitTermination(600000)) {
       q.stop()
       throw new IllegalStateException("q_stream_ingest: stream did not drain")
     }
@@ -3040,7 +3040,7 @@ object Queries {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    if (!q.awaitTermination(180000)) {
+    if (!q.awaitTermination(600000)) {
       q.stop()
       throw new IllegalStateException("q_stream_features: stream did not drain")
     }
@@ -3093,7 +3093,7 @@ object Queries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
-    if (!q.awaitTermination(180000)) {
+    if (!q.awaitTermination(600000)) {
       q.stop()
       throw new IllegalStateException("q_stream_dedup: stream did not drain")
     }
@@ -3163,7 +3163,7 @@ object Queries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
-    if (!q.awaitTermination(180000)) {
+    if (!q.awaitTermination(600000)) {
       q.stop()
       throw new IllegalStateException("q_stream_enrich: stream did not drain")
     }
@@ -3224,7 +3224,7 @@ object Queries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
-    if (!q.awaitTermination(180000)) {
+    if (!q.awaitTermination(600000)) {
       q.stop()
       throw new IllegalStateException("q_stream_pairs: stream did not drain")
     }
@@ -3274,7 +3274,7 @@ object Queries {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    if (!q.awaitTermination(180000)) {
+    if (!q.awaitTermination(600000)) {
       q.stop()
       throw new IllegalStateException("q_stream_index: stream did not drain")
     }
@@ -3320,7 +3320,7 @@ object Queries {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    if (!q.awaitTermination(180000)) {
+    if (!q.awaitTermination(600000)) {
       q.stop()
       throw new IllegalStateException("q_stream_codes: stream did not drain")
     }
@@ -3442,7 +3442,7 @@ object Queries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
-    if (!q.awaitTermination(180000)) {
+    if (!q.awaitTermination(600000)) {
       q.stop()
       throw new IllegalStateException("q_stream_sessions: stream did not drain")
     }
