@@ -78,8 +78,10 @@ object Bench {
     // must fit the driver's bounded output-tail window (BENCH_r05's
     // 9-decimal line overflowed it and lost the total — parsed: null)
     def r3(v: Double): Double = math.round(v * 1000).toDouble / 1000
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    // one formatted entry list feeds BOTH the full line and the chunked
+    // re-emit below, so the two can never disagree on format/rounding
+    val entries = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val qs = entries.mkString("{", ",", "}")
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     // 1-minute system load average at exit: wall times on a co-tenant
     // host inflate multiplicatively (BENCH_r04's 170s total re-benched
@@ -95,9 +97,8 @@ object Bench {
     // per-query map in SMALL chunks — each line a complete, independently
     // parseable JSON object — so whatever lands in the tail window is
     // whole lines, then the compact total LAST so it always survives.
-    results.grouped(20).zipWithIndex.foreach { case (chunk, i) =>
-      val part = chunk.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-        .mkString("{", ",", "}")
+    entries.grouped(20).zipWithIndex.foreach { case (chunk, i) =>
+      val part = chunk.mkString("{", ",", "}")
       println(s"""{"metric":"queries_part","part":$i,"queries":$part}""")
     }
     // durable full record: bench_last.json holds the whole single-line

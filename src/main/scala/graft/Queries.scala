@@ -2946,15 +2946,7 @@ object Queries {
     * streaming bookkeeping (exactly-once file tracking in the source
     * log), and state is bounded by the watermark. */
   private def qStreamIngest(s: SparkSession, dir: String): DataFrame = {
-    val landing = streamLandingCache.computeIfAbsent(dir, _ => {
-      val d = java.nio.file.Paths.get(
-        s"/root/repo/target/tmp/stream_landing_${java.util.UUID.randomUUID()}")
-      java.nio.file.Files.createDirectories(d)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        d.resolve("events.parquet"))
-      d.toString
-    })
+    val landing = eventsLanding(dir)
     val sink = s"q_stream_ingest_sink_${math.abs(dir.hashCode)}"
     if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
     val q = withStreamPartitions(s, 8) {
@@ -2977,6 +2969,20 @@ object Queries {
 
   private val streamLandingCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage the fixture's events.parquet into a landing directory (the
+    * file-arrival shape FileStreamSource needs) — cached per sf dir, so
+    * the events-stream queries share ONE staging. */
+  private def eventsLanding(dir: String): String =
+    streamLandingCache.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Paths.get(
+        s"/root/repo/target/tmp/stream_landing_${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        d.resolve("events.parquet"))
+      d.toString
+    })
 
   /** Cap `spark.sql.shuffle.partitions` for a streaming query's START —
     * every stateful operator commits one state store PER shuffle
@@ -3069,15 +3075,7 @@ object Queries {
     * micro-batch, so no key is ever evicted-then-re-emitted). Oracle:
     * relational SELECT DISTINCT. */
   private def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
-    val landing = streamLandingCache.computeIfAbsent(dir, _ => {
-      val d = java.nio.file.Paths.get(
-        s"/root/repo/target/tmp/stream_landing_${java.util.UUID.randomUUID()}")
-      java.nio.file.Files.createDirectories(d)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        d.resolve("events.parquet"))
-      d.toString
-    })
+    val landing = eventsLanding(dir)
     val sink = s"q_stream_dedup_sink_${math.abs(dir.hashCode)}"
     if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
     val q = withStreamPartitions(s, 8) {
@@ -3131,15 +3129,7 @@ object Queries {
     * float threshold, so the flag is bit-deterministic cross-engine.
     * Oracle: the same profile and cross-multiply replayed relationally. */
   private def qStreamEnrich(s: SparkSession, dir: String): DataFrame = {
-    val landing = streamLandingCache.computeIfAbsent(dir, _ => {
-      val d = java.nio.file.Paths.get(
-        s"/root/repo/target/tmp/stream_landing_${java.util.UUID.randomUUID()}")
-      java.nio.file.Files.createDirectories(d)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        d.resolve("events.parquet"))
-      d.toString
-    })
+    val landing = eventsLanding(dir)
     val sink = s"q_stream_enrich_sink_${math.abs(dir.hashCode)}"
     if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
     val profile = Tables.events(s, dir)
@@ -3198,15 +3188,7 @@ object Queries {
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
   private def qStreamPairs(s: SparkSession, dir: String): DataFrame = {
-    val landing = streamLandingCache.computeIfAbsent(dir, _ => {
-      val d = java.nio.file.Paths.get(
-        s"/root/repo/target/tmp/stream_landing_${java.util.UUID.randomUUID()}")
-      java.nio.file.Files.createDirectories(d)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        d.resolve("events.parquet"))
-      d.toString
-    })
+    val landing = eventsLanding(dir)
     val sink = s"q_stream_pairs_sink_${math.abs(dir.hashCode)}"
     if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
     val ev = Streaming.eventsStream(s, landing).withWatermark("ts", "1 hour")

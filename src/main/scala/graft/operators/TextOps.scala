@@ -422,10 +422,6 @@ object TextOps {
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
 
-  /** [[wordNgramsOfTokens]] over `tokens(text)` — only safe where the
-    * caller materializes the result before fan-out (see above). */
-  def wordNgrams(text: Column, n: Int): Column =
-    wordNgramsOfTokens(tokens(text), n)
 
   /** Corpus n-gram heavy hitters — the KenLM-style language-model count
     * table, top-k slice: same two-level (ngram, doc) → ngram shape as

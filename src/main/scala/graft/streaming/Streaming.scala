@@ -294,7 +294,11 @@ object Streaming {
       landingDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(landingDir).schema("ts").dataType
+    // subscribe-before-files: an EMPTY landing dir has no footer to
+    // sniff — fall back to the current fixture encoding (micros) so the
+    // stream can be defined before the first file lands
+    val tsType = sniffSchema(spark, landingDir)
+      .map(_("ts").dataType).getOrElse(TimestampType)
     val reader = spark.readStream.schema(eventsSchema(tsType))
     // rate limit = micro-batch pacing: with AvailableNow each file
     // becomes its own batch, which is what lets a staged landing dir
@@ -364,10 +368,23 @@ object Streaming {
       spark: SparkSession,
       landingDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val reader = spark.readStream.schema(spark.read.parquet(landingDir).schema)
+    val schema = sniffSchema(spark, landingDir).getOrElse(StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType))))
+    val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(landingDir)
   }
+
+  /** Footer-faithful schema of a landing dir, or None when the dir has
+    * no readable parquet yet (the subscribe-before-files shape — the
+    * caller falls back to the documented fixture schema). */
+  private def sniffSchema(spark: SparkSession, landingDir: String): Option[StructType] =
+    try Some(spark.read.parquet(landingDir).schema)
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** Embeddings FileStreamSource with the same float→double widening as
     * [[graft.Tables.embeddings]] — the streaming-ingest side of index
@@ -377,9 +394,14 @@ object Streaming {
     * index tables equal a batch rebuild — pinned in StreamingSpec).
     * Schema footer-sniffed as in [[documentsStream]]; the widening cast
     * is a no-op if the fixture ever ships doubles. */
-  def embeddingsStream(spark: SparkSession, landingDir: String): DataFrame =
+  def embeddingsStream(spark: SparkSession, landingDir: String): DataFrame = {
+    val schema = sniffSchema(spark, landingDir).getOrElse(StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType))))
     spark.readStream
-      .schema(spark.read.parquet(landingDir).schema)
+      .schema(schema)
       .parquet(landingDir)
       .withColumn("embedding", col("embedding").cast("array<double>"))
+  }
 }

@@ -33,6 +33,18 @@ class StreamingSpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("streams can be defined over an EMPTY landing dir (subscribe-before-files)") {
+    // the operational ingest shape: the stream subscribes first, files
+    // land later — schema sniffing must fall back to the documented
+    // fixture schema instead of throwing UNABLE_TO_INFER_SCHEMA
+    val dir = java.nio.file.Paths.get("/root/repo/target/stream_empty_test")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    java.nio.file.Files.createDirectories(dir)
+    assert(Streaming.eventsStream(spark, dir.toString).isStreaming)
+    assert(Streaming.documentsStream(spark, dir.toString).isStreaming)
+    assert(Streaming.embeddingsStream(spark, dir.toString).isStreaming)
+  }
+
   test("windowed counts: streaming (AvailableNow) == batch") {
     val batch = Streaming.windowedCounts(Tables.events(spark, Sf0001))
       .orderBy("window_start_epoch", "event_type").collect().toSeq
