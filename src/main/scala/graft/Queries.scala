@@ -1910,6 +1910,42 @@ object Queries {
     Streaming.burstDetect(Tables.events(s, dir))
       .orderBy("event_type", "window_start_epoch")
 
+  /** The STREAMING FACE of burst detection, executed for real under the
+    * gate — the documented streaming-agg + batch-alerting split
+    * ([[Streaming.burstFlags]]'s scaladoc): window functions cannot run
+    * inside a streaming query, so the alerting architecture is a
+    * streamed windowed aggregation (watermark-bounded state) whose
+    * emitted window-count table feeds the batch trailing-window flag
+    * pass. StreamingSpec pins streamed counts == batch counts; this row
+    * certifies the composed path end to end against the SAME oracle as
+    * the all-batch q_burst_detect — streamed-then-flagged must equal
+    * batch-detected exactly. */
+  private def qStreamBurst(s: SparkSession, dir: String): DataFrame = {
+    val landing = eventsLanding(dir)
+    val sink = s"q_stream_burst_sink_${math.abs(dir.hashCode)}"
+    if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+    val q = withStreamPartitions(s, 8) {
+      Streaming.windowedCounts(
+          Streaming.eventsStream(s, landing),
+          windowDur = "6 hours", watermark = Some("1 hour"))
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    if (!q.awaitTermination(600000)) {
+      q.stop()
+      throw new IllegalStateException("q_stream_burst: stream did not drain")
+    }
+    Streaming.burstFlags(s.table(sink))
+      .orderBy("event_type", "window_start_epoch")
+  }
+
+  // streamed-then-flagged must equal the all-batch detector bit-for-bit
+  private def qStreamBurstSql: String = qBurstDetectSql
+
   private val qBurstDetectSql: String =
     """WITH c AS (
       |  SELECT event_type,
@@ -5029,6 +5065,7 @@ object Queries {
     GraftQuery("q_stream_dedup", qStreamDedup, Some(qStreamDedupSql)),
     GraftQuery("q_stream_pairs", qStreamPairs, Some(qStreamPairsSql)),
     GraftQuery("q_stream_enrich", qStreamEnrich, Some(qStreamEnrichSql)),
+    GraftQuery("q_stream_burst", qStreamBurst, Some(qStreamBurstSql)),
     GraftQuery("q_stream_index", qStreamIndex, Some(qStreamIndexSql)),
     GraftQuery("q_stream_sessions", qStreamSessions, Some(qStreamSessionsSql)),
     GraftQuery("q_stream_codes", qStreamCodes, Some(qStreamCodesSql)),
