@@ -1914,9 +1914,18 @@ object Queries {
     * gate — the documented streaming-agg + batch-alerting split
     * ([[Streaming.burstFlags]]'s scaladoc): window functions cannot run
     * inside a streaming query, so the alerting architecture is a
-    * streamed windowed aggregation (watermark-bounded state) whose
-    * emitted window-count table feeds the batch trailing-window flag
-    * pass. StreamingSpec pins streamed counts == batch counts; this row
+    * streamed windowed aggregation whose emitted window-count table
+    * feeds the batch trailing-window flag pass. NOTE on state (ADVICE
+    * r7): this row drains in `complete` output mode, which retains
+    * EVERY window in the state store for the stream's lifetime — the
+    * watermark is inert here, kept only so the plan matches the
+    * production shape. The streamed==batch equality below relies on
+    * exactly that retention (the memory sink holds the full count
+    * table). The watermark-BOUNDED production variant is append mode
+    * over the same aggregation (only finalized windows emitted, state
+    * evicted past the watermark); complete mode is the right gate
+    * shape because the flag pass needs all windows in one table.
+    * StreamingSpec pins streamed counts == batch counts; this row
     * certifies the composed path end to end against the SAME oracle as
     * the all-batch q_burst_detect — streamed-then-flagged must equal
     * batch-detected exactly. */
@@ -1924,7 +1933,7 @@ object Queries {
     val landing = eventsLanding(dir)
     val sink = s"q_stream_burst_sink_${math.abs(dir.hashCode)}"
     if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
-    val q = withStreamPartitions(s, 8) {
+    drainStream(s, 8, "q_stream_burst") {
       Streaming.windowedCounts(
           Streaming.eventsStream(s, landing),
           windowDur = "6 hours", watermark = Some("1 hour"))
@@ -1934,10 +1943,6 @@ object Queries {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-    }
-    if (!q.awaitTermination(600000)) {
-      q.stop()
-      throw new IllegalStateException("q_stream_burst: stream did not drain")
     }
     Streaming.burstFlags(s.table(sink))
       .orderBy("event_type", "window_start_epoch")
@@ -2985,7 +2990,7 @@ object Queries {
     val landing = eventsLanding(dir)
     val sink = s"q_stream_ingest_sink_${math.abs(dir.hashCode)}"
     if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
-    val q = withStreamPartitions(s, 8) {
+    drainStream(s, 8, "q_stream_ingest") {
       Streaming.windowedCounts(
           Streaming.eventsStream(s, landing),
           windowDur = "30 minutes", watermark = Some("1 hour"))
@@ -2996,15 +3001,50 @@ object Queries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
-    if (!q.awaitTermination(600000)) {
-      q.stop()
-      throw new IllegalStateException("q_stream_ingest: stream did not drain")
-    }
     s.table(sink).orderBy("window_start_epoch", "event_type")
   }
 
   private val streamLandingCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage one fixture table into a landing dir. The fixture may be a
+    * single parquet FILE (the driver's current shape) or a parquet
+    * DIRECTORY of part files (the multi-file shape a regenerated
+    * fixture could take — the same fixture-drift class as the r6
+    * ts-type break; ADVICE r7 flagged that a bare `Files.copy` of a
+    * directory silently stages an EMPTY landing dir and every stream
+    * query drains zero rows). Directory fixtures have every data file
+    * copied; either way the staging FAILS LOUDLY unless at least one
+    * staged file carries the `PAR1` parquet magic. */
+  private def stageParquet(src: java.nio.file.Path, dest: java.nio.file.Path,
+      baseName: String): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    def dataFiles(p: java.nio.file.Path): List[java.nio.file.Path] = {
+      val st = Files.list(p)
+      try st.iterator().asScala.filter(Files.isRegularFile(_))
+        .filterNot(f => f.getFileName.toString.startsWith("_") ||
+          f.getFileName.toString.startsWith(".")).toList
+      finally st.close()
+    }
+    if (Files.isDirectory(src))
+      dataFiles(src).sortBy(_.getFileName.toString).zipWithIndex.foreach {
+        case (f, i) => Files.copy(f, dest.resolve(f"${baseName}_p$i%05d.parquet"))
+      }
+    else Files.copy(src, dest.resolve(s"$baseName.parquet"))
+    val hasFooter = dataFiles(dest).exists { p =>
+      Files.size(p) > 8 && {
+        val in = Files.newInputStream(p)
+        try {
+          val b = new Array[Byte](4)
+          in.read(b) == 4 && new String(b, "US-ASCII") == "PAR1"
+        } finally in.close()
+      }
+    }
+    if (!hasFooter) throw new IllegalStateException(
+      s"staged landing dir $dest holds no parquet data file " +
+        s"(fixture $src drifted shape?)")
+  }
 
   /** Stage the fixture's events.parquet into a landing directory (the
     * file-arrival shape FileStreamSource needs) — cached per sf dir, so
@@ -3014,31 +3054,39 @@ object Queries {
       val d = java.nio.file.Paths.get(
         s"/root/repo/target/tmp/stream_landing_${java.util.UUID.randomUUID()}")
       java.nio.file.Files.createDirectories(d)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        d.resolve("events.parquet"))
+      stageParquet(java.nio.file.Paths.get(s"$dir/events.parquet"), d, "events")
       d.toString
     })
 
-  /** Cap `spark.sql.shuffle.partitions` for a streaming query's START —
-    * every stateful operator commits one state store PER shuffle
-    * partition PER micro-batch, so the session default (32) pays 32
-    * store commits × stores × batches on fixture-sized state (the
-    * stream-stream join keeps FOUR stores per partition; BENCH_r06's
-    * 44s q_stream_pairs row was mostly this bookkeeping). The value is
-    * pinned into the query's offset log at start, so restoring the
-    * session conf immediately after the drain never re-plans the
-    * stream; batch post-aggregation of the sink runs at the restored
-    * session width. At production scale the state partition count is
-    * sized to state volume ÷ executor memory — here state is fixture-
-    * sized, so a handful of partitions is the honest shape. */
-  private def withStreamPartitions[T](
-      s: SparkSession, n: Int, extraConfs: Map[String, String] = Map.empty)(
-      body: => T): T = {
+  /** Cap `spark.sql.shuffle.partitions` for a streaming query and
+    * DRAIN it — every stateful operator commits one state store PER
+    * shuffle partition PER micro-batch, so the session default (32)
+    * pays 32 store commits × stores × batches on fixture-sized state
+    * (the stream-stream join keeps FOUR stores per partition;
+    * BENCH_r06's 44s q_stream_pairs row was mostly this bookkeeping).
+    * The capped confs are held until `awaitTermination` returns
+    * (restored in the finally AROUND the drain, per ADVICE r7 — the
+    * old restore-right-after-`start()` relied on the undocumented
+    * guarantee that StreamExecution clones the session conf
+    * synchronously inside `start()`); batch post-aggregation of the
+    * sink runs afterwards at the restored session width. At production
+    * scale the state partition count is sized to state volume ÷
+    * executor memory — here state is fixture-sized, so a handful of
+    * partitions is the honest shape. */
+  private def drainStream(
+      s: SparkSession, n: Int, name: String,
+      extraConfs: Map[String, String] = Map.empty)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val confs = Map("spark.sql.shuffle.partitions" -> n.toString) ++ extraConfs
     val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
     confs.foreach { case (k, v) => s.conf.set(k, v) }
-    try body finally prev.foreach {
+    try {
+      val q = start
+      if (!q.awaitTermination(600000)) {
+        q.stop()
+        throw new IllegalStateException(s"$name: stream did not drain")
+      }
+    } finally prev.foreach {
       case (k, Some(v)) => s.conf.set(k, v)
       case (k, None) => s.conf.unset(k)
     }
@@ -3067,9 +3115,8 @@ object Queries {
       val d = java.nio.file.Paths.get(
         s"/root/repo/target/tmp/doc_landing_${java.util.UUID.randomUUID()}")
       java.nio.file.Files.createDirectories(d)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/documents.parquet"),
-        d.resolve("documents.parquet"))
+      stageParquet(java.nio.file.Paths.get(s"$dir/documents.parquet"), d,
+        "documents")
       d.toString
     })
     val pub = featurePubCache.computeIfAbsent(dir, _ =>
@@ -3114,7 +3161,7 @@ object Queries {
     val landing = eventsLanding(dir)
     val sink = s"q_stream_dedup_sink_${math.abs(dir.hashCode)}"
     if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
-    val q = withStreamPartitions(s, 8) {
+    drainStream(s, 8, "q_stream_dedup") {
       Streaming.dedupStream(
           Streaming.eventsStream(s, landing)
             .select(col("user_id"), col("event_type"), col("ts")),
@@ -3126,10 +3173,6 @@ object Queries {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-    }
-    if (!q.awaitTermination(600000)) {
-      q.stop()
-      throw new IllegalStateException("q_stream_dedup: stream did not drain")
     }
     s.table(sink).orderBy("user_id", "event_type")
   }
@@ -3173,7 +3216,7 @@ object Queries {
         floor(col("value") * 1000).cast("long").as("milli"))
       .groupBy("event_type")
       .agg(sum("milli").as("type_milli_sum"), count(lit(1)).as("type_n"))
-    val q = withStreamPartitions(s, 8,
+    drainStream(s, 8, "q_stream_enrich",
         Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) {
       Streaming.eventsStream(s, landing)
         .select(col("event_id"), col("event_type"),
@@ -3188,10 +3231,6 @@ object Queries {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-    }
-    if (!q.awaitTermination(600000)) {
-      q.stop()
-      throw new IllegalStateException("q_stream_enrich: stream did not drain")
     }
     s.table(sink)
       .groupBy("event_type")
@@ -3232,7 +3271,7 @@ object Queries {
     // both rows arrive (no watermark holdback), so the trailing no-data
     // watermark-advance batch does pure state-eviction bookkeeping here
     // — skip it (it cannot change the result set)
-    val q = withStreamPartitions(s, 8,
+    drainStream(s, 8, "q_stream_pairs",
         Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) {
       Streaming.correlatedPairs(ev, ev, withinSeconds = 86400)
         .writeStream
@@ -3241,10 +3280,6 @@ object Queries {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-    }
-    if (!q.awaitTermination(600000)) {
-      q.stop()
-      throw new IllegalStateException("q_stream_pairs: stream did not drain")
     }
     s.table(sink)
       .groupBy("a_type", "b_type")
@@ -3275,9 +3310,8 @@ object Queries {
       val d = java.nio.file.Paths.get(
         s"/root/repo/target/tmp/emb_landing_${java.util.UUID.randomUUID()}")
       java.nio.file.Files.createDirectories(d)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/embeddings.parquet"),
-        d.resolve("embeddings.parquet"))
+      stageParquet(java.nio.file.Paths.get(s"$dir/embeddings.parquet"), d,
+        "embeddings")
       d.toString
     })
     val sink = s"q_stream_index_sink_${math.abs(dir.hashCode)}"
@@ -3322,9 +3356,8 @@ object Queries {
       val d = java.nio.file.Paths.get(
         s"/root/repo/target/tmp/emb_landing_${java.util.UUID.randomUUID()}")
       java.nio.file.Files.createDirectories(d)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/embeddings.parquet"),
-        d.resolve("embeddings.parquet"))
+      stageParquet(java.nio.file.Paths.get(s"$dir/embeddings.parquet"), d,
+        "embeddings")
       d.toString
     })
     val sink = s"q_stream_codes_sink_${math.abs(dir.hashCode)}"
@@ -3402,15 +3435,23 @@ object Queries {
       val d = java.nio.file.Paths.get(
         s"/root/repo/target/tmp/sess_landing_${java.util.UUID.randomUUID()}")
       java.nio.file.Files.createDirectories(d)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        d.resolve("b0.parquet"))
+      stageParquet(java.nio.file.Paths.get(s"$dir/events.parquet"), d, "b0")
       // sentinel rows must carry ts in the FIXTURE'S OWN encoding (the
       // stream schema is sniffed from the merged landing dir — a mixed
       // int64/timestamp dir would fail schema merge): branch exactly as
-      // Tables.events does on the footer type.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      // Tables.events does on the footer type. The legacy-nanos conf is
+      // scoped to this eager schema sniff (restored in the finally);
+      // eventsStream re-establishes it itself if the fixture needs it.
+      val tsType = {
+        val key = "spark.sql.legacy.parquet.nanosAsLong"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "true")
+        try s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
       val dayMicros = 86400L * 1000000L
       val maxTsMicros =
         Tables.events(s, dir).agg(max(unix_micros(col("ts")))).head.getLong(0)
@@ -3448,7 +3489,7 @@ object Queries {
     })
     val sink = s"q_stream_sessions_sink_${math.abs(dir.hashCode)}"
     if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
-    val q = withStreamPartitions(s, 8) {
+    drainStream(s, 8, "q_stream_sessions") {
       Streaming.closedSessions(
           Streaming.eventsStream(s, landing, maxFilesPerTrigger = Some(1)),
           gapSecs = 1800L, watermark = "1 hour")
@@ -3459,10 +3500,6 @@ object Queries {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-    }
-    if (!q.awaitTermination(600000)) {
-      q.stop()
-      throw new IllegalStateException("q_stream_sessions: stream did not drain")
     }
     s.table(sink).orderBy("user_id", "session_start_epoch")
   }

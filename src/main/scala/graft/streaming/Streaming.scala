@@ -288,17 +288,44 @@ object Streaming {
     * first. The `ts` footer type is SNIFFED with a one-file batch read
     * (footer IO only — no data scan) and the stream schema mirrors it;
     * the type branch mirrors [[graft.Tables.events]] so stream and
-    * batch read the same rows over either fixture encoding. */
+    * batch read the same rows over either fixture encoding.
+    *
+    * CONTRACT (ADVICE r7): the subscribe-before-files shape — an
+    * EMPTY landing dir at subscribe time — falls back to the current
+    * fixture encoding (TIMESTAMP micros), because there is no footer
+    * to sniff yet. That fallback is MICROS-ONLY: if files encoded as
+    * int64 nanos land after an empty-dir subscription, the declared
+    * micros schema mismatches their physical type and the micro-batch
+    * FAILS (Spark refuses the INT64(NANOS)→timestamp conversion)
+    * rather than silently mis-scaling event time; re-subscribe after
+    * the first file lands to get the sniffed nanos path. A NON-empty
+    * dir with no readable footer is a staging bug and throws here.
+    *
+    * Conf hygiene: the legacy `nanosAsLong` flag is scoped to the
+    * sniff and restored on the micros path; it stays set only when the
+    * landing dir actually holds nanos files (the stream re-reads the
+    * flag from the live session conf at every micro-batch plan). */
   def eventsStream(
       spark: SparkSession,
       landingDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // subscribe-before-files: an EMPTY landing dir has no footer to
-    // sniff — fall back to the current fixture encoding (micros) so the
-    // stream can be defined before the first file lands
-    val tsType = sniffSchema(spark, landingDir)
-      .map(_("ts").dataType).getOrElse(TimestampType)
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    def restore(): Unit = prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    spark.conf.set(key, "true")
+    val sniffed = try sniffSchema(spark, landingDir)
+      catch { case e: Throwable => restore(); throw e }
+    if (sniffed.isEmpty && hasDataFiles(spark, landingDir)) {
+      restore()
+      throw new IllegalStateException(
+        s"events landing dir $landingDir contains files but no readable " +
+          "parquet footer — staged fixture is corrupt or mis-typed")
+    }
+    val tsType = sniffed.map(_("ts").dataType).getOrElse(TimestampType)
+    if (tsType != LongType) restore() // nanos decode needs the conf live
     val reader = spark.readStream.schema(eventsSchema(tsType))
     // rate limit = micro-batch pacing: with AvailableNow each file
     // becomes its own batch, which is what lets a staged landing dir
@@ -385,6 +412,20 @@ object Streaming {
   private def sniffSchema(spark: SparkSession, landingDir: String): Option[StructType] =
     try Some(spark.read.parquet(landingDir).schema)
     catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** True when the landing dir holds at least one data file (ignoring
+    * `_`/`.`-prefixed bookkeeping) — used to tell the legitimate
+    * subscribe-before-files empty dir from a botched staging whose
+    * files have no readable parquet footer. Hadoop FS API, not NIO, so
+    * the check works on an object-store landing prefix too. */
+  private def hasDataFiles(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
 
   /** Embeddings FileStreamSource with the same float→double widening as
     * [[graft.Tables.embeddings]] — the streaming-ingest side of index

@@ -134,5 +134,17 @@ package object syntax {
     def groupTop(group: String, value: String, tie: String, n: Int,
         largest: Boolean = true): DataFrame =
       Temporal.groupTopK(df, group, value, tie, n, largest)
+
+    /** [[TextOps.hashedLinearScoreWeighted]]: hashed-BoW scores against a
+      * TRAINED broadcast weight table `(bucket, weight)`. */
+    def qualityScoredWeighted(weights: DataFrame, k: Int,
+        id: String = "doc_id", text: String = "text"): DataFrame =
+      TextOps.hashedLinearScoreWeighted(df, id, text, k, weights)
+
+    /** [[TextOps.contaminationReport]]: word-n-gram benchmark
+      * decontamination report against a broadcast eval set. */
+    def contaminationChecked(evalDocs: DataFrame, n: Int = 13,
+        id: String = "doc_id", text: String = "text"): DataFrame =
+      TextOps.contaminationReport(df, evalDocs, id, text, n)
   }
 }
