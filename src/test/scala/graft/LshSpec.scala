@@ -191,6 +191,40 @@ class LshSpec extends SparkSpec {
     assert(incremental.count() == emb.count() * 4)
   }
 
+  test("index compaction rewrites layout only: rows equal, strictly fewer files, band dirs prune") {
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "lsh_compact_").toString
+    val frag = s"$base/frag"
+    def bucketed(df: org.apache.spark.sql.DataFrame) =
+      VectorSearch.lshBucketTable(df, "embedding", "vec_id",
+        Metric.Cosine, Dim, bits = 8, bands = 4).repartition(4)
+    // initial build + two micro-batch-shaped appends, each leaving its
+    // own 4-way part files — the small-file accumulation compaction fixes
+    bucketed(emb.filter(col("vec_id") < 400)).write.parquet(frag)
+    bucketed(emb.filter(col("vec_id") >= 400 && col("vec_id") % 2 === 0))
+      .write.mode("append").parquet(frag)
+    bucketed(emb.filter(col("vec_id") >= 400 && col("vec_id") % 2 === 1))
+      .write.mode("append").parquet(frag)
+    VectorSearch.compactIndex(spark, frag, s"$base/compact")
+    val fragDf = spark.read.parquet(frag)
+    val compDf = spark.read.parquet(s"$base/compact")
+    val asSet = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("vec_id"), col("band").cast("int"), col("bucket"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(asSet(compDf) == asSet(fragDf), "compaction changed the row set")
+    val fragFiles = fragDf.inputFiles.length
+    val compFiles = compDf.inputFiles.length
+    assert(compFiles == 4, s"expected one file per band dir, got $compFiles")
+    assert(compFiles < fragFiles,
+      s"compaction did not reduce files: $compFiles !< $fragFiles")
+    // band-restricted probe prunes whole directories at plan time
+    val plan = spark.read.parquet(s"$base/compact")
+      .filter(col("band") === 2).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("""PartitionFilters: \[[^\]]*band[^\]]* = 2[^\]]*\]""".r
+      .findFirstIn(plan).isDefined, s"band probe not partition-pruned:\n$plan")
+  }
+
   test("incremental IVF append with frozen centroids equals a full rebuild") {
     val existing = emb.filter(col("vec_id") < 400)
     val appended = emb.filter(col("vec_id") >= 400)
