@@ -3309,6 +3309,89 @@ object Queries {
       |         AS milli_above_sum
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Write `df` as ONE parquet file named `$name.parquet` inside `d` —
+    * single-file staging for deterministic one-file-per-micro-batch
+    * landing dirs. */
+  private def stageSingleFile(df: DataFrame, d: java.nio.file.Path,
+      name: String): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val tmp = d.resolve(s"__tmp_$name")
+    df.coalesce(1).write.parquet(tmp.toString)
+    val entries = {
+      val st = Files.list(tmp)
+      try st.iterator().asScala.toList finally st.close()
+    }
+    val part = entries.find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, d.resolve(s"$name.parquet"))
+    entries.filterNot(_ == part).foreach(Files.delete(_))
+    Files.delete(tmp)
+  }
+
+  private val upsertLandingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val upsertPubCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** UPDATE-MODE aggregation feeding an idempotent foreachBatch MERGE
+    * ([[Streaming.upsertSnapshot]]) — the fourth and last streaming
+    * output shape after append (q_stream_dedup), complete
+    * (q_stream_ingest), and append-with-custom-state
+    * (q_stream_sessions): the running per-type totals panel is
+    * maintained incrementally, each micro-batch upserting ONLY the
+    * keys whose totals changed. The landing dir is staged as TWO files
+    * read at `maxFilesPerTrigger=1`, split so both merge paths execute
+    * for real: the lexicographically-first event type rides ONLY in
+    * file 0 (batch 1's anti-join must CARRY its v0 row through
+    * untouched), while every other type appears in both files (batch
+    * 1 must REPLACE their v0 totals with the updated running totals).
+    * Update mode emits running TOTALS per changed key — not deltas —
+    * so the merged panel equals the batch recompute, which is the
+    * oracle. State is one row per event type (key-domain-bounded);
+    * the panel-maintenance shape q_sample_append certifies in batch,
+    * now certified on the streaming execution path. */
+  private def qStreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    val landing = upsertLandingCache.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Paths.get(
+        s"/root/repo/target/tmp/upsert_landing_${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.createDirectories(d)
+      val ev = Tables.events(s, dir)
+      val t0 = ev.agg(min("event_type")).head().getString(0)
+      stageSingleFile(
+        ev.filter(col("event_type") === t0 ||
+          pmod(col("event_id"), lit(2)) === 0), d, "h0")
+      Thread.sleep(30) // distinct mod-times → deterministic file order
+      stageSingleFile(
+        ev.filter(col("event_type") =!= t0 &&
+          pmod(col("event_id"), lit(2)) === 1), d, "h1")
+      d.toString
+    })
+    val pub = upsertPubCache.computeIfAbsent(dir, _ =>
+      s"/root/repo/target/tmp/upsert_pub_${java.util.UUID.randomUUID()}")
+    drainStream(s, 8, "q_stream_upsert") {
+      Streaming.eventsStream(s, landing, maxFilesPerTrigger = Some(1))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 1000).cast("long")).as("value_milli_sum"))
+        .writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          Streaming.upsertSnapshot(batch, id, Seq("event_type"), pub)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    Streaming.readUpserted(s, pub).orderBy("event_type")
+  }
+
+  // streamed-merged panel must equal the batch recompute exactly
+  private val qStreamUpsertSql: String =
+    """SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+      |         AS value_milli_sum
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def qStreamPairs(s: SparkSession, dir: String): DataFrame = {
     val landing = eventsLanding(dir)
     val sink = s"q_stream_pairs_sink_${math.abs(dir.hashCode)}"
@@ -5150,6 +5233,7 @@ object Queries {
     GraftQuery("q_stream_dedup", qStreamDedup, Some(qStreamDedupSql)),
     GraftQuery("q_stream_pairs", qStreamPairs, Some(qStreamPairsSql)),
     GraftQuery("q_stream_enrich", qStreamEnrich, Some(qStreamEnrichSql)),
+    GraftQuery("q_stream_upsert", qStreamUpsert, Some(qStreamUpsertSql)),
     GraftQuery("q_stream_burst", qStreamBurst, Some(qStreamBurstSql)),
     GraftQuery("q_stream_index", qStreamIndex, Some(qStreamIndexSql)),
     GraftQuery("q_stream_sessions", qStreamSessions, Some(qStreamSessionsSql)),

@@ -383,6 +383,59 @@ object Streaming {
   def readPublished(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("_batch_id")
 
+  /** UPDATE-MODE upsert sink — the panel-maintenance counterpart of
+    * [[idempotentPublish]] (which is append-shaped): an update-mode
+    * streaming aggregation hands `foreachBatch` only the keys whose
+    * totals CHANGED this micro-batch, and the sink must merge them
+    * into a persisted keyed table. Parquet has no row-level merge, so
+    * the merge is a versioned SNAPSHOT chain: snapshot `v(n)` =
+    * `v(n-1)` minus the batch's keys (left_anti) union the batch's
+    * fresh rows, written to its own `v(n)` directory. Idempotence
+    * under at-least-once redelivery falls out of the layout, exactly
+    * as in [[idempotentPublish]]: a replayed batchId recomputes
+    * `v(n)` from the still-present `v(n-1)` and overwrites it
+    * byte-identically — no transaction log needed.
+    *
+    * Scale shape: the maintained table is an AGGREGATE PANEL (one row
+    * per key × metrics — KB..MB even when the corpus is 100 TB), so
+    * the per-batch O(panel) rewrite is the standard plain-parquet
+    * foreachBatch-merge idiom; the CORPUS never rewrites. A
+    * table-format sink (merge-on-read) swaps in behind the same
+    * (batch, keys) contract when the maintained table itself is
+    * large. StreamingSpec pins replay idempotence; q_stream_upsert
+    * certifies streamed-merged == batch recompute under the gate. */
+  def upsertSnapshot(batch: DataFrame, batchId: Long, keyCols: Seq[String],
+      basePath: String): Unit = {
+    val spark = batch.sparkSession
+    val prevPath = s"$basePath/v${batchId - 1}"
+    val fs = new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val merged =
+      if (batchId > 0 && fs.exists(new org.apache.hadoop.fs.Path(prevPath))) {
+        val prev = spark.read.parquet(prevPath)
+        prev.join(batch.select(keyCols.map(col): _*).distinct(),
+            keyCols, "left_anti")
+          .unionByName(batch)
+      } else batch
+    merged.write.mode("overwrite").parquet(s"$basePath/v$batchId")
+  }
+
+  /** The current state of an [[upsertSnapshot]] chain: the
+    * highest-versioned COMPLETE snapshot (`_SUCCESS` present — a
+    * crash mid-write leaves a partial dir that must not be served). */
+  def readUpserted(spark: SparkSession, basePath: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val complete = fs.listStatus(base).filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("v") &&
+        p.getName.drop(1).forall(_.isDigit) &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+    require(complete.nonEmpty, s"no complete upsert snapshot under $basePath")
+    val latest = complete.maxBy(_.getName.drop(1).toLong)
+    spark.read.parquet(latest.toString)
+  }
+
   /** Documents FileStreamSource — the corpus-ingest side of the
     * streaming story: freshly crawled docs land as parquet files and
     * flow through the SAME stateless per-doc operators (featurization,

@@ -415,6 +415,35 @@ class StreamingSpec extends SparkSpec {
     assert(Streaming.readPublished(spark, pub).count() == expected)
   }
 
+  test("upsert snapshots: update-mode merge equals batch recompute and absorbs batchId replay") {
+    import org.apache.spark.sql.functions._
+    val base = s"/root/repo/target/upsert_test_${java.util.UUID.randomUUID()}"
+    val ev = Tables.events(spark, Sf0001)
+    def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000).cast("long")).as("vm"))
+    val t0 = ev.agg(min("event_type")).head().getString(0)
+    // the at-least-first-type/even-ids split q_stream_upsert stages:
+    // batch 0 holds type t0 fully plus even ids; batch 1's UPDATE-mode
+    // emission is the RUNNING TOTAL over both batches for every key it
+    // touches (never t0) — v1 must carry t0's v0 row via the anti-join
+    // and replace every other key's totals
+    val upd0 = agg(ev.filter(col("event_type") === t0 ||
+      pmod(col("event_id"), lit(2)) === 0))
+    val upd1 = agg(ev).filter(col("event_type") =!= t0)
+    Streaming.upsertSnapshot(upd0, 0L, Seq("event_type"), base)
+    Streaming.upsertSnapshot(upd1, 1L, Seq("event_type"), base)
+    val expect = agg(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def got() = Streaming.readUpserted(spark, base).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got() == expect, "merged panel != batch recompute")
+    // at-least-once replay of the last batchId recomputes v1 from the
+    // still-present v0 — byte-identical, never duplicated
+    Streaming.upsertSnapshot(upd1, 1L, Seq("event_type"), base)
+    assert(got() == expect, "batchId replay changed the panel")
+  }
+
   /** Stage the sf0.001 documents as three landing files (so
     * `maxFilesPerTrigger=1` yields three micro-batches) and return the
     * staging dir. */
