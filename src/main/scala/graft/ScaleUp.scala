@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-sweep fixture generator (VERDICT r7 "Next round" #3).
+  *
+  * The driver ships fixtures only up to sf0.1 (TESTDATA.md), so the
+  * "plans survive 100×" claims have only ever been plan-shape arguments.
+  * This main replicates an existing fixture N× with key remapping into a
+  * writable dir, so Bench/Verify can take one measured step up the scale
+  * curve (default: sf0.1 × 10 ≈ sf1 — 6M lineitem rows, 1M events, 50k
+  * docs/vectors) and catch any shape that only dies with data
+  * (candidate-pair growth, propagation-round count, landing-dir fan-in).
+  *
+  * Replication is NOT naive row duplication — that would manufacture
+  * pathologies the real data distribution doesn't have (10-identical-
+  * vector LSH buckets → quadratic bucket joins; 10× uniform exact-dup
+  * groups). Instead each replica k gets:
+  *  - every primary/foreign key offset by k·10⁸ (FK joins stay intact
+  *    WITHIN a replica; cross-replica keys never collide), while the
+  *    shared dimension tables `region`/`nation` are written once and
+  *    their small key space is left untouched — exactly how a real corpus
+  *    grows: facts multiply, dimensions don't;
+  *  - embeddings rotated left by k positions — norm- and distribution-
+  *    preserving, so replicas are DISTINCT vectors that still fill the
+  *    same space (LSH/IVF cell occupancy grows ~linearly, not
+  *    quadratically in one bucket);
+  *  - document text suffixed with a replica token (replicas are
+  *    near-dups of each other — Jaccard ≈ 1 — so the near-dup family
+  *    gets a genuine 10-clique stress test, while exact-dedup groups
+  *    stay replica-local thanks to the suffix);
+  *  - event ids/users offset, timestamps jittered by k ms so watermark /
+  *    window boundaries don't see 10 bit-identical streams.
+  *
+  * Determinism: pure column arithmetic over the seed=42 fixture — no
+  * rand(), so the scaled fixture is itself reproducible bit-for-bit.
+  *
+  * Usage: SPARK_GRAFT_SCALE_IN=/root/testdata/sf0.1
+  *        SPARK_GRAFT_SCALE_OUT=target/scaledata/sf1
+  *        SPARK_GRAFT_SCALE_FACTOR=10  sbt "runMain graft.ScaleUp"
+  */
+object ScaleUp {
+  /** Key offset per replica: far above any fixture key (max observed key
+    * at sf0.1 is ~6·10⁵) and far below 2⁶³/10, so offsets never collide
+    * or overflow. */
+  val ReplicaOffset = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    val in = sys.env.getOrElse("SPARK_GRAFT_SCALE_IN", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "target/scaledata/sf1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def replicate(base: DataFrame)(per: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(k => per(base, k)).reduce(_ unionAll _)
+
+    def off(c: String, k: Int) = col(c) + lit(k * ReplicaOffset)
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scaleup] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+    }
+
+    // shared dimensions: written once, keys untouched
+    write(Tables.nation(spark, in), "nation")
+    write(Tables.region(spark, in), "region")
+
+    write(replicate(Tables.customer(spark, in)) { (df, k) =>
+      df.withColumn("c_custkey", off("c_custkey", k))
+    }, "customer")
+
+    write(replicate(Tables.supplier(spark, in)) { (df, k) =>
+      df.withColumn("s_suppkey", off("s_suppkey", k))
+    }, "supplier")
+
+    write(replicate(Tables.part(spark, in)) { (df, k) =>
+      df.withColumn("p_partkey", off("p_partkey", k))
+    }, "part")
+
+    write(replicate(Tables.orders(spark, in)) { (df, k) =>
+      df.withColumn("o_orderkey", off("o_orderkey", k))
+        .withColumn("o_custkey", off("o_custkey", k))
+    }, "orders")
+
+    write(replicate(Tables.lineitem(spark, in)) { (df, k) =>
+      df.withColumn("l_orderkey", off("l_orderkey", k))
+        .withColumn("l_partkey", off("l_partkey", k))
+        .withColumn("l_suppkey", off("l_suppkey", k))
+    }, "lineitem")
+
+    write(replicate(Tables.documents(spark, in)) { (df, k) =>
+      val tagged = if (k == 0) df.withColumn("text", col("text"))
+        else df.withColumn("text", concat(col("text"), lit(s" rep$k")))
+      tagged.withColumn("doc_id", off("doc_id", k))
+        .withColumn("n_chars", length(col("text")).cast("bigint"))
+    }, "documents")
+
+    // rotate-left by k: slice(v, k+1, dim-k) ++ slice(v, 1, k); the
+    // fixture embedding is ARRAY<FLOAT> pre-cast — keep the raw type so
+    // the scaled fixture has the SAME footer contract as the original
+    write(replicate(spark.read.parquet(s"$in/embeddings.parquet")) { (df, k) =>
+      val dim = Tables.EmbeddingDim
+      val rot = k % dim
+      val rotated = if (rot == 0) col("embedding")
+        else concat(slice(col("embedding"), rot + 1, dim - rot),
+                    slice(col("embedding"), 1, rot))
+      df.withColumn("vec_id", off("vec_id", k))
+        .withColumn("embedding", rotated)
+    }, "embeddings")
+
+    write(replicate(Tables.events(spark, in)) { (df, k) =>
+      df.withColumn("event_id", off("event_id", k))
+        .withColumn("user_id", off("user_id", k))
+        .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + lit(k * 1000L)))
+    }, "events")
+
+    spark.stop()
+  }
+}
