@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Metric, VectorFunctions => VF}
-import graft.operators.{Contrastive, Diversify, Graph, Layout, Lexical, Multimodal, Packing, Profile, Quantize, Rag, Rerank, Sketches, Skew, Splits, Temporal, TextOps, VectorSearch}
+import graft.operators.{Budget, Contrastive, Diversify, Graph, Layout, Lexical, Multimodal, Packing, Profile, Quantize, Rag, Rerank, Sketches, Skew, Splits, Temporal, TextOps, VectorSearch}
 import graft.sources.{Compaction, Sources}
 import graft.streaming.Streaming
 
@@ -4635,6 +4635,107 @@ object Queries {
        |FROM r WHERE group_rank <= $GroupTopKN
        |ORDER BY lang, group_rank""".stripMargin
 
+  private val DomainBudgetTokens = 700L
+  private val DomainBudgetBucket = 64L
+
+  /** Priority = quality_ok DESC then doc_id ASC, packed into one
+    * non-negative long (ids are far below 2^33 at every sf). */
+  private val DomainBudgetOkBit = 1L << 33
+
+  /** Per-domain token-budget selection ([[Budget.domainBudget]]) — the
+    * "fill each domain's token cap with its best documents" mixing stage
+    * of corpus assembly: quality-ordered docs kept while the source's
+    * running token sum stays ≤ [[DomainBudgetTokens]]. The oracle replays
+    * the naive windowed running sum; the Spark plan is the two-level
+    * bucket decomposition — keep-whole/drop buckets resolved by a
+    * broadcast-joined bucket-bounds frame, a per-row window over the ONE
+    * boundary bucket per source — so no domain-cardinality exchange ever
+    * sees the corpus. */
+  private def qDomainBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val quality = TextOps.qualityMetrics(docs, "doc_id", "text", "n_chars")
+      .select("doc_id", "n_tokens", "quality_ok")
+    val scored = docs.select("doc_id", "source")
+      .join(quality, "doc_id")
+      .withColumn("__priority",
+        (lit(1L) - col("quality_ok").cast("long")) * DomainBudgetOkBit
+          + col("doc_id"))
+    Budget.domainBudget(scored, Seq("source"), "__priority", "n_tokens",
+        DomainBudgetTokens, DomainBudgetBucket)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum("n_tokens").as("tokens_kept"),
+        sum("quality_ok").cast("long").as("quality_kept"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("source")
+  }
+
+  private val qDomainBudgetSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, text, n_chars,
+       |         string_split_regex(trim(text), ' +') AS toks
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, source,
+       |         CAST(length(toks) AS BIGINT) AS n_tokens,
+       |         CAST($qualityOkCaseSql AS BIGINT) AS ok
+       |  FROM t),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens, ok,
+       |         sum(n_tokens) OVER (PARTITION BY source
+       |           ORDER BY ok DESC, doc_id ASC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM q)
+       |SELECT source,
+       |       CAST(count(*) AS BIGINT) AS n_kept,
+       |       CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+       |       CAST(sum(ok) AS BIGINT) AS quality_kept,
+       |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM c WHERE cum <= $DomainBudgetTokens
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  private val ShardTokens = 1024L
+  private val ShardBucket = 128L
+
+  /** Budget-driven output sharding ([[Budget.shardAssign]]) — the final
+    * training-shard write: each doc assigned the ~[[ShardTokens]]-token
+    * shard its global running token offset starts in, reported as
+    * per-shard manifests (doc count, token sum, contiguous id range).
+    * The oracle is the naive GLOBAL running-sum window — the exact plan
+    * shape that dies at scale (single-partition window); the Spark side
+    * is the two-level bucketed running sum, whose only corpus-scale
+    * shuffle is a well-distributed per-bucket window. */
+  private def qShardAssign(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+    Budget.shardAssign(docs, "doc_id", "n_tokens", ShardTokens, ShardBucket)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("shard_tokens"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .orderBy("shard")
+  }
+
+  private val qShardAssignSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(length(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM t)
+       |SELECT CAST((cum - n_tokens) // $ShardTokens AS BIGINT) AS shard,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       |       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       |       CAST(max(doc_id) AS BIGINT) AS max_doc
+       |FROM c GROUP BY 1 ORDER BY shard""".stripMargin
+
   private val SampleSplitId = 400
   private val SampleSalt = "panelA"
   private val SampleN = 10
@@ -5163,6 +5264,8 @@ object Queries {
     GraftQuery("q_boilerplate_scrub", qBoilerplateScrub, Some(qBoilerplateScrubSql)),
     GraftQuery("q_sample_append", qSampleAppend, Some(qSampleAppendSql)),
     GraftQuery("q_group_topk", qGroupTopk, Some(qGroupTopkSql)),
+    GraftQuery("q_domain_budget", qDomainBudget, Some(qDomainBudgetSql)),
+    GraftQuery("q_shard_assign", qShardAssign, Some(qShardAssignSql)),
     GraftQuery("q_feature_hash", qFeatureHash, Some(qFeatureHashSql)),
     GraftQuery("q_quality_classifier", qQualityClassifier, Some(qQualityClassifierSql)),
     GraftQuery("q_classifier_trained", qClassifierTrained, Some(qClassifierTrainedSql)),

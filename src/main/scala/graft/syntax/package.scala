@@ -146,5 +146,17 @@ package object syntax {
     def contaminationChecked(evalDocs: DataFrame, n: Int = 13,
         id: String = "doc_id", text: String = "text"): DataFrame =
       TextOps.contaminationReport(df, evalDocs, id, text, n)
+
+    /** [[Budget.domainBudget]]: budget-capped priority-ordered take per
+      * group (per-domain token caps). */
+    def budgetCapped(groups: Seq[String], priority: String, weight: String,
+        budget: Long, bucketWidth: Long = 1L << 16): DataFrame =
+      Budget.domainBudget(df, groups, priority, weight, budget, bucketWidth)
+
+    /** [[Budget.shardAssign]]: budget-driven contiguous output sharding
+      * by global running weight. */
+    def shardAssigned(order: String, weight: String, shardBudget: Long,
+        bucketWidth: Long = 1L << 16): DataFrame =
+      Budget.shardAssign(df, order, weight, shardBudget, bucketWidth)
   }
 }

@@ -195,4 +195,37 @@ class PlanSpec extends SparkSpec {
       }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
+
+  test("q_domain_budget: bounds broadcast; no domain-width corpus window") {
+    val p = planOf("q_domain_budget")
+    // the bucket-bounds frame must join as the BUILD side of a broadcast
+    // join — a sort-merge bounds join would shuffle the corpus by
+    // (source, bucket) even for keep-whole/drop buckets
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket bounds no longer broadcast:\n$p")
+    // the per-row (boundary) window must partition by (source, bucket) —
+    // regressing to the naive per-domain running sum would plan
+    // windowspecdefinition(source, __priority ...): one task per domain
+    // at any corpus size
+    assert("windowspecdefinition\\(source#\\d+, __bucket#\\d+L, __priority#\\d+L ASC"
+      .r.findFirstIn(p).isDefined,
+      s"boundary window lost its bucket partitioning:\n$p")
+    assert("windowspecdefinition\\(source#\\d+, __priority#\\d+L ASC"
+      .r.findFirstIn(p).isEmpty,
+      s"corpus window partitioned by source alone (domain-width exchange):\n$p")
+  }
+
+  test("q_shard_assign: the corpus window partitions by bucket, never globally") {
+    val p = planOf("q_shard_assign")
+    // per-row window: partitioned by __bucket, ordered by doc_id — the
+    // two-level shape. The only UNPARTITIONED window allowed is the
+    // bucket-offsets one (sums __bsum over the aggregated metadata
+    // frame); a windowspecdefinition starting at doc_id would be the
+    // single-partition global running sum.
+    assert("windowspecdefinition\\(__bucket#\\d+L, doc_id#\\d+L ASC"
+      .r.findFirstIn(p).isDefined,
+      s"per-row window lost its bucket partitioning:\n$p")
+    assert("windowspecdefinition\\(doc_id#\\d+L ASC".r.findFirstIn(p).isEmpty,
+      s"global single-partition window over the corpus:\n$p")
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Layout, Splits, Temporal, TextOps}
+import graft.operators.{Budget, Layout, Splits, Temporal, TextOps}
 import graft.syntax._
 
 /** The fluent facade must be a zero-cost delegation: identical analyzed
@@ -38,6 +38,10 @@ class SyntaxSpec extends SparkSpec {
       TextOps.hashedLinearScore(docs, "doc_id", "text", 64)))
     assert(samePlan(docs.groupTop("lang", "n_chars", "doc_id", 5),
       Temporal.groupTopK(docs, "lang", "n_chars", "doc_id", 5)))
+    assert(samePlan(docs.budgetCapped(Seq("source"), "doc_id", "n_chars", 5000),
+      Budget.domainBudget(docs, Seq("source"), "doc_id", "n_chars", 5000, 1L << 16)))
+    assert(samePlan(docs.shardAssigned("doc_id", "n_chars", 1L << 13),
+      Budget.shardAssign(docs, "doc_id", "n_chars", 1L << 13, 1L << 16)))
   }
 
   test("a chained pipeline composes and runs") {
