@@ -4736,6 +4736,67 @@ object Queries {
        |       CAST(max(doc_id) AS BIGINT) AS max_doc
        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin
 
+  private val EpochSalt = "epoch1"
+
+  /** Epoch order key: 26 bits of salted hash above the 33-bit id — a
+    * deterministic pseudo-random permutation with an id tie-break, all
+    * inside 59 bits. */
+  private val EpochHashMod = 1L << 26
+  private val EpochIdBits = 33
+
+  /** Order-space bucket for the two-level cumsum: `ord >> 45` keeps the
+    * top 14 hash bits — ≤ 2^14 buckets, hash-balanced. */
+  private val EpochOrderBucket = 1L << 45
+
+  /** Deterministic epoch reshuffle + shard manifest: the between-epochs
+    * "shuffle the corpus, re-cut the shards" step of a training-data
+    * pipeline, WITHOUT a sort-by-random — the permutation is the salted
+    * hash order (change [[EpochSalt]] → a new independent permutation,
+    * reproducible forever), and the shard cut is [[Budget.shardAssign]]
+    * over that order, so the only corpus-scale structure is the
+    * hash-balanced per-bucket window. Each manifest row shows the shard's
+    * doc count, token fill and distinct-source mix (the point of
+    * shuffling: every shard samples all domains). At 100 TB the actual
+    * write is `repartitionByRange(ord)` + the same manifest. */
+  private def qEpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"), col("source"),
+      TextOps.tokenCount(col("text")).as("n_tokens"))
+    val ord = shiftleft(Splits.hashValue(col("doc_id"), EpochSalt) % EpochHashMod,
+      EpochIdBits) + col("doc_id")
+    Budget.shardAssign(docs.withColumn("__ord", ord), "__ord", "n_tokens",
+        ShardTokens, EpochOrderBucket)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("shard_tokens"),
+        countDistinct("source").as("n_sources"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("shard")
+  }
+
+  private val qEpochShuffleSql: String = {
+    val p = Sketches.MinhashPrime
+    val hv =
+      s"(CAST('0x' || substr(md5('$EpochSalt:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % $p)"
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         CAST(length(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens,
+       |         ($hv % $EpochHashMod) * ${1L << EpochIdBits} + doc_id AS ord
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(sum(n_tokens) OVER (ORDER BY ord
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM t)
+       |SELECT CAST((cum - n_tokens) // $ShardTokens AS BIGINT) AS shard,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM c GROUP BY 1 ORDER BY shard""".stripMargin
+  }
+
   private val SampleSplitId = 400
   private val SampleSalt = "panelA"
   private val SampleN = 10
@@ -5266,6 +5327,7 @@ object Queries {
     GraftQuery("q_group_topk", qGroupTopk, Some(qGroupTopkSql)),
     GraftQuery("q_domain_budget", qDomainBudget, Some(qDomainBudgetSql)),
     GraftQuery("q_shard_assign", qShardAssign, Some(qShardAssignSql)),
+    GraftQuery("q_epoch_shuffle", qEpochShuffle, Some(qEpochShuffleSql)),
     GraftQuery("q_feature_hash", qFeatureHash, Some(qFeatureHashSql)),
     GraftQuery("q_quality_classifier", qQualityClassifier, Some(qQualityClassifierSql)),
     GraftQuery("q_classifier_trained", qClassifierTrained, Some(qClassifierTrainedSql)),

@@ -111,8 +111,11 @@ object Budget {
       .partitionBy((groupCols :+ "__bucket").map(col): _*)
       .orderBy(col(priorityCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // boundary iff __bbefore <= budget < __bcum: the <= matters for
+    // zero-weight rows at a bucket whose prefix exactly exhausts the
+    // budget — their cum == budget and they are kept
     val boundaryKept = joined
-      .filter(col("__bbefore") < budget && col("__bcum") > budget)
+      .filter(col("__bbefore") <= budget && col("__bcum") > budget)
       .withColumn("__cum", col("__bbefore") + sum(col(weightCol)).over(wRow))
       .filter(col("__cum") <= budget)
       .drop("__cum")

@@ -233,4 +233,38 @@ class PropertySpec extends SparkSpec {
       assert(waste >= 0 && waste < ctx)
     }
   }
+
+  test("Budget.runningSum/domainBudget == naive windows on adversarial id/weight distributions") {
+    import org.apache.spark.sql.expressions.Window
+    // sparse huge ids mixed with dense small ones, zero / small / huge
+    // weights, few groups (the skew case the bucketing must survive)
+    val rowGen: Gen[(Long, Int, Long)] = for {
+      id <- Gen.oneOf(Gen.choose(0L, 200L), Gen.choose(0L, (1L << 40) - 1))
+      grp <- Gen.choose(0, 3)
+      w <- Gen.oneOf(Gen.const(0L), Gen.choose(0L, 100L), Gen.choose(0L, 1L << 40))
+    } yield (id, grp, w)
+    val rows = samples(rowGen, 300, 13L)
+      .groupBy { case (id, g, _) => (g, id) }.values.map(_.head).toSeq
+    val df = rows.toDF("id", "grp", "w")
+    val naiveW = Window.partitionBy("grp").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df.withColumn("cum", sum("w").over(naiveW))
+      .select("grp", "id", "cum").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (width <- Seq(1L << 1, 1L << 13, 1L << 39)) {
+      val got = graft.operators.Budget
+        .runningSum(df, Seq("grp"), "id", "w", width, "cum")
+        .select("grp", "id", "cum").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == naive, s"runningSum diverged at bucketWidth=$width")
+    }
+    for (budget <- Seq(0L, 1L << 20, 1L << 41, Long.MaxValue / 2)) {
+      val expect = naive.filter(_._2 <= budget).keySet
+      val got = graft.operators.Budget
+        .domainBudget(df, Seq("grp"), "id", "w", budget, 1L << 13)
+        .select("grp", "id").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(got == expect, s"domainBudget diverged at budget=$budget")
+    }
+  }
 }
