@@ -13,8 +13,10 @@ import org.apache.spark.sql.SparkSession
   *    partial top-k (q_knn_join / q_contrastive_pairs), the
   *    1-row bounds/count frames of q_zorder_layout and q_sim_histogram,
   *    q_ivfpq_refine's exact re-rank (1-row query frame ×
-  *    ≤nCandidates fetched vectors), and the 1-row Σ√n weight frame
-  *    inside temperatureSample (q_temperature_mix, q_filter_mix);
+  *    ≤nCandidates fetched vectors), the 1-row Σ√n weight frame
+  *    inside temperatureSample (q_temperature_mix, q_filter_mix), and
+  *    the 1-row corpus-total frames of the count-LM family
+  *    (q_lm_score, q_ccnet_buckets) and pmiBigrams (q_pmi_bigrams);
   *    anything else needs a key
   *  - `GLOBALWIN`: a Window with an EMPTY partition spec — the whole
   *    input funnels through one task (allowed only on already-cut ≤k-row

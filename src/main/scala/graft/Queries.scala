@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Metric, VectorFunctions => VF}
-import graft.operators.{Budget, Contrastive, Diversify, Graph, Layout, Lexical, Multimodal, Packing, Profile, Quantize, Rag, Rerank, Sketches, Skew, Splits, Temporal, TextOps, VectorSearch}
+import graft.operators.{Budget, Contrastive, Curation, Diversify, Graph, Layout, Lexical, Multimodal, Packing, Partitioning, Profile, Quantize, Rag, Rerank, Sketches, Skew, Splits, Temporal, TextOps, VectorSearch}
 import graft.sources.{Compaction, Sources}
 import graft.streaming.Streaming
 
@@ -692,6 +692,204 @@ object Queries {
        |       CAST(count(*) AS BIGINT) AS n_docs
        |FROM per_doc GROUP BY token
        |ORDER BY n_occurrences DESC, token LIMIT $VocabK""".stripMargin
+
+  /** Top-k for [[qBpeMerge]] and [[qPmiBigrams]]. */
+  private val MergeK = 20
+
+  /** BPE tokenizer training, step one ([[TextOps.bpeMergeCandidates]]):
+    * the top-[[MergeK]] adjacent character pairs by weighted occurrence
+    * across all word occurrences — the argmax is the first merge rule a
+    * byte-pair-encoding tokenizer learns. Corpus → vocabulary first
+    * (the only corpus-scale exchange), then the pair explosion runs
+    * over the Heaps'-law-sublinear vocab. */
+  private def qBpeMerge(s: SparkSession, dir: String): DataFrame =
+    TextOps.bpeMergeCandidates(Tables.documents(s, dir), "text", MergeK)
+
+  private val qBpeMergeSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(trim(text), ' +')) AS word
+       |  FROM documents),
+       |wc AS (SELECT word, count(*) AS f FROM toks GROUP BY word),
+       |pos AS (
+       |  SELECT word, f,
+       |         unnest(list_transform(range(1, len(word)),
+       |           i -> substr(word, i, 2))) AS pair
+       |  FROM wc WHERE len(word) >= 2),
+       |per_word AS (
+       |  SELECT pair, word, f, count(*) AS npos FROM pos GROUP BY 1, 2, 3)
+       |SELECT pair,
+       |       CAST(sum(npos * f) AS BIGINT) AS pair_count,
+       |       CAST(count(*) AS BIGINT) AS n_words
+       |FROM per_word GROUP BY pair
+       |ORDER BY pair_count DESC, pair LIMIT $MergeK""".stripMargin
+
+  /** Count floor for [[qPmiBigrams]] — PMI without one surfaces hapax
+    * noise. */
+  private val PmiMinCount = 5L
+
+  /** PMI collocation mining ([[TextOps.pmiBigrams]]): the word2vec-style
+    * phrase-detection pass — top-[[MergeK]] adjacent token bigrams by
+    * pointwise mutual information above a [[PmiMinCount]] floor.
+    * Integer-micro `ln` terms keep the score exact cross-engine (the
+    * lmScore trick); counts-only exchanges, vocab-keyed joins. */
+  private def qPmiBigrams(s: SparkSession, dir: String): DataFrame =
+    TextOps.pmiBigrams(Tables.documents(s, dir), "text", PmiMinCount, MergeK)
+
+  private val qPmiBigramsSql: String =
+    s"""WITH toks AS (
+       |  SELECT string_split_regex(trim(text), ' +') AS t FROM documents),
+       |uni AS (SELECT unnest(t) AS w FROM toks),
+       |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+       |tot AS (SELECT sum(c) AS t FROM uc),
+       |bg AS (
+       |  SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+       |           i -> t[i] || ' ' || t[i + 1])) AS bigram
+       |  FROM toks),
+       |bc AS (
+       |  SELECT bigram, count(*) AS n_pair FROM bg GROUP BY bigram
+       |  HAVING count(*) >= $PmiMinCount),
+       |j AS (
+       |  SELECT bigram, n_pair,
+       |         string_split(bigram, ' ')[1] AS w1,
+       |         string_split(bigram, ' ')[2] AS w2
+       |  FROM bc),
+       |p AS (
+       |  SELECT bigram, n_pair, u1.c AS n_left, u2.c AS n_right,
+       |         CAST(floor(ln(CAST(n_pair AS DOUBLE)) * 1e6) AS BIGINT)
+       |         + CAST(floor(ln(CAST(t AS DOUBLE)) * 1e6) AS BIGINT)
+       |         - CAST(floor(ln(CAST(u1.c AS DOUBLE)) * 1e6) AS BIGINT)
+       |         - CAST(floor(ln(CAST(u2.c AS DOUBLE)) * 1e6) AS BIGINT)
+       |           AS pmi_micro
+       |  FROM j JOIN uc u1 ON j.w1 = u1.w JOIN uc u2 ON j.w2 = u2.w, tot)
+       |SELECT bigram, CAST(n_pair AS BIGINT) AS n_pair,
+       |       CAST(n_left AS BIGINT) AS n_left,
+       |       CAST(n_right AS BIGINT) AS n_right,
+       |       CAST(pmi_micro AS BIGINT) AS pmi_micro,
+       |       CAST(pmi_micro AS DOUBLE) / 1e6 AS pmi
+       |FROM p ORDER BY pmi_micro DESC, bigram LIMIT $MergeK""".stripMargin
+
+  /** Filtering-funnel ablation ledger ([[Curation.funnelReport]]): the
+    * per-gate drop counts a corpus datasheet publishes — six gates
+    * applied in order (length floor/ceiling, token shape, alphabetic
+    * ratio, stopword presence, exact-dup keeper), each row reporting
+    * docs in / kept / dropped. Thresholds are fixture-calibrated so the
+    * gates actually fire; every predicate is exact-integer
+    * (cross-multiplied ratios — no float compares). One corpus pass:
+    * the survival depth is a fused `when` chain and all counters come
+    * from a single 1-row aggregate, unpivoted by `stack`. */
+  private def qQualityFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = Partitioning.spread(docs)
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("__ntok", size(col("__toks")).cast("long"))
+      .withColumn("__nsp", length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("__alpha", length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+      .withColumn("__stop",
+        size(filter(col("__toks"), t => t.isInCollection(TextOps.EnStopwords))).cast("long"))
+      .withColumn("__h", md5(col("text").cast("binary")))
+    val keepers = TextOps.dedupExactGroups(docs, "doc_id", "text")
+      .select(col("text_hash").as("__h"), col("keeper_id"))
+    val flagged = base.join(keepers, "__h")
+    Curation.funnelReport(flagged, Seq(
+      "min_chars" -> (col("n_chars") >= 100),
+      "max_chars" -> (col("n_chars") <= 500),
+      "token_shape" -> (col("__nsp") >= col("__ntok") * 4 && col("__nsp") <= col("__ntok") * 12),
+      "alpha_ratio" -> (col("__alpha") * 10 >= col("n_chars") * 8),
+      "stopword" -> (col("__stop") >= 1),
+      "exact_keeper" -> (col("doc_id") === col("keeper_id"))))
+  }
+
+  private val qQualityFunnelSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, n_chars,
+      |         CAST(length(string_split_regex(trim(text), ' +')) AS BIGINT) AS ntok,
+      |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS nsp,
+      |         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS alpha,
+      |         CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+      |           x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS BIGINT) AS stop_hits,
+      |         min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      |  FROM documents),
+      |d AS (
+      |  SELECT CASE WHEN NOT (n_chars >= 100) THEN 0
+      |              WHEN NOT (n_chars <= 500) THEN 1
+      |              WHEN NOT (nsp BETWEEN 4 * ntok AND 12 * ntok) THEN 2
+      |              WHEN NOT (alpha * 10 >= n_chars * 8) THEN 3
+      |              WHEN NOT (stop_hits >= 1) THEN 4
+      |              WHEN NOT (doc_id = keeper) THEN 5
+      |              ELSE 6 END AS depth
+      |  FROM b),
+      |s(stage, stage_name) AS (
+      |  VALUES (1, 'min_chars'), (2, 'max_chars'), (3, 'token_shape'),
+      |         (4, 'alpha_ratio'), (5, 'stopword'), (6, 'exact_keeper'))
+      |SELECT s.stage AS stage, s.stage_name AS stage_name,
+      |       CAST(count(*) FILTER (WHERE d.depth >= s.stage - 1) AS BIGINT) AS n_in,
+      |       CAST(count(*) FILTER (WHERE d.depth >= s.stage) AS BIGINT) AS n_kept,
+      |       CAST(count(*) FILTER (WHERE d.depth >= s.stage - 1)
+      |            - count(*) FILTER (WHERE d.depth >= s.stage) AS BIGINT) AS n_dropped
+      |FROM s, d GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  /** CCNet-style perplexity bucketing ([[Curation.perplexityBuckets]]):
+    * per-language head/middle/tail terciles of the corpus-trained
+    * trigram-LM score (Wenzek et al. 2020's CommonCrawl
+    * stratification), reported as per-(lang, bucket) aggregates.
+    * Thresholds are integer RANK cuts over the (lang, score) histogram
+    * (no interpolated percentile — cross-engine ulp-exact), broadcast
+    * back; the classify is map-side, never a per-language corpus
+    * window. */
+  private def qCcnetBuckets(s: SparkSession, dir: String): DataFrame =
+    Curation.perplexityBuckets(Tables.documents(s, dir), "doc_id", "text", "lang", TrigramN)
+
+  private val qCcnetBucketsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+       |ng AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(t) - ${TrigramN - 1}, 0) + 1),
+       |           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS ngram
+       |  FROM toks),
+       |g AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(ngram), 1, 15) AS BIGINT) AS gh
+       |  FROM ng),
+       |counts AS (SELECT gh, count(*) AS c FROM g GROUP BY gh),
+       |tot AS (SELECT sum(c) AS t FROM counts),
+       |per_doc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+       |         sum(CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS sum_ln_c
+       |  FROM g JOIN counts USING (gh) GROUP BY doc_id),
+       |scored AS (
+       |  SELECT doc_id, n_ngrams,
+       |         sum_ln_c - n_ngrams * CAST(floor(ln(CAST(t AS DOUBLE)) * 1e6) AS BIGINT)
+       |           AS logprob_micro
+       |  FROM per_doc, tot),
+       |sc AS (
+       |  SELECT s.doc_id, s.n_ngrams, d.lang,
+       |         CAST(floor(CAST(s.logprob_micro AS DOUBLE) / 1e6 / s.n_ngrams * 1000)
+       |              AS BIGINT) AS score
+       |  FROM scored s JOIN documents d USING (doc_id)),
+       |hist AS (
+       |  SELECT lang, score, count(*) AS c FROM sc GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT lang, score, c,
+       |         sum(c) OVER (PARTITION BY lang ORDER BY score DESC) AS cm
+       |  FROM hist),
+       |n AS (SELECT lang, sum(c) AS nl FROM hist GROUP BY lang),
+       |th AS (
+       |  SELECT cum.lang,
+       |         max(CASE WHEN cm >= (nl + 2) // 3 THEN score END) AS q_hi,
+       |         max(CASE WHEN cm >= (2 * nl + 2) // 3 THEN score END) AS q_lo
+       |  FROM cum JOIN n USING (lang) GROUP BY 1),
+       |b AS (
+       |  SELECT sc.lang, sc.n_ngrams, sc.score,
+       |         CASE WHEN sc.score >= th.q_hi THEN 'head'
+       |              WHEN sc.score >= th.q_lo THEN 'middle'
+       |              ELSE 'tail' END AS bucket
+       |  FROM sc JOIN th ON sc.lang = th.lang)
+       |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_ngrams) AS BIGINT) AS sum_grams,
+       |       CAST(sum(score) AS BIGINT) AS sum_score_milli,
+       |       CAST(min(score) AS BIGINT) AS min_score_milli,
+       |       CAST(max(score) AS BIGINT) AS max_score_milli
+       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** North-star near-dup: the full LSH dedup pipeline — minhash band
     * candidates verified by exact embedding cosine. Replaces the round-2
@@ -5307,6 +5505,10 @@ object Queries {
     GraftQuery("q_vocab_topk", qVocabTopk, Some(qVocabTopkSql)),
     GraftQuery("q_trigram_topk", qTrigramTopk, Some(qTrigramTopkSql)),
     GraftQuery("q_lm_score", qLmScore, Some(qLmScoreSql)),
+    GraftQuery("q_bpe_merge", qBpeMerge, Some(qBpeMergeSql)),
+    GraftQuery("q_pmi_bigrams", qPmiBigrams, Some(qPmiBigramsSql)),
+    GraftQuery("q_quality_funnel", qQualityFunnel, Some(qQualityFunnelSql)),
+    GraftQuery("q_ccnet_buckets", qCcnetBuckets, Some(qCcnetBucketsSql)),
     GraftQuery("q_decontaminate", qDecontaminate, Some(qDecontaminateSql)),
     GraftQuery("q_neardup_pairs", qNearDupPairs, Some(qNearDupPairsSql)),
     GraftQuery("q_text_stats", qTextStats, Some(qTextStatsSql)),

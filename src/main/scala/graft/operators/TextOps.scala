@@ -527,6 +527,94 @@ object TextOps {
       .agg(count(lit(1)).as("n_hit_grams"))
   }
 
+  /** BPE tokenizer training, step one: count every adjacent character
+    * pair inside every word occurrence and rank the top-`k` merge
+    * candidates — the argmax of this table is the first merge rule a
+    * byte-pair-encoding tokenizer learns (reference has no tokenizer;
+    * this is the training-data-pipeline extension surface).
+    *
+    * Output: `(pair, pair_count, n_words)` — `pair_count` = total
+    * pair occurrences across all word OCCURRENCES (a pair appearing
+    * twice inside one word counts twice, times the word's corpus
+    * frequency — the textbook BPE count), `n_words` = distinct vocab
+    * words containing the pair. Ties break on `pair`, so the top-k SET
+    * is deterministic.
+    *
+    * Scale shape: the corpus collapses to its VOCABULARY first — one
+    * partial-final word-count HashAggregate whose exchange carries
+    * (word, count), never document text. The character-pair explosion
+    * then runs over the vocab only (Heaps'-law sublinear in corpus
+    * size), weighted by word frequency; the pair roll-up is a second
+    * counts-only agg and the final top-k is a `TakeOrderedAndProject`.
+    * At 100 TB the only corpus-scale exchange is the word count — the
+    * same one `vocabTopK` already pays. */
+  def bpeMergeCandidates(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val vocab = Partitioning.spread(docs)
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("__f"))
+    val perWord = vocab
+      .filter(length(col("word")) >= 2)
+      .select(col("word"), col("__f"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair", "word", "__f")
+      .agg(count(lit(1)).as("__npos"))
+    perWord.groupBy("pair")
+      .agg(sum(col("__npos") * col("__f")).as("pair_count"),
+        count(lit(1)).as("n_words"))
+      .orderBy(desc("pair_count"), asc("pair"))
+      .limit(k)
+  }
+
+  /** PMI collocation mining — the word2vec-style phrase-detection pass
+    * ("new york" → one token) every embedding/tokenizer pipeline runs
+    * before training: score each adjacent token bigram by pointwise
+    * mutual information `ln(c(ab)·N / (c(a)·c(b)))` and keep the
+    * top-`k` above a minimum pair count (PMI without a count floor
+    * surfaces hapax noise).
+    *
+    * Output: `(bigram, n_pair, n_left, n_right, pmi_micro, pmi)`
+    * ordered by PMI desc then bigram. Float parity: each `ln` is
+    * floored to integer MICROS separately (the [[lmScore]] trick), so
+    * `pmi_micro = ⌊ln c_ab⌋ + ⌊ln N⌋ − ⌊ln c_a⌋ − ⌊ln c_b⌋` is exact
+    * integer arithmetic and `pmi` is one final division.
+    *
+    * Scale shape: two counts-only aggregations over the corpus (unigram
+    * and bigram tables — both partial map-side, both exchanges carry
+    * (key, count)); the PMI join touches only bigrams that SURVIVE the
+    * `minCount` floor (a tiny fraction of the bigram vocab) against the
+    * unigram vocab, keyed equi-joins both. The 1-row total frame
+    * broadcasts. No corpus text ever reshuffles. */
+  def pmiBigrams(docs: DataFrame, textCol: String,
+      minCount: Long, k: Int): DataFrame = {
+    val lnMicro = (x: Column) =>
+      floor(graft.expressions.VectorExpressions.platformLn(
+        x.cast("double")) * lit(1e6)).cast("long")
+    val spreadDocs = Partitioning.spread(docs)
+    val uni = spreadDocs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum("c").as("t"))
+    val bi = spreadDocs
+      .select(tokens(col(textCol)).as("__toks"))
+      .select(explode(wordNgramsOfTokens(col("__toks"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    bi
+      .withColumn("__w1", split(col("bigram"), " ")(0))
+      .withColumn("__w2", split(col("bigram"), " ")(1))
+      .join(uni.select(col("w").as("__w1"), col("c").as("n_left")), "__w1")
+      .join(uni.select(col("w").as("__w2"), col("c").as("n_right")), "__w2")
+      .crossJoin(broadcast(total))
+      .select(col("bigram"), col("n_pair"), col("n_left"), col("n_right"),
+        (lnMicro(col("n_pair")) + lnMicro(col("t"))
+          - lnMicro(col("n_left")) - lnMicro(col("n_right"))).as("pmi_micro"))
+      .withColumn("pmi", col("pmi_micro").cast("double") / lit(1e6))
+      .orderBy(desc("pmi_micro"), asc("bigram"))
+      .limit(k)
+  }
+
   /** Predicted language per document: the candidate with the most marker
     * hits (tie → alphabetically first). Output: (idCol, predicted). */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -228,4 +228,59 @@ class PlanSpec extends SparkSpec {
     assert("windowspecdefinition\\(doc_id#\\d+L ASC".r.findFirstIn(p).isEmpty,
       s"global single-partition window over the corpus:\n$p")
   }
+
+  test("q_bpe_merge: vocab-first two-level aggregation, joinless, partial top-k") {
+    val p = planOf("q_bpe_merge")
+    // corpus -> word counts -> per-word pair positions -> pair rollup:
+    // three partial+final HashAggregate pairs, but only TWO hash
+    // exchanges — the per-word agg reuses the word partitioning (same
+    // word -> same partition covers (pair, word, f) groups), so the
+    // only corpus-scale shuffle is the (word, count) one. A third hash
+    // exchange or a join would mean the pair explode left the vocab.
+    assert(p.contains("TakeOrderedAndProject"), s"full sort instead of top-k:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in the BPE pipeline:\n$p")
+    val aggs = "\\(\\d+\\) HashAggregate".r.findAllIn(p).size
+    assert(aggs == 6, s"expected 3 partial+final agg pairs, saw $aggs:\n$p")
+    val hashEx = "hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected 2 hash exchanges (word, pair), saw $hashEx:\n$p")
+    assert(!p.contains("SortAggregate"), s"sort-based aggregation:\n$p")
+  }
+
+  test("q_pmi_bigrams: the count floor filters bigrams BEFORE the vocab joins") {
+    val p = planOf("q_pmi_bigrams")
+    // the minCount floor must land on the aggregated bigram counts
+    // (filter above the agg, below the joins) — floor-after-join would
+    // shuffle the whole bigram vocabulary through both unigram joins
+    assert("Filter \\[codegen[^\\n]*\\(n_pair#\\d+L? >= 5\\)".r.findFirstIn(p).isDefined
+      || "\\(n_pair#\\d+L? >= 5\\)".r.findFirstIn(p).isDefined,
+      s"minCount floor missing from the plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort instead of top-k:\n$p")
+  }
+
+  test("q_quality_funnel: one corpus pass — no window, single 1-row aggregate") {
+    val p = planOf("q_quality_funnel")
+    // the funnel must never plan a per-stage scan or a rank window: the
+    // survival depth is a fused projection and all stage counters come
+    // from ONE global aggregate (partial+final over zero grouping keys)
+    assert(!p.contains("Window"), s"window in the funnel plan:\n$p")
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).size <= 4,
+      s"more aggregates than depth-count + keeper-groups:\n$p")
+    assert(p.contains("Generate"), s"stack unpivot missing:\n$p")
+  }
+
+  test("q_ccnet_buckets: the rank window runs over the histogram, thresholds broadcast") {
+    val p = planOf("q_ccnet_buckets")
+    // the cumulative-rank window partitions by lang and orders by the
+    // aggregated __score — its input is the (lang, score) histogram. A
+    // windowspecdefinition ordered by doc_id (or any per-doc column)
+    // would be the per-language corpus window this operator exists to
+    // avoid.
+    assert("windowspecdefinition\\(lang#\\d+, __score#\\d+L? DESC"
+      .r.findFirstIn(p).isDefined,
+      s"histogram rank window missing:\n$p")
+    assert("windowspecdefinition\\([^)]*doc_id".r.findFirstIn(p).isEmpty,
+      s"per-document window over the corpus:\n$p")
+    // tercile thresholds are a language-sized frame: must broadcast back
+    assert(p.contains("BroadcastHashJoin"), s"thresholds no longer broadcast:\n$p")
+  }
 }
