@@ -16,8 +16,9 @@ import org.apache.spark.sql.SparkSession
   *    ≤nCandidates fetched vectors), the 1-row Σ√n weight frame
   *    inside temperatureSample (q_temperature_mix, q_filter_mix), and
   *    the 1-row corpus-total frames of the count-LM family
-  *    (q_lm_score, q_ccnet_buckets) and pmiBigrams (q_pmi_bigrams);
-  *    anything else needs a key
+  *    (q_lm_score, q_ccnet_buckets), pmiBigrams (q_pmi_bigrams), and
+  *    the two 1-row distribution totals inside dsirWeights
+  *    (q_dsir_weights); anything else needs a key
   *  - `GLOBALWIN`: a Window with an EMPTY partition spec — the whole
   *    input funnels through one task (allowed only on already-cut ≤k-row
   *    frames, e.g. hybrid-search rank-10)

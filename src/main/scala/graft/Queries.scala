@@ -891,6 +891,54 @@ object Queries {
        |       CAST(max(score) AS BIGINT) AS max_score_milli
        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** DSIR importance weighting ([[Curation.dsirWeights]]): every raw
+    * document scored by the hashed-unigram log-likelihood ratio against
+    * a target slice (the eval-split convention: every 10th doc plays
+    * the curated target) — the importance-resampling selection signal
+    * of Xie et al. 2023. The ≤[[FeatureHashK]]-row log-ratio model
+    * BROADCASTS (PlanSpec-pinned); the corpus never reshuffles for it. */
+  private def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Curation.dsirWeights(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", FeatureHashK)
+      .orderBy("doc_id")
+  }
+
+  private val qDsirWeightsSql: String = {
+    val p = Sketches.MinhashPrime
+    val bucketOf = (tok: String) =>
+      s"((CAST('0x' || substr(md5($tok), 1, 15) AS BIGINT) % $p) % $FeatureHashK)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+       |  FROM documents),
+       |tb AS (
+       |  SELECT ${bucketOf("token")} AS bucket, count(*) AS ct
+       |  FROM toks WHERE doc_id % 10 = 7 GROUP BY 1),
+       |rb AS (
+       |  SELECT ${bucketOf("token")} AS bucket, count(*) AS cr
+       |  FROM toks WHERE doc_id % 10 <> 7 GROUP BY 1),
+       |tt AS (SELECT sum(ct) AS nt FROM tb),
+       |rt AS (SELECT sum(cr) AS nr FROM rb),
+       |model AS (
+       |  SELECT rb.bucket,
+       |         CAST(floor(ln(CAST(COALESCE(tb.ct, 0) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+       |         - CAST(floor(ln(CAST(nt + $FeatureHashK AS DOUBLE)) * 1e6) AS BIGINT)
+       |         - CAST(floor(ln(CAST(rb.cr + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+       |         + CAST(floor(ln(CAST(nr + $FeatureHashK AS DOUBLE)) * 1e6) AS BIGINT)
+       |           AS lr_micro
+       |  FROM rb LEFT JOIN tb USING (bucket), tt, rt),
+       |f AS (
+       |  SELECT doc_id, ${bucketOf("token")} AS bucket, count(*) AS c
+       |  FROM toks WHERE doc_id % 10 <> 7 GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+       |       CAST(sum(c * lr_micro) AS BIGINT) AS weight_micro,
+       |       CAST(sum(c * lr_micro) AS DOUBLE) / 1e6 / sum(c) AS avg_weight
+       |FROM f JOIN model USING (bucket)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** North-star near-dup: the full LSH dedup pipeline — minhash band
     * candidates verified by exact embedding cosine. Replaces the round-2
     * label-blocked all-pairs (O((N/L)²) over L shuffle keys — the one
@@ -5509,6 +5557,7 @@ object Queries {
     GraftQuery("q_pmi_bigrams", qPmiBigrams, Some(qPmiBigramsSql)),
     GraftQuery("q_quality_funnel", qQualityFunnel, Some(qQualityFunnelSql)),
     GraftQuery("q_ccnet_buckets", qCcnetBuckets, Some(qCcnetBucketsSql)),
+    GraftQuery("q_dsir_weights", qDsirWeights, Some(qDsirWeightsSql)),
     GraftQuery("q_decontaminate", qDecontaminate, Some(qDecontaminateSql)),
     GraftQuery("q_neardup_pairs", qNearDupPairs, Some(qNearDupPairsSql)),
     GraftQuery("q_text_stats", qTextStats, Some(qTextStatsSql)),

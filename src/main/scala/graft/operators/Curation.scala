@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.expressions.VectorExpressions
+
 /** Corpus-curation reporting operators: the filtering-funnel ablation
   * ledger every dataset paper publishes, and CCNet-style perplexity
   * bucketing (head/middle/tail per language).
@@ -54,6 +56,63 @@ object Curation {
       .withColumn("stage", col("stage").cast("int"))
       .withColumn("n_dropped", col("n_in") - col("n_kept"))
       .orderBy("stage")
+  }
+
+  /** DSIR importance weights (Xie et al., NeurIPS 2023 — "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every RAW document by the log-likelihood ratio of its hashed
+    * bag-of-words features under the TARGET distribution vs the RAW
+    * distribution — the cheap n-gram proxy for "how much does this doc
+    * look like the high-quality target corpus", used to resample web
+    * crawls toward a curated target.
+    *
+    * Per bucket `b` (add-one smoothed over `k` buckets):
+    * `lr(b) = ln((cT(b)+1)/(nT+k)) − ln((cR(b)+1)/(nR+k))`; per doc,
+    * `weight = Σ_features count(b)·lr(b)`. Each `ln` is floored to
+    * integer MICROS separately (the lmScore trick) so `weight_micro`
+    * is exact integer arithmetic cross-engine; `avg_weight` is one
+    * final division. Output: `(idCol, n_feats, weight_micro,
+    * avg_weight)` — every raw doc scored (its buckets are by
+    * construction present in the raw counts).
+    *
+    * Scale shape: both bucket-count distributions aggregate map-side
+    * to ≤`k` rows (model-sized — kilobytes even at k = 2²⁰); the
+    * log-ratio MODEL table broadcasts, so the corpus-side probe is a
+    * map-side BroadcastHashJoin over [[TextOps.featureHash]]'s single
+    * (id, bucket) exchange — the corpus never reshuffles for the model
+    * (the [[TextOps.hashedLinearScoreWeighted]] contract, with the
+    * weights DERIVED from data instead of supplied). The two 1-row
+    * total frames broadcast. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val lnMicro = (x: Column) =>
+      floor(VectorExpressions.platformLn(x.cast("double")) * lit(1e6))
+        .cast("long")
+    def bucketCounts(df: DataFrame) = df
+      .select(explode(TextOps.tokens(col(textCol))).as("__token"))
+      .groupBy((Sketches.shingleHash(col("__token")) % k).as("bucket"))
+      .agg(count(lit(1)).as("__c"))
+    val t = bucketCounts(target)
+    val r = bucketCounts(raw)
+    val tTot = t.agg(sum("__c").as("__nt"))
+    val rTot = r.agg(sum("__c").as("__nr"))
+    val model = r.select(col("bucket"), col("__c").as("__cr"))
+      .join(t.select(col("bucket"), col("__c").as("__ct")), Seq("bucket"), "left")
+      .crossJoin(broadcast(tTot))
+      .crossJoin(broadcast(rTot))
+      .select(col("bucket"),
+        (lnMicro(coalesce(col("__ct"), lit(0L)) + 1)
+          - lnMicro(col("__nt") + k)
+          - lnMicro(col("__cr") + 1)
+          + lnMicro(col("__nr") + k)).as("lr_micro"))
+    TextOps.featureHash(raw, idCol, textCol, k)
+      .join(broadcast(model), "bucket")
+      .groupBy(col(idCol))
+      .agg(
+        sum("count").as("n_feats"),
+        sum(col("count") * col("lr_micro")).as("weight_micro"))
+      .withColumn("avg_weight",
+        col("weight_micro").cast("double") / lit(1e6) / col("n_feats"))
   }
 
   /** CCNet-style perplexity bucketing: score every document with the

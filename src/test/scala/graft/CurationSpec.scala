@@ -128,4 +128,47 @@ class CurationSpec extends SparkSpec {
     val got = TextOps.pmiBigrams(df, "text", 2L, 10).collect()
     assert(got.map(_.getString(0)).toSeq == Seq("x y"))
   }
+
+  // ------------------------------------------------------------------ dsir
+
+  test("dsirWeights matches a driver-side sequential model") {
+    val k = 64
+    val raw = docs.filter(col("doc_id") % 10 =!= 7)
+    val target = docs.filter(col("doc_id") % 10 === 7)
+    val got = Curation.dsirWeights(raw, target, "doc_id", "text", k)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id")
+        -> (r.getAs[Long]("n_feats"), r.getAs[Long]("weight_micro")))
+      .toMap
+    // independent model from the featureHash tables
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      TextOps.featureHash(df, "doc_id", "text", k).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bucket"),
+          r.getAs[Long]("count")))
+    val tb = rows(target).groupBy(_._2).map { case (b, rs) => b -> rs.map(_._3).sum }
+    val rbRows = rows(raw)
+    val rb = rbRows.groupBy(_._2).map { case (b, rs) => b -> rs.map(_._3).sum }
+    val nt = tb.values.sum
+    val nr = rb.values.sum
+    def lnM(x: Long) = math.floor(math.log(x.toDouble) * 1e6).toLong
+    def lr(b: Long) =
+      lnM(tb.getOrElse(b, 0L) + 1) - lnM(nt + k) - lnM(rb(b) + 1) + lnM(nr + k)
+    val expected = rbRows.groupBy(_._1).map { case (id, rs) =>
+      id -> (rs.map(_._3).sum, rs.map(r => r._3 * lr(r._2)).sum)
+    }
+    assert(got == expected)
+  }
+
+  test("dsirWeights: a target-looking doc outweighs a raw-only doc") {
+    import spark.implicits._
+    // target vocabulary {aa}; raw corpus has one doc speaking target
+    // and one speaking its own vocabulary {zz} — the target-like doc
+    // must score strictly higher
+    val raw = Seq((1L, "aa aa aa"), (2L, "zz zz zz")).toDF("doc_id", "text")
+    val target = Seq((10L, "aa aa aa aa")).toDF("doc_id", "text")
+    val got = Curation.dsirWeights(raw, target, "doc_id", "text", 64)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("weight_micro"))
+      .toMap
+    assert(got(1L) > got(2L))
+  }
 }

@@ -283,4 +283,14 @@ class PlanSpec extends SparkSpec {
     // tercile thresholds are a language-sized frame: must broadcast back
     assert(p.contains("BroadcastHashJoin"), s"thresholds no longer broadcast:\n$p")
   }
+
+  test("q_dsir_weights: the log-ratio model broadcasts (corpus never reshuffles for it)") {
+    val p = planOf("q_dsir_weights")
+    // the ≤k-row model joins the hashed features as the BUILD side of a
+    // BroadcastHashJoin — a sort-merge model join would reshuffle the
+    // corpus-sized feature table by bucket
+    assert(p.contains("BroadcastHashJoin"), s"model no longer broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"shuffle join in the DSIR scoring path:\n$p")
+  }
 }
