@@ -158,5 +158,32 @@ package object syntax {
     def shardAssigned(order: String, weight: String, shardBudget: Long,
         bucketWidth: Long = 1L << 16): DataFrame =
       Budget.shardAssign(df, order, weight, shardBudget, bucketWidth)
+
+    /** [[TextOps.bpeMergeCandidates]]: top-k BPE merge-pair counts. */
+    def bpeMergeCandidates(k: Int, text: String = "text"): DataFrame =
+      TextOps.bpeMergeCandidates(df, text, k)
+
+    /** [[TextOps.pmiBigrams]]: top-k PMI collocations above a count
+      * floor. */
+    def pmiCollocations(minCount: Long, k: Int,
+        text: String = "text"): DataFrame =
+      TextOps.pmiBigrams(df, text, minCount, k)
+
+    /** [[Curation.funnelReport]]: per-gate in/kept/dropped ledger. */
+    def funnelReported(
+        stages: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+      Curation.funnelReport(df, stages)
+
+    /** [[Curation.perplexityBuckets]]: per-language head/middle/tail
+      * LM-score terciles. */
+    def perplexityBucketed(n: Int = 3, id: String = "doc_id",
+        text: String = "text", lang: String = "lang"): DataFrame =
+      Curation.perplexityBuckets(df, id, text, lang, n)
+
+    /** [[Curation.dsirWeights]]: DSIR importance weights against a
+      * target corpus. */
+    def dsirWeighted(target: DataFrame, k: Int, id: String = "doc_id",
+        text: String = "text"): DataFrame =
+      Curation.dsirWeights(df, target, id, text, k)
   }
 }

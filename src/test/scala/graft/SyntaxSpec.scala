@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Budget, Layout, Splits, Temporal, TextOps}
+import graft.operators.{Budget, Curation, Layout, Splits, Temporal, TextOps}
 import graft.syntax._
 
 /** The fluent facade must be a zero-cost delegation: identical analyzed
@@ -42,6 +42,22 @@ class SyntaxSpec extends SparkSpec {
       Budget.domainBudget(docs, Seq("source"), "doc_id", "n_chars", 5000, 1L << 16)))
     assert(samePlan(docs.shardAssigned("doc_id", "n_chars", 1L << 13),
       Budget.shardAssign(docs, "doc_id", "n_chars", 1L << 13, 1L << 16)))
+    assert(samePlan(docs.bpeMergeCandidates(20),
+      TextOps.bpeMergeCandidates(docs, "text", 20)))
+    assert(samePlan(docs.pmiCollocations(5L, 20),
+      TextOps.pmiBigrams(docs, "text", 5L, 20)))
+    import org.apache.spark.sql.functions.col
+    val stages = Seq("min_chars" -> (col("n_chars") >= 100))
+    assert(samePlan(docs.funnelReported(stages),
+      Curation.funnelReport(docs, stages)))
+    // perplexityBucketed delegates through lmScore, whose localCheckpoint
+    // mints a fresh RDD per invocation — plans are never sameResult
+    // across calls, so the delegation is asserted by execution instead
+    assert(docs.perplexityBucketed().collect().toSeq ==
+      Curation.perplexityBuckets(docs, "doc_id", "text", "lang", 3).collect().toSeq)
+    val target = docs.filter(col("doc_id") % 10 === 7)
+    assert(samePlan(docs.dsirWeighted(target, 64),
+      Curation.dsirWeights(docs, target, "doc_id", "text", 64)))
   }
 
   test("a chained pipeline composes and runs") {
