@@ -768,6 +768,61 @@ object Queries {
        |       CAST(pmi_micro AS DOUBLE) / 1e6 AS pmi
        |FROM p ORDER BY pmi_micro DESC, bigram LIMIT $MergeK""".stripMargin
 
+  /** Window width for [[qSharedSpans]] — 8 tokens (the Lee et al. 2022
+    * protocol uses 50; the fixture's shared boilerplate runs are
+    * shorter, so 8 keeps the query non-vacuous at sf0.001). */
+  private val SpanK = 8
+
+  /** Exact shared-substring spans ([[Sketches.sharedRuns]]): the
+    * exact-match half of Lee et al. 2022's training-data dedup — for
+    * every doc pair sharing a [[SpanK]]-token window, the longest run
+    * of consecutive shared windows (= the longest exactly-shared token
+    * span) and its start positions, via the relational diagonal trick.
+    * Doc-frequency-bounded before the self-join; island windows
+    * partition by (pair, diagonal) — document-length-bounded, never
+    * corpus-scale. */
+  private def qSharedSpans(s: SparkSession, dir: String): DataFrame =
+    Sketches.sharedRuns(Tables.documents(s, dir), "doc_id", "text", SpanK)
+      .orderBy("a_id", "b_id")
+
+  private val qSharedSpansSql: String = {
+    val parts = (0 until SpanK).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+    val km1 = SpanK - 1
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |         CAST('0x' || substr(md5($parts), 1, 15) AS BIGINT) AS gh
+       |  FROM toks, unnest(range(1, greatest(len(t) - $km1, 0) + 1)) AS u(i)),
+       |usable AS (
+       |  SELECT gh FROM (
+       |    SELECT gh, count(DISTINCT doc_id) AS df FROM g GROUP BY gh)
+       |  WHERE df BETWEEN 2 AND 10),
+       |p AS (SELECT g.* FROM g JOIN usable USING (gh)),
+       |m AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         a.pos AS a_pos, b.pos AS b_pos, a.pos - b.pos AS diag
+       |  FROM p a JOIN p b USING (gh) WHERE a.doc_id < b.doc_id),
+       |r AS (
+       |  SELECT a_id, b_id, diag, a_pos, b_pos,
+       |         a_pos - row_number() OVER (
+       |           PARTITION BY a_id, b_id, diag ORDER BY a_pos) AS run
+       |  FROM m),
+       |runs AS (
+       |  SELECT a_id, b_id, diag, run, count(*) AS len,
+       |         min(a_pos) AS a_start, min(b_pos) AS b_start
+       |  FROM r GROUP BY 1, 2, 3, 4),
+       |best AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY a_id, b_id
+       |    ORDER BY len DESC, a_start, b_start) AS rn
+       |  FROM runs)
+       |SELECT a_id, b_id, CAST(len + $km1 AS BIGINT) AS span_tokens,
+       |       CAST(a_start AS BIGINT) AS a_start,
+       |       CAST(b_start AS BIGINT) AS b_start
+       |FROM best WHERE rn = 1 ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** Filtering-funnel ablation ledger ([[Curation.funnelReport]]): the
     * per-gate drop counts a corpus datasheet publishes — six gates
     * applied in order (length floor/ceiling, token shape, alphabetic
@@ -5558,6 +5613,7 @@ object Queries {
     GraftQuery("q_quality_funnel", qQualityFunnel, Some(qQualityFunnelSql)),
     GraftQuery("q_ccnet_buckets", qCcnetBuckets, Some(qCcnetBucketsSql)),
     GraftQuery("q_dsir_weights", qDsirWeights, Some(qDsirWeightsSql)),
+    GraftQuery("q_shared_spans", qSharedSpans, Some(qSharedSpansSql)),
     GraftQuery("q_decontaminate", qDecontaminate, Some(qDecontaminateSql)),
     GraftQuery("q_neardup_pairs", qNearDupPairs, Some(qNearDupPairsSql)),
     GraftQuery("q_text_stats", qTextStats, Some(qTextStatsSql)),

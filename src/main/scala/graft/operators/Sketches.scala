@@ -260,6 +260,70 @@ object Sketches {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Exact shared-substring spans between document pairs — the
+    * EXACT-match half of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"), which dedups on shared ≥50-token
+    * substrings rather than whole-document similarity: for every doc
+    * pair sharing at least one `k`-token window, report the LONGEST
+    * run of consecutive shared windows — `span_tokens = k + run − 1`
+    * exactly shared tokens — and where it starts in each doc.
+    *
+    * Mechanism (the matrix-diagonal trick, fully relational):
+    * positioned `k`-token shingle hashes self-join on the hash; a match
+    * `(a_pos, b_pos)` lies on diagonal `a_pos − b_pos`, and consecutive
+    * shared windows share a diagonal with consecutive `a_pos` — so
+    * maximal runs are islands (`a_pos − row_number` constant) within
+    * each `(pair, diagonal)` group, and the longest shared span is the
+    * max island per pair (ties → earliest `a_start`, then `b_start`).
+    *
+    * Scale shape: shingles reduce to `(id, pos, gh)` 24-byte rows
+    * map-side (token text never shuffles); hashes outside doc-frequency
+    * `[2, maxDocFreq]` are dropped BEFORE the self-join (the
+    * [[fingerprintPairs]] boilerplate bound — per-hash fan-out ≤
+    * maxDocFreq²); the positioned frame is materialized once for both
+    * join sides; the island windows partition by `(a, b, diagonal)` —
+    * partitions bounded by document length, never corpus-scale. Hash
+    * collisions can only ADD a spurious match (conservative for dedup),
+    * and the oracle replays the same hash. */
+  def sharedRuns(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDocFreq: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Partitioning.spread(docs)
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        posexplode(TextOps.wordNgramsOfTokens(col("__toks"), k))
+          .as(Seq("pos", "ngram")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        conv(substring(md5(col("ngram")), 1, 15), 16, 10).cast("long").as("gh"))
+      .localCheckpoint()
+    val usable = grams.select(col(idCol), col("gh")).distinct()
+      .groupBy("gh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df").between(2, maxDocFreq))
+      .select("gh")
+    val pruned = grams.join(usable, "gh")
+    val a = pruned.select(col("gh"), col(idCol).as("a_id"), col("pos").as("a_pos"))
+    val b = pruned.select(col("gh"), col(idCol).as("b_id"), col("pos").as("b_pos"))
+    val matches = a.join(b, "gh")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_pos"), col("b_pos"),
+        (col("a_pos") - col("b_pos")).as("__diag"))
+    // within one (pair, diagonal), a_pos values are distinct (b_pos is
+    // determined by the diagonal), so the island id is well-defined
+    val wIsl = Window.partitionBy("a_id", "b_id", "__diag").orderBy("a_pos")
+    val runs = matches
+      .withColumn("__run", col("a_pos") - row_number().over(wIsl))
+      .groupBy("a_id", "b_id", "__diag", "__run")
+      .agg(count(lit(1)).as("__len"),
+        min("a_pos").as("a_start"), min("b_pos").as("b_start"))
+    val wBest = Window.partitionBy("a_id", "b_id")
+      .orderBy(desc("__len"), asc("a_start"), asc("b_start"))
+    runs.withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1)
+      .select(col("a_id"), col("b_id"),
+        (col("__len") + (k - 1)).as("span_tokens"),
+        col("a_start"), col("b_start"))
+  }
+
   /** Mergeable distinct-count sketches (DataSketches HLL via Spark's
     * `hll_sketch_agg`/`hll_union_agg`): per-`subCol` sketches of
     * `valueCol`, then union-merged per `groupCol`. THIS shape — partial

@@ -352,4 +352,49 @@ class SketchesSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("sharedRuns finds the longest exact shared token span via diagonals") {
+    import spark.implicits._
+    val common = "q w e r t y u i o p" // 10 shared tokens
+    val df = Seq(
+      (1L, s"alpha beta $common gamma"), // run at a_pos 2
+      (2L, s"$common delta epsilon zeta"), // run at b_pos 0
+      (3L, "totally different text with no overlap at all in here ok")
+    ).toDF("doc_id", "text")
+    val got = Sketches.sharedRuns(df, "doc_id", "text", k = 5).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // 6 consecutive shared 5-token windows -> span 5 + 6 - 1 = 10
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((1L, 2L, 10L, 2L, 0L)))
+  }
+
+  test("sharedRuns reports the LONGEST of multiple disjoint shared runs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x1 x2 x3 x4 x5 sep1 sep2 y1 y2 y3 y4 y5 y6 y7"),
+      (2L, "x1 x2 x3 x4 x5 osep y1 y2 y3 y4 y5 y6 y7")
+    ).toDF("doc_id", "text")
+    val got = Sketches.sharedRuns(df, "doc_id", "text", k = 5).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // the x-run shares one 5-window (span 5); the y-run shares three
+    // consecutive windows (span 7) on a different diagonal — 7 wins
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((1L, 2L, 7L, 7L, 6L)))
+  }
+
+  test("sharedRuns drops boilerplate windows above the doc-frequency bound") {
+    import spark.implicits._
+    val boiler = "b1 b2 b3 b4 b5"
+    // the boilerplate 5-token window appears in 4 docs; maxDocFreq=3
+    // must drop it, leaving no reportable pair
+    val df = (1L to 4L).map(i => (i, s"$boiler tail$i")).toDF("doc_id", "text")
+    assert(Sketches.sharedRuns(df, "doc_id", "text", k = 5, maxDocFreq = 3)
+      .collect().isEmpty)
+    // and with the bound raised, all 6 pairs report the span
+    val all = Sketches.sharedRuns(df, "doc_id", "text", k = 5, maxDocFreq = 10)
+      .collect()
+    assert(all.length == 6 && all.forall(_.getLong(2) == 5L))
+  }
 }
