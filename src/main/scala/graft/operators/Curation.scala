@@ -94,8 +94,11 @@ object Curation {
       .agg(count(lit(1)).as("__c"))
     val t = bucketCounts(target)
     val r = bucketCounts(raw)
-    val tTot = t.agg(sum("__c").as("__nt"))
-    val rTot = r.agg(sum("__c").as("__nr"))
+    // sum over zero rows is NULL — coalesce so an EMPTY distribution
+    // (e.g. an empty target delta) degrades to pure add-one smoothing
+    // instead of null-poisoning every weight
+    val tTot = t.agg(coalesce(sum("__c"), lit(0L)).as("__nt"))
+    val rTot = r.agg(coalesce(sum("__c"), lit(0L)).as("__nr"))
     val model = r.select(col("bucket"), col("__c").as("__cr"))
       .join(t.select(col("bucket"), col("__c").as("__ct")), Seq("bucket"), "left")
       .crossJoin(broadcast(tTot))

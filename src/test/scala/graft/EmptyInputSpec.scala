@@ -71,6 +71,28 @@ class EmptyInputSpec extends SparkSpec {
     assert(Sketches.minhashBands(sig, "doc_id", bands = 4, rowsPerBand = 4).count() == 0)
   }
 
+  test("curation: funnel, buckets, dsir, bpe, pmi, shared spans on zero documents") {
+    import graft.operators.Curation
+    // the funnel's single 1-row aggregate still yields one row PER STAGE
+    // (all counters zero) — the report shape is input-independent
+    val funnel = Curation.funnelReport(noDocs,
+      Seq("a" -> (col("n_chars") >= 1), "b" -> (col("lang") === "en")))
+      .collect()
+    assert(funnel.length == 2 && funnel.forall(r =>
+      r.getAs[Long]("n_in") == 0 && r.getAs[Long]("n_kept") == 0))
+    assert(Curation.perplexityBuckets(noDocs, "doc_id", "text", "lang", 3).count() == 0)
+    // empty TARGET still scores every raw doc (smoothing keeps ln
+    // finite; the coalesced totals prevent null-poisoned weights)
+    val someDocs = Tables.documents(spark, Sf0001).limit(5)
+    val emptyTarget = Curation.dsirWeights(someDocs, noDocs, "doc_id", "text", 64)
+      .collect()
+    assert(emptyTarget.length == 5 && emptyTarget.forall(!_.isNullAt(2)))
+    assert(Curation.dsirWeights(noDocs, someDocs, "doc_id", "text", 64).count() == 0)
+    assert(TextOps.bpeMergeCandidates(noDocs, "text", 10).count() == 0)
+    assert(TextOps.pmiBigrams(noDocs, "text", 1L, 10).count() == 0)
+    assert(Sketches.sharedRuns(noDocs, "doc_id", "text", 5).count() == 0)
+  }
+
   test("graph: connected components of an empty edge list") {
     val labels = Graph.connectedComponents(
       noDocs.select(col("doc_id").as("a"), col("doc_id").as("b")), "a", "b")

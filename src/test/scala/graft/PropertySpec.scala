@@ -267,4 +267,50 @@ class PropertySpec extends SparkSpec {
       assert(got == expect, s"domainBudget diverged at budget=$budget")
     }
   }
+
+  test("sharedRuns equals the brute-force longest common token substring") {
+    // small alphabet forces genuine overlaps; docs short enough for an
+    // O(n·m) DP oracle per pair. maxDocFreq is lifted so the df bound
+    // never hides a true LCS from the comparison.
+    val docGen = for {
+      n <- Gen.choose(1, 40)
+      ts <- Gen.listOfN(n, Gen.choose(0, 6).map(i => s"t$i"))
+    } yield ts
+    val docsSeq = samples(docGen, 14, 99L)
+    val k = 4
+    val df = docsSeq.zipWithIndex
+      .map { case (ts, i) => ((i + 1).toLong, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = graft.operators.Sketches
+      .sharedRuns(df, "doc_id", "text", k, maxDocFreq = 100)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1))
+        -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    def lcs(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          if (dp(i)(j) > best) best = dp(i)(j)
+        }
+      best
+    }
+    val byId = docsSeq.zipWithIndex.map { case (ts, i) => (i + 1).toLong -> ts }.toMap
+    for (aId <- byId.keys; bId <- byId.keys if aId < bId) {
+      val l = lcs(byId(aId), byId(bId))
+      got.get((aId, bId)) match {
+        case Some((span, aStart, bStart)) =>
+          assert(l >= k, s"pair ($aId,$bId) reported but LCS $l < $k")
+          assert(span == l, s"pair ($aId,$bId): span $span != LCS $l")
+          // the reported window is a REAL shared occurrence
+          assert(byId(aId).slice(aStart.toInt, (aStart + span).toInt)
+            == byId(bId).slice(bStart.toInt, (bStart + span).toInt),
+            s"pair ($aId,$bId): reported span is not a shared substring")
+        case None =>
+          assert(l < k, s"pair ($aId,$bId) absent but LCS $l >= $k")
+      }
+    }
+  }
 }
