@@ -823,6 +823,78 @@ object Queries {
        |FROM best WHERE rn = 1 ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Apply-side of exact substring dedup ([[Sketches.scrubSharedSpans]]):
+    * every shared [[SpanK]]-token span CUT from the higher-id doc of its
+    * pair (the Lee et al. 2022 remove-one-copy protocol under the
+    * deterministic keep-lowest-id policy), overlapping spans merged per
+    * doc, every doc reported with its removed-token count and the
+    * reassembled text. */
+  private def qSpanScrub(s: SparkSession, dir: String): DataFrame =
+    Sketches.scrubSharedSpans(Tables.documents(s, dir), "doc_id", "text", SpanK)
+      .orderBy("doc_id")
+
+  private val qSpanScrubSql: String = {
+    val parts = (0 until SpanK).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+    val km1 = SpanK - 1
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |         CAST('0x' || substr(md5($parts), 1, 15) AS BIGINT) AS gh
+       |  FROM toks, unnest(range(1, greatest(len(t) - $km1, 0) + 1)) AS u(i)),
+       |usable AS (
+       |  SELECT gh FROM (
+       |    SELECT gh, count(DISTINCT doc_id) AS df FROM g GROUP BY gh)
+       |  WHERE df BETWEEN 2 AND 10),
+       |p AS (SELECT g.* FROM g JOIN usable USING (gh)),
+       |m AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         a.pos AS a_pos, b.pos AS b_pos, a.pos - b.pos AS diag
+       |  FROM p a JOIN p b USING (gh) WHERE a.doc_id < b.doc_id),
+       |r AS (
+       |  SELECT a_id, b_id, diag, a_pos, b_pos,
+       |         a_pos - row_number() OVER (
+       |           PARTITION BY a_id, b_id, diag ORDER BY a_pos) AS run
+       |  FROM m),
+       |runs AS (
+       |  SELECT a_id, b_id, diag, run, count(*) AS len,
+       |         min(a_pos) AS a_start, min(b_pos) AS b_start
+       |  FROM r GROUP BY 1, 2, 3, 4),
+       |iv AS (
+       |  SELECT DISTINCT b_id AS doc_id, b_start AS s,
+       |         b_start + len + $km1 AS e
+       |  FROM runs),
+       |o AS (
+       |  SELECT doc_id, s, e,
+       |         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+       |  FROM iv),
+       |isl AS (
+       |  SELECT doc_id, s, e,
+       |         sum(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+       |  FROM o),
+       |mg AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM isl GROUP BY 1, 2),
+       |rm AS (SELECT doc_id, sum(e - s) AS removed FROM mg GROUP BY 1),
+       |tokpos AS (
+       |  SELECT doc_id, i, t[i] AS tok
+       |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+       |kept AS (
+       |  SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.i) AS scrubbed
+       |  FROM tokpos tp
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM mg WHERE mg.doc_id = tp.doc_id
+       |      AND tp.i - 1 >= mg.s AND tp.i - 1 < mg.e)
+       |  GROUP BY tp.doc_id)
+       |SELECT d.doc_id,
+       |       CAST(len(d.t) AS BIGINT) AS n_tokens,
+       |       CAST(COALESCE(rm.removed, 0) AS BIGINT) AS n_tokens_removed,
+       |       COALESCE(kept.scrubbed, '') AS scrubbed
+       |FROM toks d
+       |LEFT JOIN rm USING (doc_id) LEFT JOIN kept USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Filtering-funnel ablation ledger ([[Curation.funnelReport]]): the
     * per-gate drop counts a corpus datasheet publishes — six gates
     * applied in order (length floor/ceiling, token shape, alphabetic
@@ -5614,6 +5686,7 @@ object Queries {
     GraftQuery("q_ccnet_buckets", qCcnetBuckets, Some(qCcnetBucketsSql)),
     GraftQuery("q_dsir_weights", qDsirWeights, Some(qDsirWeightsSql)),
     GraftQuery("q_shared_spans", qSharedSpans, Some(qSharedSpansSql)),
+    GraftQuery("q_span_scrub", qSpanScrub, Some(qSpanScrubSql)),
     GraftQuery("q_decontaminate", qDecontaminate, Some(qDecontaminateSql)),
     GraftQuery("q_neardup_pairs", qNearDupPairs, Some(qNearDupPairsSql)),
     GraftQuery("q_text_stats", qTextStats, Some(qTextStatsSql)),

@@ -288,6 +288,23 @@ object Sketches {
   def sharedRuns(docs: DataFrame, idCol: String, textCol: String,
       k: Int, maxDocFreq: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val wBest = Window.partitionBy("a_id", "b_id")
+      .orderBy(desc("span_tokens"), asc("a_start"), asc("b_start"))
+    allSharedRuns(docs, idCol, textCol, k, maxDocFreq)
+      .withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1)
+      .select(col("a_id"), col("b_id"), col("span_tokens"),
+        col("a_start"), col("b_start"))
+  }
+
+  /** EVERY maximal shared run (not just the longest per pair) —
+    * `(a_id, b_id, span_tokens, a_start, b_start)`, the raw span
+    * inventory [[sharedRuns]] takes its per-pair max over and
+    * [[scrubSharedSpans]] cuts. Same mechanism and scale shape as
+    * [[sharedRuns]]'s scaladoc describes. */
+  def allSharedRuns(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDocFreq: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val grams = Partitioning.spread(docs)
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
@@ -310,18 +327,63 @@ object Sketches {
     // within one (pair, diagonal), a_pos values are distinct (b_pos is
     // determined by the diagonal), so the island id is well-defined
     val wIsl = Window.partitionBy("a_id", "b_id", "__diag").orderBy("a_pos")
-    val runs = matches
+    matches
       .withColumn("__run", col("a_pos") - row_number().over(wIsl))
       .groupBy("a_id", "b_id", "__diag", "__run")
       .agg(count(lit(1)).as("__len"),
         min("a_pos").as("a_start"), min("b_pos").as("b_start"))
-    val wBest = Window.partitionBy("a_id", "b_id")
-      .orderBy(desc("__len"), asc("a_start"), asc("b_start"))
-    runs.withColumn("__rn", row_number().over(wBest))
-      .filter(col("__rn") === 1)
       .select(col("a_id"), col("b_id"),
         (col("__len") + (k - 1)).as("span_tokens"),
         col("a_start"), col("b_start"))
+  }
+
+  /** Apply-side of exact substring dedup — Lee et al. 2022 REMOVE one
+    * copy of every duplicated substring rather than dropping whole
+    * documents: under the deterministic keep-lowest-id policy, every
+    * shared span is CUT from the higher-id doc of its pair. Per doc:
+    * the b-side span intervals (deduped across pairs), merged where
+    * they overlap (gaps-and-islands with a running max end — per-doc
+    * partitions, document-length-bounded), then the surviving tokens
+    * reassembled in order. Output:
+    * `(idCol, n_tokens, n_tokens_removed, scrubbed)` for EVERY doc —
+    * untouched docs pass through with 0 removed. `scrubbed` is
+    * single-space-normalized (the token round-trip, mirrored by the
+    * oracle).
+    *
+    * Scale: [[allSharedRuns]]'s shape, plus one interval-merge window
+    * and one id-keyed join back to the corpus; the cut itself is a
+    * per-row higher-order filter over the doc's own token array. */
+  def scrubSharedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDocFreq: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = allSharedRuns(docs, idCol, textCol, k, maxDocFreq)
+      .select(col("b_id").as(idCol), col("b_start").as("__s"),
+        (col("b_start") + col("span_tokens")).as("__e"))
+      .distinct()
+    val wOrd = Window.partitionBy(idCol).orderBy("__s", "__e")
+    val merged = spans
+      .withColumn("__maxe", max("__e")
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        (col("__maxe").isNull || col("__s") > col("__maxe")).cast("int"))
+      .withColumn("__isl", sum("__new").over(wOrd))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min("__s").as("__s"), max("__e").as("__e"))
+    val cuts = merged.groupBy(idCol)
+      .agg(
+        sort_array(collect_list(struct(col("__s"), col("__e")))).as("__cuts"),
+        sum(col("__e") - col("__s")).as("__removed"))
+    Partitioning.spread(docs)
+      .join(cuts, Seq(idCol), "left")
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        coalesce(col("__removed"), lit(0L)).as("n_tokens_removed"),
+        when(col("__cuts").isNull, concat_ws(" ", col("__toks")))
+          .otherwise(concat_ws(" ", filter(col("__toks"), (_, i) =>
+            !exists(col("__cuts"), c =>
+              i.cast("long") >= c("__s") && i.cast("long") < c("__e")))))
+          .as("scrubbed"))
   }
 
   /** Mergeable distinct-count sketches (DataSketches HLL via Spark's

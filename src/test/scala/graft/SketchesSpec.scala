@@ -384,6 +384,45 @@ class SketchesSpec extends SparkSpec {
       == ((1L, 2L, 7L, 7L, 6L)))
   }
 
+  test("scrubSharedSpans cuts the shared span from the higher-id doc only") {
+    import spark.implicits._
+    val common = "q w e r t y u i o p" // 10 shared tokens
+    val df = Seq(
+      (1L, s"alpha beta $common gamma"),
+      (2L, s"$common delta epsilon zeta"),
+      (3L, "totally different text with no overlap at all in here ok")
+    ).toDF("doc_id", "text")
+    val got = Sketches.scrubSharedSpans(df, "doc_id", "text", k = 5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // doc 1 (the keeper) and doc 3 (no overlap) pass through untouched
+    assert(got(1L) == ((13L, 0L, s"alpha beta $common gamma")))
+    assert(got(3L)._2 == 0L)
+    // doc 2 loses exactly the 10 shared tokens, keeping its own tail
+    assert(got(2L) == ((13L, 10L, "delta epsilon zeta")))
+  }
+
+  test("scrubSharedSpans merges overlapping spans from different pairs") {
+    import spark.implicits._
+    // doc 3 shares tokens 0..9 with doc 1 and tokens 5..14 with doc 2:
+    // the merged cut is 0..14 (15 tokens), not 10 + 10
+    val df = Seq(
+      (1L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 xx1 xx2 xx3 xx4"),
+      (2L, "c6 c7 c8 c9 c10 d1 d2 d3 d4 d5 yy1 yy2 yy3 yy4"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 d1 d2 d3 d4 d5 tail1 tail2")
+    ).toDF("doc_id", "text")
+    val got = Sketches.scrubSharedSpans(df, "doc_id", "text", k = 5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got(3L) == ((17L, 15L, "tail1 tail2")))
+    assert(got(1L)._2 == 0L)
+    // doc 2 loses its doc-1-shared prefix c6..c10 (it is the b-side of
+    // the (1,2) pair) but keeps d1..d5 (doc 3 has the higher id there)
+    assert(got(2L) == ((14L, 5L, "d1 d2 d3 d4 d5 yy1 yy2 yy3 yy4")))
+  }
+
   test("sharedRuns drops boilerplate windows above the doc-frequency bound") {
     import spark.implicits._
     val boiler = "b1 b2 b3 b4 b5"
