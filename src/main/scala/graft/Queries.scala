@@ -723,6 +723,28 @@ object Queries {
        |FROM per_word GROUP BY pair
        |ORDER BY pair_count DESC, pair LIMIT $MergeK""".stripMargin
 
+  /** Per-language tokenizer fertility ([[TextOps.tokenizerFertility]]):
+    * subword-per-word fertility and chars-per-subword compression by
+    * language — the datasheet metric for multilingual tokenizer
+    * choice, as exact integer milli-ratios. */
+  private def qTokenFertility(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokenizerFertility(Tables.documents(s, dir), "lang", "text", "n_chars")
+
+  private val qTokenFertilitySql: String =
+    s"""WITH b AS (
+       |  SELECT lang, n_chars,
+       |         CAST(length(string_split_regex(trim(text), ' +')) AS BIGINT) AS ws,
+       |         CAST(length(regexp_extract_all(text, '${TextOps.BpeTokenPattern}')) AS BIGINT) AS bpe
+       |  FROM documents)
+       |SELECT lang,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       |       CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |       CAST((sum(bpe) * 1000) // sum(ws) AS BIGINT) AS fertility_milli,
+       |       CAST((sum(n_chars) * 1000) // sum(bpe) AS BIGINT) AS chars_per_bpe_milli
+       |FROM b GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Count floor for [[qPmiBigrams]] — PMI without one surfaces hapax
     * noise. */
   private val PmiMinCount = 5L
@@ -5687,6 +5709,7 @@ object Queries {
     GraftQuery("q_dsir_weights", qDsirWeights, Some(qDsirWeightsSql)),
     GraftQuery("q_shared_spans", qSharedSpans, Some(qSharedSpansSql)),
     GraftQuery("q_span_scrub", qSpanScrub, Some(qSpanScrubSql)),
+    GraftQuery("q_token_fertility", qTokenFertility, Some(qTokenFertilitySql)),
     GraftQuery("q_decontaminate", qDecontaminate, Some(qDecontaminateSql)),
     GraftQuery("q_neardup_pairs", qNearDupPairs, Some(qNearDupPairsSql)),
     GraftQuery("q_text_stats", qTextStats, Some(qTextStatsSql)),

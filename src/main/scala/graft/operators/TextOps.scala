@@ -527,6 +527,35 @@ object TextOps {
       .agg(count(lit(1)).as("n_hit_grams"))
   }
 
+  /** Per-language tokenizer fertility and compression — the datasheet
+    * metric used to choose a tokenizer for a multilingual corpus:
+    * `fertility = subword tokens / whitespace words` (high fertility =
+    * the tokenizer fragments that language; the reason multilingual
+    * models budget vocab per language) and `chars per subword token`
+    * (compression rate). The subword proxy is [[BpeTokenPattern]] (the
+    * same one the quality metrics use). Ratios are reported as exact
+    * integer MILLI values (`(a·1000) div b`) so they reproduce
+    * bit-for-bit in any engine. One projection + one partial-final
+    * aggregation: no shuffle beyond the language-keyed counts. */
+  def tokenizerFertility(docs: DataFrame, langCol: String, textCol: String,
+      nCharsCol: String): DataFrame = {
+    val text = col(textCol)
+    Partitioning.spread(docs)
+      .select(col(langCol), col(nCharsCol),
+        tokenCount(text).as("__ws"),
+        size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+          .cast("long").as("__bpe"))
+      .groupBy(langCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("__ws").as("ws_tokens"),
+        sum("__bpe").as("bpe_tokens"),
+        sum(nCharsCol).as("sum_chars"))
+      .withColumn("fertility_milli", expr("(bpe_tokens * 1000) div ws_tokens"))
+      .withColumn("chars_per_bpe_milli", expr("(sum_chars * 1000) div bpe_tokens"))
+      .orderBy(langCol)
+  }
+
   /** BPE tokenizer training, step one: count every adjacent character
     * pair inside every word occurrence and rank the top-`k` merge
     * candidates — the argmax of this table is the first merge rule a

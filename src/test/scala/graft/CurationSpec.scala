@@ -129,6 +129,21 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_.getString(0)).toSeq == Seq("x y"))
   }
 
+  // -------------------------------------------------------------- fertility
+
+  test("tokenizerFertility computes exact milli ratios") {
+    import spark.implicits._
+    val df = Seq(("en", "ab cd, ef", 9L), ("en", "gh 12", 5L))
+      .toDF("lang", "text", "n_chars")
+    // whitespace words 3 + 2 = 5; subword tokens ab|cd|,|ef + gh|12 = 6
+    // fertility = 6000 div 5 = 1200; chars/bpe = 14000 div 6 = 2333
+    val r = TextOps.tokenizerFertility(df, "lang", "text", "n_chars")
+      .collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6))
+      == (("en", 2L, 5L, 6L, 14L, 1200L, 2333L)))
+  }
+
   // ------------------------------------------------------------------ dsir
 
   test("dsirWeights matches a driver-side sequential model") {
