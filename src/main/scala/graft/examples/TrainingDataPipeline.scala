@@ -51,6 +51,30 @@ object TrainingDataPipeline {
       s"${docs.nearDupCandidates(k = 8, m = 16, bands = 4).count()}")
     println(s"winnowing fingerprint pairs: ${docs.fingerprintPairs().count()}")
 
+    // r8 curation stages: the published-datasheet trio — the filter
+    // funnel ledger, per-language tokenizer fertility, and the first
+    // BPE merge candidates — then DSIR selection toward a target slice
+    // and the remove-one-copy substring scrub
+    docs.funnelReported(Seq(
+      "min_chars" -> (col("n_chars") >= 100),
+      "stopword" -> (col("text").contains(" the ")))).show()
+    docs.perplexityBucketed().show(truncate = false)
+    println("tokenizer fertility by language:")
+    graft.operators.TextOps
+      .tokenizerFertility(docs, "lang", "text", "n_chars").show()
+    println("first BPE merges:")
+    docs.bpeMergeCandidates(k = 5).show()
+    val target = docs.filter(col("doc_id") % 10 === 7)
+    println(s"DSIR top doc: " +
+      docs.filter(col("doc_id") % 10 =!= 7)
+        .dsirWeighted(target, k = 256)
+        .orderBy(col("weight_micro").desc).limit(1).collect().mkString)
+    val scrubbed = graft.operators.Sketches
+      .scrubSharedSpans(docs, "doc_id", "text", k = 8)
+    println(s"substring scrub removed " +
+      scrubbed.agg(org.apache.spark.sql.functions.sum("n_tokens_removed"))
+        .collect().head.getLong(0) + " duplicated tokens")
+
     spark.stop()
   }
 }
