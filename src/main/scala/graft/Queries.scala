@@ -1217,6 +1217,85 @@ object Queries {
   private val LshMultiBits = 8
   private val LshMultiBands = 8
 
+  /** Every 20th vector plays the recall-evaluation query sample. */
+  private val RecallSampleMod = 20
+
+  /** The HNSW-grade operating point LshSpec pins at recall ≥ 0.8:
+    * 4-bit buckets (bounded per-bucket all-pairs) × 16 bands (recall). */
+  private val RecallBits = 4
+  private val RecallBands = 16
+
+  /** ANN recall evaluation as a declared row ([[VectorSearch.knnJoin]]
+    * vs [[VectorSearch.multibandKnnJoin]]): per sampled query, how many
+    * of the exact top-[[KnnJoinK]] cosine neighbors the multiband LSH at
+    * its pinned HNSW-grade operating point ([[RecallBits]]-bit ×
+    * [[RecallBands]]-band) retrieves — `recall_milli = (hits·1000) div k`. This certifies
+    * the recall numbers the LshSpec pins through the DuckDB oracle gate
+    * itself. Production shape: recall is estimated on a QUERY SAMPLE
+    * (here every [[RecallSampleMod]]th vector), so the exact side is
+    * sample×corpus, never corpus² — the eval stays affordable at any
+    * scale while the ANN side is the serving plan unchanged. */
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % RecallSampleMod === 0)
+    val exact = VectorSearch.knnJoin(queries, emb, "embedding", "vec_id",
+      Metric.Cosine, k = KnnJoinK, excludeSelf = true)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = VectorSearch.multibandKnnJoin(queries, emb, "embedding", "vec_id",
+      Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim,
+      bits = RecallBits, bands = RecallBands)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(ann, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("__h"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("__h"), lit(0L)))
+      .withColumn("recall_milli", expr("(n_hits * 1000) div n_exact"))
+      .select("query_id", "n_exact", "n_hits", "recall_milli")
+      .orderBy("query_id")
+  }
+
+  private val qAnnRecallSql: String = {
+    val score = Oracle.dot("a.nemb", "b.nemb", EmbeddingDim)
+    val bandBranches = (0 until RecallBands).map { band =>
+      s"SELECT vec_id, nemb, $band AS band, " +
+        s"${Oracle.lshBucketBand("nemb", EmbeddingDim, RecallBits, band)} AS bucket FROM n"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |q AS (SELECT * FROM n WHERE vec_id % $RecallSampleMod = 0),
+       |ex AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |                            ORDER BY $score DESC, b.vec_id ASC) AS rank
+       |  FROM q a CROSS JOIN n b WHERE a.vec_id <> b.vec_id),
+       |exk AS (SELECT query_id, neighbor_id FROM ex WHERE rank <= $KnnJoinK),
+       |nb AS (
+       |  $bandBranches),
+       |qb AS (SELECT * FROM nb WHERE vec_id % $RecallSampleMod = 0),
+       |p AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, max($score) AS score
+       |  FROM qb a JOIN nb b ON a.band = b.band AND a.bucket = b.bucket
+       |                     AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |annk AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                              ORDER BY score DESC, neighbor_id ASC) AS rank
+       |    FROM p) WHERE rank <= $KnnJoinK),
+       |h AS (
+       |  SELECT query_id, count(*) AS n_hits
+       |  FROM exk JOIN annk USING (query_id, neighbor_id) GROUP BY 1)
+       |SELECT e.query_id,
+       |       CAST(count(*) AS BIGINT) AS n_exact,
+       |       CAST(COALESCE(max(h.n_hits), 0) AS BIGINT) AS n_hits,
+       |       CAST((COALESCE(max(h.n_hits), 0) * 1000) // count(*) AS BIGINT)
+       |         AS recall_milli
+       |FROM exk e LEFT JOIN h USING (query_id)
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+  }
+
   /** Multi-band OR LSH — the recall-amplified ANN path: 8 independent
     * hyperplane families, candidates unioned across bands, deduped,
     * ranked once. Recall rises as 1−(1−p^bits)^bands at cost linear in
@@ -5749,6 +5828,7 @@ object Queries {
     GraftQuery("q_bucketed_join", qBucketedJoin, Some(qBucketedJoinSql)),
     GraftQuery("q_ann_lsh", qAnnLsh, Some(qAnnLshSql)),
     GraftQuery("q_ann_lsh_multi", qAnnLshMulti, Some(qAnnLshMultiSql)),
+    GraftQuery("q_ann_recall", qAnnRecall, Some(qAnnRecallSql)),
     GraftQuery("q_ann_multiprobe", qAnnMultiprobe, Some(qAnnMultiprobeSql)),
     GraftQuery("q_index_append", qIndexAppend, Some(qIndexAppendSql)),
     GraftQuery("q_index_compact", qIndexCompact, Some(qIndexCompactSql)),
