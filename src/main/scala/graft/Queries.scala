@@ -3941,6 +3941,55 @@ object Queries {
   // earlier in the file but keep the reference lazy for safety
   private def qStreamIndexSql: String = qIndexAppendSql
 
+  private val streamCompactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Streamed index maintenance WITH the compaction trigger INSIDE the
+    * stream ([[Streaming.compactingIndexAppend]]) — closes the last
+    * batch-initiated step of the index lifecycle (build → append →
+    * stream → serve → compact, now all stream-drivable): the landing
+    * dir is staged as THREE files and drained at one file per
+    * micro-batch, each batch appending tagged fragments; at the
+    * cadence-2 trigger the accumulated fragments rewrite into a
+    * versioned band-partitioned snapshot while ingestion continues;
+    * the declared rows are the SERVING read (snapshot ∪ post-snapshot
+    * fragments). Oracle: the full-rebuild replay — streamed-compacted
+    * == rebuilt, the same layout-only claim as q_index_compact, now
+    * under live ingestion. */
+  private def qStreamCompact(s: SparkSession, dir: String): DataFrame = {
+    val base = streamCompactCache.computeIfAbsent(dir, _ => {
+      val b = s"/root/repo/target/tmp/stream_compact_${java.util.UUID.randomUUID()}"
+      Tables.embeddings(s, dir).repartition(3)
+        .write.parquet(s"$b/landing")
+      val frag = s"$b/frag"
+      val compacts = s"$b/compact"
+      val q = VectorSearch.lshBucketTable(
+          Streaming.embeddingsStream(s, s"$b/landing",
+            maxFilesPerTrigger = Some(1)),
+          "embedding", "vec_id", Metric.Cosine, EmbeddingDim,
+          bits = LshMultiBits, bands = IndexBands)
+        .select(col("vec_id"), col("band").cast("long").as("band"),
+          col("bucket"))
+        .writeStream
+        .foreachBatch((batch: DataFrame, id: Long) =>
+          Streaming.compactingIndexAppend(batch, id, frag, compacts,
+            cadence = 2))
+        .option("checkpointLocation", s"$b/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(600000)) {
+        q.stop()
+        throw new IllegalStateException("q_stream_compact: stream did not drain")
+      }
+      b
+    })
+    Streaming.readCompactedIndex(s, s"$base/frag", s"$base/compact")
+      .select(col("vec_id"), col("band"), col("bucket"))
+      .orderBy("vec_id", "band")
+  }
+
+  private def qStreamCompactSql: String = qIndexAppendSql
+
   /** Streamed PQ code maintenance executed FOR REAL under the gate —
     * [[qStreamIndex]]'s analog for the COMPRESSED serving tier: the
     * embeddings landing-dir stream encoded through [[VectorSearch
@@ -5884,6 +5933,7 @@ object Queries {
     GraftQuery("q_stream_upsert", qStreamUpsert, Some(qStreamUpsertSql)),
     GraftQuery("q_stream_burst", qStreamBurst, Some(qStreamBurstSql)),
     GraftQuery("q_stream_index", qStreamIndex, Some(qStreamIndexSql)),
+    GraftQuery("q_stream_compact", qStreamCompact, Some(qStreamCompactSql)),
     GraftQuery("q_stream_sessions", qStreamSessions, Some(qStreamSessionsSql)),
     GraftQuery("q_stream_codes", qStreamCodes, Some(qStreamCodesSql)),
     GraftQuery("q_stream_features", qStreamFeatures, Some(qStreamFeaturesSql)),

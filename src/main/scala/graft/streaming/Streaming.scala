@@ -488,14 +488,65 @@ object Streaming {
     * index tables equal a batch rebuild — pinned in StreamingSpec).
     * Schema footer-sniffed as in [[documentsStream]]; the widening cast
     * is a no-op if the fixture ever ships doubles. */
-  def embeddingsStream(spark: SparkSession, landingDir: String): DataFrame = {
+  def embeddingsStream(spark: SparkSession, landingDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = sniffSchema(spark, landingDir).getOrElse(StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType)),
       StructField("label", IntegerType))))
-    spark.readStream
-      .schema(schema)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .parquet(landingDir)
       .withColumn("embedding", col("embedding").cast("array<double>"))
+  }
+
+  /** foreachBatch body for streamed index maintenance WITH a periodic
+    * compaction trigger — the last batch-initiated step of the index
+    * lifecycle moved into the stream itself: each micro-batch's index
+    * rows append to `fragDir` tagged with their `batch_id`, and every
+    * `cadence`-th batch the accumulated fragments are rewritten into a
+    * band-partitioned compact snapshot `compactBase/c<batchId>`
+    * (covering every batch ≤ batchId). Ingestion never pauses: later
+    * batches keep appending to `fragDir`, and [[readCompactedIndex]]
+    * serves snapshot ∪ newer fragments. Snapshots are versioned —
+    * compaction never rewrites a file a concurrent reader might hold
+    * open (the same crash/consistency contract as [[upsertSnapshot]]:
+    * a partial snapshot has no `_SUCCESS` and is never served). */
+  def compactingIndexAppend(batch: DataFrame, batchId: Long,
+      fragDir: String, compactBase: String, cadence: Int): Unit = {
+    batch.withColumn("batch_id", lit(batchId))
+      .repartition(4)
+      .write.mode("append").parquet(fragDir)
+    if (batchId % cadence == cadence - 1)
+      graft.operators.VectorSearch.compactIndex(
+        batch.sparkSession, fragDir, s"$compactBase/c$batchId")
+  }
+
+  /** Serving read of a [[compactingIndexAppend]] table: the latest
+    * COMPLETE compact snapshot (its `c<id>` name records the highest
+    * batch it covers) plus every fragment batch appended after it;
+    * before the first compaction, the fragments alone. */
+  def readCompactedIndex(spark: SparkSession, fragDir: String,
+      compactBase: String): DataFrame = {
+    def typed(df: DataFrame) = df.select(col("vec_id"),
+      col("band").cast("long").as("band"), col("bucket"),
+      col("batch_id").cast("long").as("batch_id"))
+    val base = new org.apache.hadoop.fs.Path(compactBase)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val snaps =
+      if (!fs.exists(base)) Array.empty[org.apache.hadoop.fs.Path]
+      else fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+        .filter(p => p.getName.startsWith("c") &&
+          p.getName.drop(1).forall(_.isDigit) &&
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+    if (snaps.isEmpty) typed(spark.read.parquet(fragDir))
+    else {
+      val latest = snaps.maxBy(_.getName.drop(1).toLong)
+      val covered = latest.getName.drop(1).toLong
+      typed(spark.read.parquet(latest.toString))
+        .unionByName(typed(spark.read.parquet(fragDir))
+          .filter(col("batch_id") > covered))
+    }
   }
 }

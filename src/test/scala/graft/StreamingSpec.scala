@@ -563,4 +563,44 @@ class StreamingSpec extends SparkSpec {
     assert(perBatch.size == 2 && perBatch.values.forall(_ == perFile),
       s"restart did not process exactly the landed delta: $perBatch")
   }
+
+  test("in-stream compaction: serving read == batch rebuild, snapshot versioned, ingestion uninterrupted") {
+    import graft.operators.VectorSearch
+    import graft.functions.Metric
+    val b = s"/root/repo/target/tmp/spec_stream_compact_${java.util.UUID.randomUUID()}"
+    val emb = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding", "label")
+    emb.repartition(3).write.parquet(s"$b/landing")
+    val stream = VectorSearch.lshBucketTable(
+        Streaming.embeddingsStream(spark, s"$b/landing", maxFilesPerTrigger = Some(1)),
+        "embedding", "vec_id", Metric.Cosine, Tables.EmbeddingDim,
+        bits = 8, bands = 4)
+      .select(col("vec_id"), col("band").cast("long").as("band"), col("bucket"))
+      .writeStream
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streaming.compactingIndexAppend(batch, id, s"$b/frag", s"$b/compact", cadence = 2))
+      .option("checkpointLocation", s"$b/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(stream.awaitTermination(300000), "compacting stream did not drain")
+
+    // a compaction fired mid-stream (3 one-file batches, cadence 2 ->
+    // snapshot c1) and later batches kept appending fragments
+    val fs = new org.apache.hadoop.fs.Path(b)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$b/compact/c1/_SUCCESS")),
+      "no complete compact snapshot")
+    val post = spark.read.parquet(s"$b/frag")
+      .filter(col("batch_id").cast("long") > 1)
+    assert(post.count() > 0, "no fragments landed after the compaction")
+
+    // serving read equals the batch rebuild exactly
+    val served = Streaming.readCompactedIndex(spark, s"$b/frag", s"$b/compact")
+      .select("vec_id", "band", "bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rebuilt = VectorSearch.lshBucketTable(emb, "embedding", "vec_id",
+        Metric.Cosine, Tables.EmbeddingDim, bits = 8, bands = 4)
+      .select(col("vec_id"), col("band").cast("long").as("band"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == rebuilt, "streamed-compacted index diverged from rebuild")
+  }
 }
