@@ -10,7 +10,8 @@ import org.apache.spark.sql.SparkSession
   *  - `BNLJ`: BroadcastNestedLoopJoin — allowed ONLY for 1-row
   *    broadcast frames: single-query knn / rag / bm25-family corpus
   *    stats (incl. q_rerank's bm25 stage), exact-knn crossJoins behind
-  *    partial top-k (q_knn_join / q_contrastive_pairs), the
+  *    partial top-k (q_knn_join / q_contrastive_pairs, and
+  *    q_ann_recall's broadcast sample×corpus exact side), the
   *    1-row bounds/count frames of q_zorder_layout and q_sim_histogram,
   *    q_ivfpq_refine's exact re-rank (1-row query frame ×
   *    ≤nCandidates fetched vectors), the 1-row Σ√n weight frame
