@@ -1068,8 +1068,8 @@ object Queries {
        |rb AS (
        |  SELECT ${bucketOf("token")} AS bucket, count(*) AS cr
        |  FROM toks WHERE doc_id % 10 <> 7 GROUP BY 1),
-       |tt AS (SELECT sum(ct) AS nt FROM tb),
-       |rt AS (SELECT sum(cr) AS nr FROM rb),
+       |tt AS (SELECT COALESCE(sum(ct), 0) AS nt FROM tb),
+       |rt AS (SELECT COALESCE(sum(cr), 0) AS nr FROM rb),
        |model AS (
        |  SELECT rb.bucket,
        |         CAST(floor(ln(CAST(COALESCE(tb.ct, 0) + 1 AS DOUBLE)) * 1e6) AS BIGINT)

@@ -40,10 +40,15 @@ object Curation {
     val depth = stages.zipWithIndex.foldRight(lit(stages.size): Column) {
       case (((_, cond), i), rest) => when(!cond, lit(i)).otherwise(rest)
     }
+    // SUM over zero rows is NULL — coalesce so an empty input yields a
+    // genuinely all-zero ledger, not null counters (EmptyInputSpec pins
+    // non-null, not just getAs[Long]'s silent 0L unboxing)
     val aggCols = stages.indices.flatMap { i =>
       Seq(
-        sum(when(col("__depth") >= i, 1L).otherwise(0L)).as(s"__in$i"),
-        sum(when(col("__depth") >= i + 1, 1L).otherwise(0L)).as(s"__kept$i"))
+        coalesce(sum(when(col("__depth") >= i, 1L).otherwise(0L)), lit(0L))
+          .as(s"__in$i"),
+        coalesce(sum(when(col("__depth") >= i + 1, 1L).otherwise(0L)), lit(0L))
+          .as(s"__kept$i"))
     }
     val one = df.select(depth.as("__depth"))
       .agg(aggCols.head, aggCols.tail: _*)

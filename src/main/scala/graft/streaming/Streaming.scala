@@ -512,15 +512,34 @@ object Streaming {
     * serves snapshot ∪ newer fragments. Snapshots are versioned —
     * compaction never rewrites a file a concurrent reader might hold
     * open (the same crash/consistency contract as [[upsertSnapshot]]:
-    * a partial snapshot has no `_SUCCESS` and is never served). */
+    * a partial snapshot has no `_SUCCESS` and is never served).
+    *
+    * Fragments land in per-`batch_id` PARTITIONS with dynamic
+    * partition overwrite — the [[idempotentPublish]] idiom — because
+    * `foreachBatch` is at-least-once: a batchId redelivered after a
+    * crash between the fragment write and the offset commit must
+    * OVERWRITE its own partition byte-identically, not append a second
+    * copy for the next compaction to bake into the served snapshot.
+    * StreamingSpec pins the replay. */
   def compactingIndexAppend(batch: DataFrame, batchId: Long,
       fragDir: String, compactBase: String, cadence: Int): Unit = {
-    batch.withColumn("batch_id", lit(batchId))
-      .repartition(4)
-      .write.mode("append").parquet(fragDir)
+    val spark = batch.sparkSession
+    spark.synchronized {
+      // partitionOverwriteMode is session-wide; scope it to this write
+      val conf = spark.conf
+      val prev = conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try batch.withColumn("batch_id", lit(batchId))
+        .repartition(4)
+        .write.mode("overwrite").partitionBy("batch_id").parquet(fragDir)
+      finally prev match {
+        case Some(v) => conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
     if (batchId % cadence == cadence - 1)
       graft.operators.VectorSearch.compactIndex(
-        batch.sparkSession, fragDir, s"$compactBase/c$batchId")
+        spark, fragDir, s"$compactBase/c$batchId")
   }
 
   /** Serving read of a [[compactingIndexAppend]] table: the latest

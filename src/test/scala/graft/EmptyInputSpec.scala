@@ -78,8 +78,13 @@ class EmptyInputSpec extends SparkSpec {
     val funnel = Curation.funnelReport(noDocs,
       Seq("a" -> (col("n_chars") >= 1), "b" -> (col("lang") === "en")))
       .collect()
+    // !isNullAt, not getAs[Long] (which unboxes null to 0L and would
+    // mask NULL counters) — the ledger must be genuinely all-zero
+    val fi = funnel.head.fieldIndex _
     assert(funnel.length == 2 && funnel.forall(r =>
-      r.getAs[Long]("n_in") == 0 && r.getAs[Long]("n_kept") == 0))
+      Seq("n_in", "n_kept", "n_dropped").forall(c => !r.isNullAt(fi(c))) &&
+        r.getAs[Long]("n_in") == 0 && r.getAs[Long]("n_kept") == 0 &&
+        r.getAs[Long]("n_dropped") == 0))
     assert(Curation.perplexityBuckets(noDocs, "doc_id", "text", "lang", 3).count() == 0)
     // empty TARGET still scores every raw doc (smoothing keeps ln
     // finite; the coalesced totals prevent null-poisoned weights)

@@ -602,5 +602,24 @@ class StreamingSpec extends SparkSpec {
       .select(col("vec_id"), col("band").cast("long").as("band"), col("bucket"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(served == rebuilt, "streamed-compacted index diverged from rebuild")
+
+    // at-least-once replay: redelivering a batchId (crash between the
+    // fragment write and the offset commit) must OVERWRITE its own
+    // batch_id partition, not append a duplicate for the next
+    // compaction to bake into the snapshot
+    // materialize the redelivered batch (localCheckpoint cuts the
+    // lineage back to $b/frag, which the replay write overwrites)
+    val lastBatch = spark.read.parquet(s"$b/frag")
+      .filter(col("batch_id").cast("long") === 2)
+      .select("vec_id", "band", "bucket")
+      .localCheckpoint()
+    Streaming.compactingIndexAppend(lastBatch, 2L, s"$b/frag", s"$b/compact",
+      cadence = 2)
+    val replayed = Streaming.readCompactedIndex(spark, s"$b/frag", s"$b/compact")
+      .select("vec_id", "band", "bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(replayed == rebuilt, "batchId replay duplicated fragment rows")
+    assert(spark.read.parquet(s"$b/frag").count() == rebuilt.size,
+      "replay appended instead of overwriting its batch partition")
   }
 }
