@@ -1,11 +1,11 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Metric, VectorFunctions => VF}
-import graft.operators.{Budget, Contrastive, Curation, Diversify, Graph, Layout, Lexical, Multimodal, Packing, Partitioning, Profile, Quantize, Rag, Rerank, Sketches, Skew, Splits, Temporal, TextOps, VectorSearch}
+import graft.operators.{Budget, Contrastive, Curation, Diversify, Graph, Layout, Lexical, Multimodal, Packing, Partitioning, Profile, Quantize, Rag, Rerank, Sketches, Skew, Splits, Temporal, TextOps, VectorSearch, Web}
 import graft.sources.{Compaction, Sources}
 import graft.streaming.Streaming
 
@@ -1086,6 +1086,99 @@ object Queries {
        |       CAST(sum(c * lr_micro) AS DOUBLE) / 1e6 / sum(c) AS avg_weight
        |FROM f JOIN model USING (bucket)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Deterministic URL stand-in for the fixture's `source` column (the
+    * fixture ships no URL column — the SURVEY §1.3 metadata stand-in
+    * convention, like the arithmetic embeddings): scheme, userinfo,
+    * subdomain, casing, TLD, port, path and query string all vary by
+    * `doc_id` arithmetic, so [[Web.host]] faces every extraction edge
+    * the FineWeb URL-filtering stage faces on real crawl URLs. */
+  private def syntheticUrl(docId: Column, source: Column): Column = concat(
+    when(docId % 3 === 0, lit("https")).otherwise(lit("http")), lit("://"),
+    when(docId % 11 === 0, lit("user:pw@")).otherwise(lit("")),
+    element_at(array(lit("www."), lit("cdn."), lit(""), lit("a.b.")),
+      (docId % 4 + 1).cast("int")),
+    when(docId % 6 === 0, upper(source)).otherwise(source),
+    element_at(array(lit(".org"), lit(".net"), lit(".io")),
+      (docId % 3 + 1).cast("int")),
+    when(docId % 5 === 0, lit(":8080")).otherwise(lit("")),
+    lit("/d/"), docId.cast("string"),
+    when(docId % 2 === 0, lit("?ref=1")).otherwise(lit("")))
+
+  private val syntheticUrlSql: String =
+    """'http' || CASE WHEN doc_id % 3 = 0 THEN 's' ELSE '' END || '://'
+      | || CASE WHEN doc_id % 11 = 0 THEN 'user:pw@' ELSE '' END
+      | || CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.' WHEN 2 THEN '' ELSE 'a.b.' END
+      | || CASE WHEN doc_id % 6 = 0 THEN upper(source) ELSE source END
+      | || CASE doc_id % 3 WHEN 0 THEN '.org' WHEN 1 THEN '.net' ELSE '.io' END
+      | || CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END
+      | || '/d/' || doc_id || CASE WHEN doc_id % 2 = 0 THEN '?ref=1' ELSE '' END"""
+      .stripMargin.replace("\n", "")
+
+  /** Oracle apex-domain expression over a host column `h` (the s
+    * interpolator processes escapes even in triple quotes, so `\\.`
+    * emits the single regex backslash). */
+  private def apexSql(h: String): String =
+    s"""CASE WHEN regexp_extract($h, '([^.]+\\.[^.]+)$$', 1) = '' THEN $h
+       |     ELSE regexp_extract($h, '([^.]+\\.[^.]+)$$', 1) END"""
+      .stripMargin.replace("\n", "")
+
+  /** Per-host crawl statistics ([[Web.hostStats]]) — the curator's view
+    * for spotting spam farms: host extracted by the shared-dialect
+    * regexp (userinfo/port/path stripped, lowercased), two-level
+    * (host, lang) → host aggregation so the distinct-language count
+    * never EXPANDs the corpus exchange. */
+  private def qHostStats(s: SparkSession, dir: String): DataFrame =
+    Web.hostStats(
+        Tables.documents(s, dir)
+          .withColumn("url", syntheticUrl(col("doc_id"), col("source"))),
+        "url", "text", "n_chars", "lang")
+      .orderBy("host")
+
+  private val qHostStatsSql: String =
+    s"""WITH u AS (
+       |  SELECT regexp_extract(lower($syntheticUrlSql), '${Web.HostPattern}', 1) AS host,
+       |         lang, n_chars,
+       |         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_toks
+       |  FROM documents)
+       |SELECT host, ${apexSql("host")} AS apex,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+       |FROM u GROUP BY host ORDER BY host""".stripMargin
+
+  /** The q_url_filter blocklist: two apex domains (subdomains inherit
+    * the block) and one exact subdomain host (its siblings survive). */
+  private val BlockedHosts = Seq("src3.org", "src7.net", "cdn.src1.io")
+
+  /** Blocklist URL filtering ([[Web.urlFilter]]) — the FineWeb "URL
+    * filtering" gate that runs before every text heuristic: drop docs
+    * whose host or any dot-suffix of it is blocklisted. The Spark plan
+    * is a ZERO-SHUFFLE codegen filter (the blocklist rides the task
+    * closure as an InSet; PlanSpec pins scan→filter, no exchange); the
+    * oracle states the same semantics as NOT EXISTS over exact-or-
+    * dot-suffix matches. */
+  private def qUrlFilter(s: SparkSession, dir: String): DataFrame =
+    Web.urlFilter(
+        Tables.documents(s, dir)
+          .withColumn("url", syntheticUrl(col("doc_id"), col("source"))),
+        "url", BlockedHosts)
+      .select(col("doc_id"), Web.host(col("url")).as("host"))
+      .orderBy("doc_id")
+
+  private val qUrlFilterSql: String = {
+    val vals = BlockedHosts.map(h => s"('$h')").mkString(", ")
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |         regexp_extract(lower($syntheticUrlSql), '${Web.HostPattern}', 1) AS host
+       |  FROM documents)
+       |SELECT doc_id, host FROM u d
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM (VALUES $vals) b(h)
+       |  WHERE d.host = b.h OR d.host LIKE '%.' || b.h)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** North-star near-dup: the full LSH dedup pipeline — minhash band
@@ -5835,6 +5928,8 @@ object Queries {
     GraftQuery("q_quality_funnel", qQualityFunnel, Some(qQualityFunnelSql)),
     GraftQuery("q_ccnet_buckets", qCcnetBuckets, Some(qCcnetBucketsSql)),
     GraftQuery("q_dsir_weights", qDsirWeights, Some(qDsirWeightsSql)),
+    GraftQuery("q_host_stats", qHostStats, Some(qHostStatsSql)),
+    GraftQuery("q_url_filter", qUrlFilter, Some(qUrlFilterSql)),
     GraftQuery("q_shared_spans", qSharedSpans, Some(qSharedSpansSql)),
     GraftQuery("q_span_scrub", qSpanScrub, Some(qSpanScrubSql)),
     GraftQuery("q_token_fertility", qTokenFertility, Some(qTokenFertilitySql)),

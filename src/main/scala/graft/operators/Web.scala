@@ -84,26 +84,44 @@ object Web {
         col("n_docs"), col("n_chars"), col("n_tokens"), col("n_langs"))
 
   /** Blocklist URL filter with subdomain inheritance: drop every doc
-    * whose host — or ANY dot-suffix of it — appears in `blockedHosts`
-    * (one `host STRING` column; entries are exact hosts or apex
-    * domains). `notexample.org` does NOT match a blocked `example.org`
-    * (label-boundary exact, not string suffix).
+    * whose host — or ANY dot-suffix of it — appears in `blocked`
+    * (entries are exact hosts or apex domains). `notexample.org` does
+    * NOT match a blocked `example.org` (label-boundary exact, not
+    * string suffix).
     *
-    * Scale shape: the suffix chain explodes ≤ label-count rows per doc
-    * of `(id, suffix)` scalars, semi-joined against the BROADCAST
-    * blocklist (UT1-class lists are millions of rows — megabytes — and
-    * broadcast fine); the surviving anti-join keys on `idCol` against
-    * the matched-id frame, which is bounded by the blocked subset. The
-    * corpus text crosses no shuffle at any point. */
-  def urlFilter(docs: DataFrame, urlCol: String, idCol: String,
+    * Scale shape: a ZERO-SHUFFLE codegen projection — the blocklist
+    * ships once in the task closure (UT1-class lists are millions of
+    * rows ≈ tens of MB; `isInCollection` compiles to an O(1) InSet hash
+    * probe per suffix) and every row is an independent filter, the
+    * [[Sketches]] Bloom-prefilter shape but exact. No join, no
+    * exchange: the plan is Scan → Filter, PlanSpec-pinned. For a
+    * blocklist that lives in a TABLE, [[urlFilterTable]] is the
+    * join-shaped equivalent (WebSpec pins them row-equal). */
+  def urlFilter(docs: DataFrame, urlCol: String,
+      blocked: Seq[String]): DataFrame =
+    if (blocked.isEmpty) docs
+    else docs.filter(!exists(hostSuffixes(host(col(urlCol))),
+      s => s.isInCollection(blocked)))
+
+  /** [[urlFilter]] when the blocklist is data (a maintained table, not
+    * a shipped artifact): each host explodes into its ≤label-count
+    * suffix chain of `(id, suffix)` SCALARS, semi-joined against the
+    * BROADCAST blocklist; the matched-id frame — bounded by the blocked
+    * subset, which a curation blocklist keeps a small fraction of the
+    * corpus — broadcasts back for the anti-join, so the corpus-side
+    * rows (text included) never cross an exchange. If the blocklist is
+    * expected to drop MOST of the corpus, flip the keep/drop sides —
+    * the operator contract (like [[Budget.withBucketBounds]]'s narrow-
+    * frame contract) is that blocked ids are the broadcastable side. */
+  def urlFilterTable(docs: DataFrame, urlCol: String, idCol: String,
       blockedHosts: DataFrame): DataFrame = {
-    val withHost = docs.withColumn("__host", host(col(urlCol)))
     val blockCol = blockedHosts.columns.head
-    val blockedIds = withHost
-      .select(col(idCol), explode(hostSuffixes(col("__host"))).as("__sfx"))
+    val blockedIds = docs
+      .select(col(idCol),
+        explode(hostSuffixes(host(col(urlCol)))).as("__sfx"))
       .join(broadcast(blockedHosts.select(col(blockCol).as("__sfx"))),
         Seq("__sfx"), "left_semi")
-    withHost.join(blockedIds.select(idCol), Seq(idCol), "left_anti")
-      .drop("__host")
+      .select(idCol).distinct()
+    docs.join(broadcast(blockedIds), Seq(idCol), "left_anti")
   }
 }

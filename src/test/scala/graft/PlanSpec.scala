@@ -284,6 +284,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"thresholds no longer broadcast:\n$p")
   }
 
+  test("q_url_filter: the blocklist is a task-closure InSet — no join, only the final sort exchanges") {
+    val p = planOf("q_url_filter")
+    assert(!p.contains("Join"),
+      s"blocklist filtering regressed to a join:\n$p")
+    // the only exchange allowed is the trailing ORDER BY's range
+    // partitioning — a hash exchange would mean the corpus shuffled
+    // for the blocklist
+    assert(!p.contains("hashpartitioning"),
+      s"corpus hash-shuffled for the blocklist filter:\n$p")
+  }
+
+  test("q_host_stats: two-level aggregation, no count-distinct EXPAND") {
+    val p = planOf("q_host_stats")
+    assert(p.contains("HashAggregate"), s"no hash agg:\n$p")
+    assert(!p.contains("Expand"),
+      s"distinct-language count regressed to countDistinct EXPAND:\n$p")
+  }
+
   test("q_dsir_weights: the log-ratio model broadcasts (corpus never reshuffles for it)") {
     val p = planOf("q_dsir_weights")
     // the ≤k-row model joins the hashed features as the BUILD side of a
