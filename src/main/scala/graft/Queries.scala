@@ -745,6 +745,101 @@ object Queries {
        |       CAST((sum(n_chars) * 1000) // sum(bpe) AS BIGINT) AS chars_per_bpe_milli
        |FROM b GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Greedy merge rounds for the BPE-apply queries — small enough that
+    * the oracle's unrolled round CTEs stay readable, large enough that
+    * per-language fertility discriminates. */
+  private val BpeMerges = 8
+
+  /** DuckDB replay of [[TextOps.bpeLearnMerges]]'s greedy rounds as
+    * program-generated CTEs: `bwords` (the (lang, word) stream), `v0`
+    * (the spaced chr(1)-separated vocab), then one
+    * (pair counts `p_i`, argmax `m_i`, rewrite `v_{i+1}`) triple per
+    * round — integer counts with the (cnt DESC, a, b) tie-break make
+    * every round's argmax unique, so both engines learn the SAME merge
+    * table. `chr(2)` coalesce keeps an exhausted round (no pairs left)
+    * a no-op instead of a NULL poison. Every CTE is `MATERIALIZED`:
+    * each `v_i` is referenced twice (pairs + rewrite), so DuckDB's
+    * default inlining would re-evaluate the chain 2^rounds times —
+    * measured as a hang at 8 rounds even on the 500-doc fixture. */
+  private def bpeRoundsCtes(rounds: Int): String = {
+    val head = Seq(
+      """bwords AS MATERIALIZED (
+        |  SELECT lang, unnest(string_split_regex(trim(text), ' +')) AS w
+        |  FROM documents)""".stripMargin,
+      """v0 AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS f,
+        |         chr(1) || regexp_replace(w, '(.)', '\1' || chr(1), 'g') AS sp
+        |  FROM bwords GROUP BY w)""".stripMargin)
+    val perRound = (0 until rounds).flatMap { i =>
+      Seq(
+        s"""p$i AS MATERIALIZED (
+           |  SELECT u.a AS a, u.b AS b, CAST(sum(f) AS BIGINT) AS cnt
+           |  FROM (SELECT f, unnest(list_transform(
+           |          range(2, len(string_split(sp, chr(1))) - 1),
+           |          j -> struct_pack(a := string_split(sp, chr(1))[j],
+           |                           b := string_split(sp, chr(1))[j+1]))) AS u
+           |        FROM v$i) GROUP BY 1, 2)""".stripMargin,
+        s"m$i AS MATERIALIZED (SELECT a, b FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)",
+        s"""v${i + 1} AS MATERIALIZED (
+           |  SELECT w, f, replace(sp,
+           |    COALESCE((SELECT chr(1)||a||chr(1)||b||chr(1) FROM m$i), chr(2)),
+           |    COALESCE((SELECT chr(1)||a||b||chr(1) FROM m$i), chr(2))) AS sp
+           |  FROM v$i)""".stripMargin)
+    }
+    (head ++ perRound).mkString(",\n")
+  }
+
+  /** BPE merge APPLICATION ([[TextOps.bpeLearnMerges]] +
+    * [[TextOps.bpeVocabSegmentation]]) — the tokenizer-training loop
+    * completed and applied: learn [[BpeMerges]] greedy merges over the
+    * corpus vocabulary (driver-side argmax per round — the model-sized
+    * pqCodebooks contract), then segment the top-[[MergeK]] words under
+    * the learned table via chained codegen `replace`s. The oracle
+    * replays every round. */
+  private def qBpeApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = TextOps.bpeLearnMerges(docs, "text", BpeMerges)
+    TextOps.bpeVocabSegmentation(docs, "text", merges, MergeK)
+  }
+
+  private val qBpeApplySql: String =
+    s"""WITH ${bpeRoundsCtes(BpeMerges)}
+       |SELECT w AS word, f,
+       |       CAST(len(sp) - len(replace(sp, chr(1), '')) - 1 AS BIGINT) AS n_subwords,
+       |       array_to_string(list_filter(string_split(sp, chr(1)), s -> s <> ''), ' ') AS segmented
+       |FROM v$BpeMerges ORDER BY f DESC, word LIMIT $MergeK""".stripMargin
+
+  /** Per-language fertility over REAL learned subwords
+    * ([[TextOps.tokenizerFertilityBpe]]) — closes SURVEY open item (b):
+    * with a bounded merge budget the learned-merge coverage differs per
+    * language, so fertility discriminates even on the caseless fixture
+    * (the regex proxy in [[qTokenFertility]] reads 1000 milli
+    * everywhere there). Vocab-first: the merge chain runs once per
+    * distinct (lang, word). */
+  private def qBpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = TextOps.bpeLearnMerges(docs, "text", BpeMerges)
+    TextOps.tokenizerFertilityBpe(docs, "lang", "text", "n_chars", merges)
+  }
+
+  private val qBpeFertilitySql: String =
+    s"""WITH ${bpeRoundsCtes(BpeMerges)},
+       |lw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+       |       FROM bwords GROUP BY 1, 2),
+       |sub AS (SELECT w,
+       |               CAST(len(sp) - len(replace(sp, chr(1), '')) - 1 AS BIGINT) AS ns
+       |        FROM v$BpeMerges),
+       |agg AS (SELECT lang, CAST(sum(c) AS BIGINT) AS ws_tokens,
+       |               CAST(sum(c * ns) AS BIGINT) AS bpe_tokens
+       |        FROM lw JOIN sub USING (w) GROUP BY lang),
+       |d AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |      FROM documents GROUP BY lang)
+       |SELECT lang, n_docs, ws_tokens, bpe_tokens, sum_chars,
+       |       CAST((bpe_tokens * 1000) // ws_tokens AS BIGINT) AS fertility_milli,
+       |       CAST((sum_chars * 1000) // bpe_tokens AS BIGINT) AS chars_per_bpe_milli
+       |FROM d JOIN agg USING (lang) ORDER BY lang""".stripMargin
+
   /** Count floor for [[qPmiBigrams]] — PMI without one surfaces hapax
     * noise. */
   private val PmiMinCount = 5L
@@ -5933,6 +6028,8 @@ object Queries {
     GraftQuery("q_shared_spans", qSharedSpans, Some(qSharedSpansSql)),
     GraftQuery("q_span_scrub", qSpanScrub, Some(qSpanScrubSql)),
     GraftQuery("q_token_fertility", qTokenFertility, Some(qTokenFertilitySql)),
+    GraftQuery("q_bpe_apply", qBpeApply, Some(qBpeApplySql)),
+    GraftQuery("q_bpe_fertility", qBpeFertility, Some(qBpeFertilitySql)),
     GraftQuery("q_decontaminate", qDecontaminate, Some(qDecontaminateSql)),
     GraftQuery("q_neardup_pairs", qNearDupPairs, Some(qNearDupPairsSql)),
     GraftQuery("q_text_stats", qTextStats, Some(qTextStatsSql)),

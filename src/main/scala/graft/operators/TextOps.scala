@@ -596,6 +596,154 @@ object TextOps {
       .limit(k)
   }
 
+  /** Symbol separator for the spaced BPE encoding — a control char
+    * whitespace-tokenized words cannot contain (tokens come from
+    * space-splitting, and fixture/crawl text never carries 0x01; a
+    * defensive pipeline strips it at ingest). */
+  val BpeSep = "\u0001"
+
+  /** `word` → its spaced single-character symbol form
+    * `SEP c1 SEP c2 … SEP`: every symbol is bounded by separators, so a
+    * merge rule `(a,b)` is exactly the string rewrite
+    * `SEP a SEP b SEP → SEP ab SEP`, and `replace`'s leftmost
+    * non-overlapping scan IS the textbook BPE left-to-right merge
+    * order (both engines' `replace` share that contract, so the
+    * encoding is cross-engine exact). */
+  def bpeSpaced(word: Column): Column =
+    concat(lit(BpeSep), regexp_replace(word, "(.)", "$1" + BpeSep))
+
+  /** Symbols in a spaced form: separator count − 1 (the empty word has
+    * one separator → 0 symbols). */
+  def bpeSubwordCount(spaced: Column): Column =
+    (length(spaced) - length(regexp_replace(spaced, BpeSep, "")) - 1)
+      .cast("long")
+
+  /** Human-readable segmentation of a spaced form: subwords joined by
+    * single spaces. */
+  def bpeSegment(spaced: Column): Column =
+    array_join(filter(split(spaced, BpeSep), s => s =!= lit("")), " ")
+
+  /** BPE tokenizer training, the full greedy loop (the iterated form of
+    * [[bpeMergeCandidates]], which certifies round one): learn `n`
+    * merge rules, each round taking the argmax adjacent symbol pair by
+    * per-position frequency-weighted count (ties → lexicographic
+    * `(a, b)` — total order, so the learned table is deterministic and
+    * an oracle can replay the rounds exactly).
+    *
+    * Scale shape: the corpus collapses to its (word, f) VOCABULARY
+    * once (the only corpus-scale exchange — the same one `vocabTopK`
+    * pays), localCheckpointed so the per-round argmax re-reads a
+    * materialized vocab instead of re-scanning the corpus; each round
+    * is one vocab-frame pair aggregation plus a 1-row collect (the
+    * pqCodebooks driver-stitch contract — the merge TABLE is
+    * model-sized by definition), and the rewrite is one codegen
+    * `replace` projection, re-checkpointed so lineage stays O(1) per
+    * round. Rounds are inherently sequential (merge i+1's counts
+    * depend on merge i) — that is BPE, not a plan defect. */
+  def bpeLearnMerges(docs: DataFrame, textCol: String,
+      n: Int): Seq[(String, String)] = {
+    var cur = Partitioning.spread(docs)
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .select(bpeSpaced(col("word")).as("sp"), col("f"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[(String, String)]
+    var i = 0
+    var exhausted = false
+    while (i < n && !exhausted) {
+      val parts = split(col("sp"), BpeSep)
+      val top = cur
+        .filter(size(parts) >= 4) // ≥ 2 symbols (+2 boundary empties)
+        .select(col("f"),
+          explode(transform(sequence(lit(2), size(parts) - 2),
+            j => struct(element_at(parts, j).as("a"),
+              element_at(parts, j + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("f").as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        out += ((a, b))
+        cur = cur
+          .select(bpeMergeRewrite(col("sp"), a, b).as("sp"), col("f"))
+          .localCheckpoint()
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** One merge rule applied to a spaced form — a plain-string codegen
+    * `replace` (leftmost non-overlapping = BPE merge order). */
+  private def bpeMergeRewrite(spaced: Column, a: String, b: String): Column =
+    call_function("replace", spaced,
+      lit(BpeSep + a + BpeSep + b + BpeSep), lit(BpeSep + a + b + BpeSep))
+
+  /** Apply a learned merge table to a word: the chained-replace codegen
+    * projection — `merges.size` string rewrites per row, zero shuffle,
+    * no state. This is the serving face of [[bpeLearnMerges]]: the
+    * merge table ships as literals in the plan (model-sized), exactly
+    * how a production tokenizer ships its merges file. */
+  def bpeApplySpaced(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(bpeSpaced(word)) { case (sp, (a, b)) =>
+      bpeMergeRewrite(sp, a, b)
+    }
+
+  /** Vocabulary segmentation under a learned merge table: the top-`k`
+    * corpus words by frequency with their subword splits —
+    * `(word, f, n_subwords, segmented)`. Vocab-first (one (word, count)
+    * exchange; the chained replaces run once per DISTINCT word, never
+    * per occurrence), final top-k is a TakeOrderedAndProject. */
+  def bpeVocabSegmentation(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)], k: Int): DataFrame =
+    Partitioning.spread(docs)
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .select(col("word"), col("f"),
+        bpeApplySpaced(col("word"), merges).as("__sp"))
+      .select(col("word"), col("f"),
+        bpeSubwordCount(col("__sp")).as("n_subwords"),
+        bpeSegment(col("__sp")).as("segmented"))
+      .orderBy(desc("f"), asc("word")).limit(k)
+
+  /** [[tokenizerFertility]] over REAL learned subwords instead of the
+    * regex proxy: per-language fertility (subwords per whitespace word,
+    * exact integer milli) and chars-per-subword compression under a
+    * [[bpeLearnMerges]] merge table. With a bounded merge budget the
+    * metric discriminates languages even on caseless text — coverage
+    * of the learned merges differs with each language's character
+    * distribution (the regex proxy degenerated to 1000 milli on the
+    * bland fixture — SURVEY open item (b)).
+    *
+    * Scale shape: vocab-first again — the merge chain runs once per
+    * distinct (lang, word), the corpus-scale exchanges are the
+    * (lang, word) count and the cheap per-language doc rollup, and the
+    * final join is language-cardinality-sized. */
+  def tokenizerFertilityBpe(docs: DataFrame, langCol: String,
+      textCol: String, nCharsCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spread = Partitioning.spread(docs)
+    val perWord = spread
+      .select(col(langCol), explode(tokens(col(textCol))).as("word"))
+      .groupBy(langCol, "word").agg(count(lit(1)).as("c"))
+      .select(col(langCol), col("c"),
+        bpeSubwordCount(bpeApplySpaced(col("word"), merges)).as("__ns"))
+      .groupBy(langCol)
+      .agg(sum("c").as("ws_tokens"),
+        sum(col("c") * col("__ns")).as("bpe_tokens"))
+    val perDoc = spread
+      .groupBy(langCol)
+      .agg(count(lit(1)).as("n_docs"), sum(nCharsCol).as("sum_chars"))
+    perDoc.join(perWord, Seq(langCol))
+      .select(col(langCol), col("n_docs"), col("ws_tokens"),
+        col("bpe_tokens"), col("sum_chars"),
+        expr("(bpe_tokens * 1000) div ws_tokens").as("fertility_milli"),
+        expr("(sum_chars * 1000) div bpe_tokens").as("chars_per_bpe_milli"))
+      .orderBy(langCol)
+  }
+
   /** PMI collocation mining — the word2vec-style phrase-detection pass
     * ("new york" → one token) every embedding/tokenizer pipeline runs
     * before training: score each adjacent token bigram by pointwise
