@@ -150,17 +150,27 @@ object Budget {
     * (sum of all earlier buckets in the group), `__bcum`
     * (`__bbefore + __bsum`).
     *
-    * TWO-PASS CONTRACT: the input subtree executes twice — once pruned
-    * to (group, bucket, weight) for the map-side-partial bounds
-    * aggregate, once as the probe side of the broadcast bounds join.
-    * (A shared staging exchange cannot help: per-branch column pruning
-    * makes the subtrees non-canonical-equal, so ReuseExchange never
-    * fires, and pre-shuffling would forfeit [[domainBudget]]'s
-    * shuffle-free keep/drop path.) Call it with a NARROW, cheap frame —
-    * project the id/group/weight columns first, and persist or
-    * checkpoint an expensive upstream (regex weights, joins) rather
-    * than paying it twice. The bounds frame itself is broadcast: size
-    * `bucketWidth` so `groups × buckets` stays metadata-scale. */
+    * RE-EXECUTION CONTRACT: the input subtree executes once for the
+    * bounds aggregate (pruned to (group, bucket, weight), map-side
+    * partial) and once per probe branch of the caller — twice total in
+    * [[runningSum]]/[[shardAssign]], three times in [[domainBudget]]
+    * (keep-whole + boundary branches). The BOUNDS frame is
+    * `localCheckpoint`ed here: it is metadata-scale by the
+    * `bucketWidth` contract, and checkpointing it (a) guarantees the
+    * bounds aggregate runs exactly ONCE however many branches join it
+    * — before this, each union branch re-planned the whole bounds
+    * subtree, so the r8 shape executed the input 4× (measured: 8 scan
+    * nodes in q_domain_budget's plan), with a silently doubled
+    * expensive upstream as the failure mode ADVICE flagged — and
+    * (b) pins its broadcast to one tiny materialized relation.
+    * (A shared staging exchange for the PROBE sides cannot help:
+    * per-branch column pruning makes the subtrees non-canonical-equal,
+    * so ReuseExchange never fires, and pre-shuffling would forfeit
+    * [[domainBudget]]'s shuffle-free keep/drop path.) Probe re-scans
+    * remain — call with a NARROW, scan-cheap frame: project the
+    * id/group/weight columns first, and persist or checkpoint an
+    * expensive upstream (regex weights, joins) rather than paying it
+    * per branch. PlanSpec pins the scan counts. */
   private def withBucketBounds(
       df: DataFrame,
       groupCols: Seq[String],
@@ -178,6 +188,7 @@ object Budget {
       .agg(sum(col(weightCol)).as("__bsum"))
       .withColumn("__bcum", sum(col("__bsum")).over(wBucket))
       .withColumn("__bbefore", col("__bcum") - col("__bsum"))
+      .localCheckpoint()
     withB.join(broadcast(bounds), groupCols :+ "__bucket")
   }
 }

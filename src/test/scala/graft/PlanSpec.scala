@@ -213,6 +213,14 @@ class PlanSpec extends SparkSpec {
     assert("windowspecdefinition\\(source#\\d+, __priority#\\d+L ASC"
       .r.findFirstIn(p).isEmpty,
       s"corpus window partitioned by source alone (domain-width exchange):\n$p")
+    // re-execution contract (withBucketBounds): the checkpointed bounds
+    // frame leaves only the two probe branches' scans in the plan. The
+    // query's input subtree is a 2-scan join (docs ⋈ quality), so the
+    // keep-whole + boundary branches contribute 2×2 = 4 — the r8 shape
+    // re-planned the bounds aggregate per branch too and showed 8 (4
+    // input executions, an expensive upstream silently doubled)
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 4, s"expected 2 probe branches x 2-scan input (bounds checkpointed), saw $scans:\n$p")
   }
 
   test("q_shard_assign: the corpus window partitions by bucket, never globally") {
@@ -227,6 +235,9 @@ class PlanSpec extends SparkSpec {
       s"per-row window lost its bucket partitioning:\n$p")
     assert("windowspecdefinition\\(doc_id#\\d+L ASC".r.findFirstIn(p).isEmpty,
       s"global single-partition window over the corpus:\n$p")
+    // one probe scan; the bounds side reads its checkpoint, not parquet
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 probe scan (bounds checkpointed), saw $scans:\n$p")
   }
 
   test("q_bpe_merge: vocab-first two-level aggregation, joinless, partial top-k") {
