@@ -47,8 +47,21 @@ object Bench {
     // optional comma-separated filter for local iteration on a subset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // scale-sweep cap (VERDICT r8 #7): q_knn_join is quadratic by
+    // SEMANTICS (exact all-pairs ground truth) — at sf ≥ 1 set
+    // SPARK_GRAFT_BENCH_KNN_SAMPLE=m to bench the sampled variant
+    // (query side cut to vec_id % m == 0) under the HONEST name
+    // q_knn_join_sampled, so sweeps measure plan scaling instead of
+    // CPU saturation. Unset (driver runs at sf0.1) = unchanged row.
+    val knnSample = sys.env.get("SPARK_GRAFT_BENCH_KNN_SAMPLE").map(_.toLong)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map {
+        case ("q_knn_join", _) if knnSample.isDefined =>
+          ("q_knn_join_sampled",
+            (s: SparkSession, d: String) => Queries.knnJoinSampled(s, d, knnSample.get))
+        case other => other
+      }
 
     // untimed warmup: plan + execute each query once
     queries.foreach { case (name, fn) =>

@@ -208,6 +208,21 @@ object Queries {
   /** Batch knn (O9 at scale; the exact replacement for the reference's
     * HNSW serving path ann.py:67-102): every vector's top-5 cosine
     * neighbors, self excluded. */
+  /** Bench-only sampled variant of [[qKnnJoin]] (NOT in the declared
+    * registry — the oracle row is unchanged): query side cut to
+    * `vec_id % m == 0`, the q_ann_recall sample × corpus shape. The
+    * exact all-pairs knn join is quadratic BY SEMANTICS (10× rows =
+    * 100× scored pairs — 40.8s of the r8 sf1 sweep, load-volatile
+    * 33–62s); at sf ≥ 1 the scale sweep substitutes this row (Bench's
+    * SPARK_GRAFT_BENCH_KNN_SAMPLE) so it measures plan scaling, not
+    * CPU saturation, matching the operator's documented production
+    * role: sampled ground truth for recall certification. */
+  def knnJoinSampled(s: SparkSession, dir: String, m: Long): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    VectorSearch.knnJoin(emb.filter(col("vec_id") % m === 0), emb,
+      "embedding", "vec_id", Metric.Cosine, k = KnnJoinK, excludeSelf = true)
+  }
+
   private def qKnnJoin(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     // no broadcastData override: at 100× the data side (~2.5 GB) would OOM
