@@ -59,6 +59,20 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // chaining guard: applying ScaleUp to its OWN output collides keys —
+    // replica offsets j·10⁸ added to already-offset keys k·10⁸ repeat
+    // wherever j+k coincides (≈45% duplicate ids at 10×10), silently
+    // corrupting every uniqueness-dependent query. Scale from the
+    // ORIGINAL fixture with a larger factor instead (sf10 = sf0.1×100).
+    val maxKey = spark.read.parquet(s"$in/documents.parquet")
+      .agg(max(col("doc_id"))).head().getLong(0)
+    require(maxKey < ReplicaOffset,
+      s"input $in already carries replica-offset keys (max doc_id $maxKey" +
+        s" >= $ReplicaOffset): scale from the original fixture with a" +
+        " larger factor instead of chaining ScaleUp")
+    require(factor.toLong * ReplicaOffset < Long.MaxValue / 4,
+      s"factor $factor would push keys toward overflow")
+
     def replicate(base: DataFrame)(per: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(k => per(base, k)).reduce(_ unionAll _)
 
