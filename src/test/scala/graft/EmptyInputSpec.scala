@@ -96,6 +96,16 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.bpeMergeCandidates(noDocs, "text", 10).count() == 0)
     assert(TextOps.pmiBigrams(noDocs, "text", 1L, 10).count() == 0)
     assert(Sketches.sharedRuns(noDocs, "doc_id", "text", 5).count() == 0)
+    // r9 additions: BPE learn/apply and the URL-curation family
+    assert(TextOps.bpeLearnMerges(noDocs, "text", 4).isEmpty)
+    assert(TextOps.bpeVocabSegmentation(noDocs, "text", Nil, 10).count() == 0)
+    assert(TextOps.tokenizerFertilityBpe(noDocs, "lang", "text", "n_chars",
+      Seq(("a", "b"))).count() == 0)
+    val noUrls = noDocs.withColumn("url", col("source"))
+    assert(graft.operators.Web.hostStats(noUrls, "url", "text", "n_chars",
+      "lang").count() == 0)
+    assert(graft.operators.Web.urlFilter(noUrls, "url",
+      Seq("spam.org")).count() == 0)
   }
 
   test("graph: connected components of an empty edge list") {
