@@ -9,7 +9,7 @@ sf parquet tables, and compares: schema (column names, sorted), row count,
 and values (exact for non-floats; bit-exact for floats by default,
 reporting max abs diff when not equal).
 """
-import json, sys, math
+import json, sys, math, os, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -38,15 +38,24 @@ def main(sf_dir, out_dir):
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # targeted reruns / long-run visibility: CHECK_ONLY / CHECK_SKIP are
+    # comma-separated query names; every PASS/FAIL line carries wall
+    # seconds and flushes immediately (a 70-minute opaque run at sf1
+    # motivated this)
+    only = {x for x in os.environ.get("CHECK_ONLY", "").split(",") if x}
+    skip = {x for x in os.environ.get("CHECK_SKIP", "").split(",") if x}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if (only and name not in only) or name in skip:
+            continue
+        t0 = time.time()
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             g_rows, g_cols = got.fetchall(), [d[0] for d in got.description]
             exp = con.sql(sql)
             e_rows, e_cols = exp.fetchall(), [d[0] for d in exp.description]
         except Exception as ex:
-            print(f"FAIL {name}: exception {ex}")
+            print(f"FAIL {name}: exception {ex}", flush=True)
             n_fail += 1
             continue
         # The real driver canonicalizes with pandas sort_values + hash, which
@@ -58,13 +67,13 @@ def main(sf_dir, out_dir):
                     if isinstance(v, (list, tuple))]
         if arrayish:
             print(f"FAIL {name}: array-typed result columns {arrayish} "
-                  f"(driver's pandas compare cannot hash these — emit scalars)")
+                  f"(driver's pandas compare cannot hash these — emit scalars)", flush=True)
             n_fail += 1
             continue
         g_rows, g_cols = canon(g_rows, g_cols)
         e_rows, e_cols = canon(e_rows, e_cols)
         if g_cols != e_cols:
-            print(f"FAIL {name}: columns spark={g_cols} oracle={e_cols}")
+            print(f"FAIL {name}: columns spark={g_cols} oracle={e_cols}", flush=True)
             n_fail += 1
             continue
         # The driver canonicalizes BOTH sides through pandas before hashing, so
@@ -79,11 +88,11 @@ def main(sf_dir, out_dir):
                   if str(g_dt[c]) != str(e_dt[c])]
         if dt_bad:
             print(f"FAIL {name}: pandas dtype mismatch (spark vs oracle): "
-                  f"{dt_bad} — CAST the oracle (HUGEINT sums need AS BIGINT)")
+                  f"{dt_bad} — CAST the oracle (HUGEINT sums need AS BIGINT)", flush=True)
             n_fail += 1
             continue
         if len(g_rows) != len(e_rows):
-            print(f"FAIL {name}: rows spark={len(g_rows)} oracle={len(e_rows)}")
+            print(f"FAIL {name}: rows spark={len(g_rows)} oracle={len(e_rows)}", flush=True)
             n_fail += 1
             continue
         bad = None
@@ -93,10 +102,11 @@ def main(sf_dir, out_dir):
                 break
         if bad:
             i, gr, er = bad
-            print(f"FAIL {name}: first mismatch row {i}:\n  spark : {gr}\n  oracle: {er}")
+            print(f"FAIL {name}: first mismatch row {i}:\n  spark : {gr}\n  oracle: {er}", flush=True)
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(g_rows)} rows)")
+            print(f"PASS {name} ({len(g_rows)} rows, {time.time()-t0:.1f}s)",
+                  flush=True)
             n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     return 1 if n_fail else 0
