@@ -2041,17 +2041,17 @@ object Queries {
     val mins = Sketches.mixConstants(MinhashM).zipWithIndex
       .map { case ((a, b), j) => s"min(($a * hm + $b) % $p) AS mh_$j" }
       .mkString(", ")
-    s"""sh AS (
+    s"""sh AS MATERIALIZED (
        |  SELECT doc_id,
        |         unnest(list_distinct(list_transform(
        |           range(1, greatest(length(text) - ${ShingleK - 1}, 1) + 1),
        |           si -> substr(text, CAST(si AS INTEGER), $ShingleK)))) AS shingle
        |  FROM documents),
-       |hs AS (
+       |hs AS MATERIALIZED (
        |  SELECT doc_id,
        |         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $p AS hm
        |  FROM sh),
-       |mh AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id)""".stripMargin
+       |mh AS MATERIALIZED (SELECT doc_id, $mins FROM hs GROUP BY doc_id)""".stripMargin
   }
 
   /** North-star MinHash: per-doc signature digest (pins the whole
@@ -3073,14 +3073,14 @@ object Queries {
       s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS band_key FROM mh"
     }.mkString("\n  UNION ALL ")
     s"""WITH $minhashCte,
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bandSelects),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bands a
        |  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |inter AS (
+       |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS MATERIALIZED (
        |  SELECT c.a_id, c.b_id, count(*) AS n_inter
        |  FROM cand c
        |  JOIN sh sa ON sa.doc_id = c.a_id
@@ -4266,10 +4266,13 @@ object Queries {
     * [[Streaming.closedSessions]]'s `flatMapGroupsWithState` with an
     * EVENT-TIME timeout, which `session_window` (q_sessionize) cannot
     * express: sessions are emitted exactly once, ON CLOSE, from custom
-    * per-user state. The landing dir is staged as THREE files read at
-    * `maxFilesPerTrigger=1` (one file = one micro-batch): the fixture,
-    * then two single-row far-future sentinel files for ONE sentinel
-    * user, the second within the session gap of the first. Spark
+    * per-user state. The landing dir is staged as time-ordered files
+    * read at `maxFilesPerTrigger=1` (one file = one micro-batch): the
+    * fixture (one byte-identical file, or ascending event-time RANGE
+    * files when the fixture is a multi-file directory — see the
+    * restaging note inline), then two single-row far-future sentinel
+    * files for ONE sentinel user, the second within the session gap of
+    * the first. Spark
     * applies a watermark update one batch AFTER its data, so sentinel
     * 1's batch flushes most fixture sessions and sentinel 2's batch —
     * whose operative watermark comes from sentinel 1's far-future
@@ -4291,18 +4294,63 @@ object Queries {
       val d = java.nio.file.Paths.get(
         s"/root/repo/target/tmp/sess_landing_${java.util.UUID.randomUUID()}")
       java.nio.file.Files.createDirectories(d)
-      stageParquet(java.nio.file.Paths.get(s"$dir/events.parquet"), d, "b0")
-      // sentinel rows must carry ts in the FIXTURE'S OWN encoding (the
-      // stream schema is sniffed from the merged landing dir — a mixed
-      // int64/timestamp dir would fail schema merge): branch exactly as
-      // Tables.events does on the footer type. The legacy-nanos conf is
-      // scoped to this eager schema sniff (restored in the finally);
-      // eventsStream re-establishes it itself if the fixture needs it.
+      val srcPath = java.nio.file.Paths.get(s"$dir/events.parquet")
+      if (!java.nio.file.Files.isDirectory(srcPath))
+        stageParquet(srcPath, d, "b0") // single-file fixture: byte-identical
+      else {
+        // Multi-file fixture (ScaleUp output): raw part files are NOT
+        // time-ordered, and FileStreamSource + maxFilesPerTrigger=1
+        // makes each file a micro-batch — a full-time-range first file
+        // advances the watermark past most later events and the
+        // stateful sessionizer rightly drops them as late (measured at
+        // sf1: 191,898 of 954,650 sessions survived). Restage as
+        // contiguous ascending EVENT-TIME range files — the order a
+        // real stream's files land in — so per-batch watermark
+        // advancement never marks a later file late. Range bounds are
+        // exact integer micros arithmetic; ranges are contiguous, so
+        // cross-batch session opens/closes match the relational oracle
+        // exactly (a timeout-closed session's would-be continuation is
+        // beyond the gap by construction).
+        val ev = Tables.events(s, dir)
+        val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+          max(unix_micros(col("ts"))).as("hi")).head
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val k = 4
+        val span = (hi - lo) / k + 1
+        (0 until k).foreach { i =>
+          val tmp = d.resolve(s"__tmp_b0_$i")
+          ev.filter(unix_micros(col("ts")) >= lo + i * span &&
+              unix_micros(col("ts")) < lo + (i + 1) * span)
+            .coalesce(1).write.parquet(tmp.toString)
+          val entries = {
+            val st = java.nio.file.Files.list(tmp)
+            try {
+              import scala.jdk.CollectionConverters._
+              st.iterator().asScala.toList
+            } finally st.close()
+          }
+          val part = entries
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          java.nio.file.Files.move(part, d.resolve(f"b0_p$i%05d.parquet"))
+          entries.filterNot(_ == part)
+            .foreach(java.nio.file.Files.delete(_))
+          java.nio.file.Files.delete(tmp)
+          Thread.sleep(30) // ascending mod-times → deterministic order
+        }
+      }
+      // sentinel rows must carry ts in the LANDING DIR'S encoding (the
+      // stream schema is sniffed from the merged dir — a mixed
+      // int64/timestamp dir would fail schema merge): probe the staged
+      // b0 files (byte-identical to the fixture in the single-file
+      // path; normalized timestamps in the restaged path). The
+      // legacy-nanos conf is scoped to this eager schema sniff
+      // (restored in the finally); eventsStream re-establishes it
+      // itself if the fixture needs it.
       val tsType = {
         val key = "spark.sql.legacy.parquet.nanosAsLong"
         val prev = s.conf.getOption(key)
         s.conf.set(key, "true")
-        try s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+        try s.read.parquet(d.toString).schema("ts").dataType
         finally prev match {
           case Some(v) => s.conf.set(key, v)
           case None => s.conf.unset(key)
