@@ -2093,6 +2093,46 @@ object Queries {
        |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Bucket cap for [[qNeardupCapped]]: 5 keeps every organic near-dup
+    * bucket in the driver fixtures (sizes 1–3 at sf0.01) while actually
+    * dropping the over-dense ones (one size-6 and one size-8 bucket at
+    * sf0.01; up to 64 at sf0.1; 631 in the sf1 scale fixture) — the
+    * oracle row therefore certifies the DROP path, not just the
+    * pass-through. */
+  private val NeardupMaxBucket = 5
+
+  /** Near-dup candidates under the production LSH bucket-size cap
+    * ([[Sketches.minhashCandidatesCapped]]): over-dense (band, band_key)
+    * buckets — boilerplate templates at corpus scale — are dropped
+    * before the self-join, bounding each bucket's pair fan-out by cap²
+    * BY CONSTRUCTION. The uncapped [[qNearDupMinhash]] stays declared as
+    * ground truth; this row is the shape a 100 TB sweep actually runs. */
+  private def qNeardupCapped(s: SparkSession, dir: String): DataFrame =
+    Sketches.minhashCandidatesCapped(Tables.documents(s, dir), "doc_id", "text",
+      k = ShingleK, m = MinhashM, bands = MinhashBands,
+      maxBucket = NeardupMaxBucket)
+      .orderBy("a_id", "b_id")
+
+  private val qNeardupCappedSql: String = {
+    val rows = MinhashM / MinhashBands
+    val bandSelects = (0 until MinhashBands).map { b =>
+      val cols = (0 until rows).map(r => s"mh_${b * rows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS band_key FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $minhashCte,
+       |bands AS (
+       |  $bandSelects),
+       |bsz AS (SELECT band, band_key, count(*) AS n FROM bands GROUP BY 1, 2),
+       |kept AS (
+       |  SELECT bands.doc_id, bands.band, bands.band_key
+       |  FROM bands JOIN bsz USING (band, band_key)
+       |  WHERE bsz.n <= $NeardupMaxBucket)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS n_bands
+       |FROM kept a
+       |JOIN kept b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** Incremental near-dup — the ONLY near-dup shape that survives a
     * continuously-growing 100 TB corpus: the historical corpus's LSH
     * band table is persisted ONCE as an index artifact (the
@@ -6168,6 +6208,7 @@ object Queries {
     GraftQuery("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
     GraftQuery("q_fingerprint_pairs", qFingerprintPairs, Some(qFingerprintPairsSql)),
     GraftQuery("q_neardup_minhash", qNearDupMinhash, Some(qNearDupMinhashSql)),
+    GraftQuery("q_neardup_capped", qNeardupCapped, Some(qNeardupCappedSql)),
     GraftQuery("q_dedup_clusters", qDedupClusters, Some(qDedupClustersSql)),
     GraftQuery("q_cluster_weights", qClusterWeights, Some(qClusterWeightsSql)),
     GraftQuery("q_neardup_incremental", qNeardupIncremental, Some(qNeardupIncrementalSql)),

@@ -124,6 +124,45 @@ object Sketches {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** [[minhashCandidates]] under the production bucket-size cap: every
+    * (band, band_key) bucket holding more than `maxBucket` ids is
+    * dropped BEFORE the self-join. Over-dense buckets are how LSH dies
+    * at corpus scale — one boilerplate template shared by 10⁵ pages
+    * makes a single bucket quadratic on its own (the sf1 scale fixture
+    * already grows a 631-id bucket ≙ 198k pairs from one key; a real
+    * CommonCrawl shard is worse). The cap bounds every bucket's pair
+    * fan-out by maxBucket² BY CONSTRUCTION, making the join's output
+    * budget linear in the number of buckets — the trade production
+    * dedup pipelines make deliberately: a bucket that dense is either
+    * boilerplate (better handled by exact/substring dedup, which this
+    * toolkit also ships) or a collision cluster whose true near-dup
+    * pairs the other bands still surface.
+    *
+    * Cost of the cap: ONE extra count over the 16-byte band keys,
+    * computed as a window aggregate on exactly the (band, band_key)
+    * partitioning the self-join shuffles to anyway — bucket sizing
+    * never touches document text and adds no extra corpus exchange. */
+  def minhashCandidatesCapped(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, m: Int = 16, bands: Int = 4, maxBucket: Int = 20): DataFrame = {
+    // same materialization contract as minhashCandidates: the band
+    // self-join feeds both sides from this subtree
+    val sig = minhashSignature(docs, idCol, textCol, k, m).localCheckpoint()
+    val bk = minhashBands(sig, idCol, bands, m / bands)
+    val bucketSize = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "band_key")
+    val kept = bk
+      .withColumn("__bsz", count(lit(1)).over(bucketSize))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+    val a = kept.select(col(idCol).as("a_id"), col("band"), col("band_key"))
+    val b = kept.select(col(idCol).as("b_id"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
   /** Benchmark decontamination — the training-pipeline guard against
     * test-set leakage: for every `test` doc, how many of its distinct
     * character k-shingles also occur anywhere in `train` (n-gram

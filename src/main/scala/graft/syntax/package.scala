@@ -80,6 +80,12 @@ package object syntax {
         id: String = "doc_id", text: String = "text"): DataFrame =
       Sketches.minhashCandidates(df, id, text, k, m, bands)
 
+    /** [[Sketches.minhashCandidatesCapped]]: candidates under the
+      * production LSH bucket-size cap. */
+    def nearDupCandidatesCapped(k: Int, m: Int, bands: Int, maxBucket: Int,
+        id: String = "doc_id", text: String = "text"): DataFrame =
+      Sketches.minhashCandidatesCapped(df, id, text, k, m, bands, maxBucket)
+
     /** [[Sketches.fingerprintPairs]]: winnowing near-dup pairs. */
     def fingerprintPairs(minShared: Int = 3, maxDocFreq: Int = 10,
         id: String = "doc_id", text: String = "text"): DataFrame =

@@ -69,6 +69,8 @@ class EmptyInputSpec extends SparkSpec {
     val sig = Sketches.minhashSignature(noDocs, "doc_id", "text", k = 5, m = 16)
     assert(sig.count() == 0)
     assert(Sketches.minhashBands(sig, "doc_id", bands = 4, rowsPerBand = 4).count() == 0)
+    assert(Sketches.minhashCandidatesCapped(noDocs, "doc_id", "text",
+      k = 5, m = 16, bands = 4, maxBucket = 5).count() == 0)
   }
 
   test("curation: funnel, buckets, dsir, bpe, pmi, shared spans on zero documents") {

@@ -32,6 +32,31 @@ class SketchesSpec extends SparkSpec {
       s"unrelated pair surfaced: $cand")
   }
 
+  test("bucket cap drops the over-dense bucket's pairs, keeps organic near-dups") {
+    // 6 exact copies of one template collide on every band → every bucket
+    // they occupy has size ≥ 6; the organic near-dup pair (1,2) lives in
+    // size-2 buckets and must survive the cap
+    val boiler = (10L to 15L).map(i =>
+      (i, "standard site boilerplate footer text repeated across every page " +
+        "of the template with identical navigation and copyright lines"))
+    val mixed = (corpus.as[(Long, String)].collect().toSeq ++ boiler)
+      .toDF("doc_id", "text")
+    val capped = Sketches.minhashCandidatesCapped(mixed, "doc_id", "text",
+      k = 8, m = 16, bands = 4, maxBucket = 5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)), s"organic near-dup pair missing from $capped")
+    assert(!capped.exists { case (a, b) => a >= 10L && b >= 10L },
+      s"over-dense bucket pairs leaked through the cap: $capped")
+    // with a permissive cap the result equals the uncapped operator
+    val uncapped = Sketches.minhashCandidates(mixed, "doc_id", "text",
+      k = 8, m = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wide = Sketches.minhashCandidatesCapped(mixed, "doc_id", "text",
+      k = 8, m = 16, bands = 4, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(wide == uncapped, "permissive cap must be a no-op")
+  }
+
   test("minhash signature is invariant to shingle order/partitioning") {
     val s1 = Sketches.minhashSignature(corpus, "doc_id", "text", 8, 16)
       .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
