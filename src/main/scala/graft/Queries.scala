@@ -2199,9 +2199,28 @@ object Queries {
     * `WHERE doc_id = component_id`. Pointer-jumped label propagation
     * converges in O(log n) rounds; each round shuffles (long, long)
     * rows only. */
-  private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val cand = Sketches.minhashCandidates(Tables.documents(s, dir),
-      "doc_id", "text", k = ShingleK, m = MinhashM, bands = MinhashBands)
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClustersImpl(s, dir, maxBucket = None)
+
+  /** Scale-sweep variant (`q_dedup_clusters_capped`, substituted by
+    * Bench under `SPARK_GRAFT_BENCH_NEARDUP_CAP`): components over
+    * bucket-CAPPED candidate edges — at 100 TB the edge list feeding
+    * connected components is always cap-bounded, or one boilerplate
+    * bucket floods the propagation joins. */
+  def dedupClustersCapped(s: SparkSession, dir: String, maxBucket: Int): DataFrame =
+    dedupClustersImpl(s, dir, Some(maxBucket))
+
+  private def dedupClustersImpl(
+      s: SparkSession, dir: String, maxBucket: Option[Int]): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cand = maxBucket.fold(
+      Sketches.minhashCandidates(docs,
+        "doc_id", "text", k = ShingleK, m = MinhashM, bands = MinhashBands)) {
+      cap =>
+        Sketches.minhashCandidatesCapped(docs,
+          "doc_id", "text", k = ShingleK, m = MinhashM, bands = MinhashBands,
+          maxBucket = cap)
+    }
     Graph.componentSizes(Graph.connectedComponents(cand, "a_id", "b_id"))
       .select(col("id").as("doc_id"), col("component_id"), col("csize"))
       .orderBy("doc_id")
@@ -2250,9 +2269,26 @@ object Queries {
     * collided in ≥1 LSH band — a small fraction of the corpus — so the
     * corpus-side left join shuffles ids only, and the weight column is
     * computed before the join (no corpus-wide window). */
-  private def qClusterWeights(s: SparkSession, dir: String): DataFrame = {
-    val cand = Sketches.minhashCandidates(Tables.documents(s, dir),
-      "doc_id", "text", k = ShingleK, m = MinhashM, bands = MinhashBands)
+  private def qClusterWeights(s: SparkSession, dir: String): DataFrame =
+    clusterWeightsImpl(s, dir, maxBucket = None)
+
+  /** Scale-sweep variant (`q_cluster_weights_capped`, substituted by
+    * Bench under `SPARK_GRAFT_BENCH_NEARDUP_CAP`): keep-one weighting
+    * over components of bucket-CAPPED candidate edges. */
+  def clusterWeightsCapped(s: SparkSession, dir: String, maxBucket: Int): DataFrame =
+    clusterWeightsImpl(s, dir, Some(maxBucket))
+
+  private def clusterWeightsImpl(
+      s: SparkSession, dir: String, maxBucket: Option[Int]): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cand = maxBucket.fold(
+      Sketches.minhashCandidates(docs,
+        "doc_id", "text", k = ShingleK, m = MinhashM, bands = MinhashBands)) {
+      cap =>
+        Sketches.minhashCandidatesCapped(docs,
+          "doc_id", "text", k = ShingleK, m = MinhashM, bands = MinhashBands,
+          maxBucket = cap)
+    }
     val comp = Graph.componentSizes(Graph.connectedComponents(cand, "a_id", "b_id"))
       .select(col("id").as("doc_id"), col("component_id"), col("csize"))
     Tables.documents(s, dir).select("doc_id")
@@ -3061,7 +3097,21 @@ object Queries {
   /** North-star n-gram Jaccard: exact shingle-set Jaccard for the
     * MinHash candidate pairs (the verify stage of an LSH dedup pipeline:
     * cheap candidates first, exact set intersection only on survivors). */
-  private def qJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  private def qJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsImpl(s, dir, maxBucket = None)
+
+  /** Scale-sweep variant of [[qJaccardPairs]] (`q_jaccard_pairs_capped`,
+    * substituted by Bench under `SPARK_GRAFT_BENCH_NEARDUP_CAP`): the
+    * verify stage fed by bucket-CAPPED candidates. The sf10 fixture's
+    * 100-replica cliques make every clique bucket ~100 ids — the
+    * uncapped candidate set (≈25M pairs) OOMs the verify's intersection
+    * aggregation in an 8 GB JVM; production pipelines run the verify
+    * over capped candidates for exactly this reason. */
+  def jaccardPairsCapped(s: SparkSession, dir: String, maxBucket: Int): DataFrame =
+    jaccardPairsImpl(s, dir, Some(maxBucket))
+
+  private def jaccardPairsImpl(
+      s: SparkSession, dir: String, maxBucket: Option[Int]): DataFrame = {
     val docs = Tables.documents(s, dir)
     // one aggregation pass yields signature AND set size; sizes ride the
     // band rows into the candidate join, so no separate sizes scan/joins.
@@ -3071,8 +3121,15 @@ object Queries {
     // signature table as a pipeline stage at real scale.
     val sig = Sketches.minhashSignature(docs, "doc_id", "text", ShingleK, MinhashM)
       .localCheckpoint()
-    val bk = Sketches.minhashBands(sig, "doc_id", MinhashBands,
+    val allBands = Sketches.minhashBands(sig, "doc_id", MinhashBands,
       MinhashM / MinhashBands, carry = Seq("n_shingles"))
+    val bk = maxBucket.fold(allBands) { cap =>
+      val bucketSize = org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "band_key")
+      allBands.withColumn("__bsz", count(lit(1)).over(bucketSize))
+        .filter(col("__bsz") <= cap)
+        .drop("__bsz")
+    }
     val a = bk.select(col("doc_id").as("a_id"), col("band"), col("band_key"),
       col("n_shingles").as("na"))
     val b = bk.select(col("doc_id").as("b_id"), col("band"), col("band_key"),
