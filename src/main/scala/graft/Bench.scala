@@ -63,9 +63,45 @@ object Bench {
     // row for the cap semantics) under their honest *_capped names.
     // Unset (driver runs at sf0.1) = unchanged rows.
     val neardupCap = sys.env.get("SPARK_GRAFT_BENCH_NEARDUP_CAP").map(_.toInt)
+    // scale-sweep cap #3: the ANN knn-join family's declared rows pin
+    // fixture-scale index constants (c = 16 cells, 8-bit buckets,
+    // fixed-fraction samples) that the DuckDB oracle can replay; at
+    // sf ≥ 10 those constants make the self-joins do 100× the pairs
+    // (q_ann_ivf alone: 5·10⁹). SPARK_GRAFT_BENCH_ANN_SCALED=1 benches
+    // the *_scaled variants instead, sized from the measured corpus
+    // count by MIGRATION.md's own rules: bits ≈ log2(N/50), c ≈ √N,
+    // eval anchors a fixed COUNT (~1000). Unset (driver at sf0.1) =
+    // unchanged rows.
+    val annScaled = sys.env.get("SPARK_GRAFT_BENCH_ANN_SCALED").contains("1")
+    lazy val nVec = Tables.embeddings(spark, sfDir).count()
+    lazy val bitsScaled =
+      math.max(8, math.ceil(math.log(nVec / 50.0) / math.log(2)).toInt)
+    lazy val cScaled = math.max(16, math.ceil(math.sqrt(nVec.toDouble)).toInt)
+    lazy val evalMod = math.max(20L, nVec / 1000L)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map {
+        case ("q_ann_lsh", _) if annScaled =>
+          ("q_ann_lsh_scaled",
+            (s: SparkSession, d: String) => Queries.annLshScaled(s, d, bitsScaled))
+        case ("q_ann_multiprobe", _) if annScaled =>
+          ("q_ann_multiprobe_scaled",
+            (s: SparkSession, d: String) => Queries.annMultiprobeScaled(s, d, bitsScaled))
+        case ("q_ann_lsh_multi", _) if annScaled =>
+          ("q_ann_lsh_multi_scaled",
+            (s: SparkSession, d: String) => Queries.annLshMultiScaled(s, d, bitsScaled))
+        case ("q_ann_ivf", _) if annScaled =>
+          ("q_ann_ivf_scaled",
+            (s: SparkSession, d: String) => Queries.annIvfScaled(s, d, cScaled))
+        case ("q_semantic_dedup", _) if annScaled =>
+          ("q_semantic_dedup_scaled",
+            (s: SparkSession, d: String) => Queries.semanticDedupScaled(s, d, cScaled))
+        case ("q_ann_recall", _) if annScaled =>
+          ("q_ann_recall_scaled",
+            (s: SparkSession, d: String) => Queries.annRecallScaled(s, d, evalMod))
+        case ("q_contrastive_pairs", _) if annScaled =>
+          ("q_contrastive_pairs_scaled",
+            (s: SparkSession, d: String) => Queries.contrastivePairsScaled(s, d, evalMod))
         case ("q_knn_join", _) if knnSample.isDefined =>
           ("q_knn_join_sampled",
             (s: SparkSession, d: String) => Queries.knnJoinSampled(s, d, knnSample.get))
@@ -81,10 +117,15 @@ object Bench {
         case other => other
       }
 
-    // untimed warmup: plan + execute each query once
+    // untimed warmup: plan + execute each query once. The per-query
+    // stderr line is long-sweep visibility (a multi-hour sf10 run with
+    // zero output until the end is undiagnosable — the r9 sweep sat 25
+    // minutes in one skewed partition with nothing to show for it).
     queries.foreach { case (name, fn) =>
-      try force(fn(spark, sfDir))
-      catch { case e: Throwable =>
+      try {
+        val t = timeOnce(force(fn(spark, sfDir)))
+        System.err.println(f"[bench] warmup $name ok ($t%.1fs)")
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
     }
@@ -95,8 +136,11 @@ object Bench {
     // toward the minimum (round-2 advice).
     val results = queries.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
-        try timeOnce(force(fn(spark, sfDir)))
-        catch { case _: Throwable => -1.0 }
+        try {
+          val t = timeOnce(force(fn(spark, sfDir)))
+          System.err.println(f"[bench] timed $name ($t%.1fs)")
+          t
+        } catch { case _: Throwable => -1.0 }
       }
       val ok = times.filter(_ >= 0).sorted
       if (ok.length < runs)

@@ -2024,6 +2024,91 @@ object Queries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ------------------------------------- ANN scale-sweep variants ---------
+
+  /** Scale-sweep ANN variants (substituted by Bench under
+    * `SPARK_GRAFT_BENCH_ANN_SCALED=1`, honest `*_scaled` names).
+    *
+    * The declared ANN rows pin SMALL-SCALE operating points (c = 16
+    * cells, 8-bit buckets, fixed-FRACTION eval samples) because the
+    * DuckDB oracle must replay them affordably. Those constants do not
+    * survive 100×: a bucketed/celled knn SELF-join does N²/buckets work,
+    * so holding buckets fixed while N grows 100× grows the scored-pair
+    * set 100× — measured at sf10, q_ann_ivf's 5·10⁹-pair join sat 25
+    * minutes in one WindowGroupLimit partition. The scaled variants size
+    * the index from the corpus the way MIGRATION.md's rules say to —
+    * bits ≈ log2(N/target_bucket_rows), c ≈ √N, eval anchors/samples a
+    * fixed COUNT (not fraction) — so scale sweeps measure whether the
+    * PLAN survives, not whether a fixture-sized constant does. */
+  def annLshScaled(s: SparkSession, dir: String, bits: Int): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    VectorSearch.bucketedKnnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim, bits = bits)
+      .orderBy("query_id", "rank")
+  }
+
+  def annMultiprobeScaled(s: SparkSession, dir: String, bits: Int): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    VectorSearch.multiProbeKnnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim, bits = bits, flips = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  def annLshMultiScaled(s: SparkSession, dir: String, bits: Int): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    VectorSearch.multibandKnnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim,
+      bits = bits, bands = LshMultiBands)
+      .orderBy("query_id", "rank")
+  }
+
+  def annIvfScaled(s: SparkSession, dir: String, c: Int): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val centroids = centroidCache.computeIfAbsent(s"$dir#$c",
+      _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", c, Metric.Cosine))
+    VectorSearch.ivfKnnJoin(emb, emb, "embedding", "vec_id", Metric.Cosine,
+      k = KnnJoinK, c = c, nProbes = 2, centroids = Some(centroids))
+      .orderBy("query_id", "rank")
+  }
+
+  def semanticDedupScaled(s: SparkSession, dir: String, c: Int): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val centroids = centroidCache.computeIfAbsent(s"$dir#$c",
+      _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", c, Metric.Cosine))
+    VectorSearch.semanticDedup(emb, "embedding", "vec_id", Metric.Cosine,
+      tau = SemDedupTau, c = c, centroids = Some(centroids))
+      .orderBy("vec_id")
+  }
+
+  def annRecallScaled(s: SparkSession, dir: String, mod: Long): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % mod === 0)
+    val exact = VectorSearch.knnJoin(queries, emb, "embedding", "vec_id",
+      Metric.Cosine, k = KnnJoinK, excludeSelf = true)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = VectorSearch.multibandKnnJoin(queries, emb, "embedding", "vec_id",
+      Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim,
+      bits = RecallBits, bands = RecallBands)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(ann, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("__h"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("__h"), lit(0L)))
+      .withColumn("recall_milli", expr("(n_hits * 1000) div n_exact"))
+      .select("query_id", "n_exact", "n_hits", "recall_milli")
+      .orderBy("query_id")
+  }
+
+  def contrastivePairsScaled(s: SparkSession, dir: String, mod: Long): DataFrame =
+    Contrastive.minePairs(
+      Tables.embeddings(s, dir).select("vec_id", "embedding"),
+      "embedding", "vec_id", Metric.Cosine,
+      anchorFilter = col("vec_id") % mod === 0,
+      nPos = 1, hardStart = PairsHardStart, nHard = PairsNHard,
+      nRandom = PairsNRandom)
+      .orderBy("anchor_id", "pair_type", "pair_rank")
+
   // ------------------------------------------------------------ sketches ---
 
   private val ShingleK = 8
