@@ -140,7 +140,10 @@ object Bench {
           val t = timeOnce(force(fn(spark, sfDir)))
           System.err.println(f"[bench] timed $name ($t%.1fs)")
           t
-        } catch { case _: Throwable => -1.0 }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] timed $name failed: ${e.getMessage}")
+          -1.0
+        }
       }
       val ok = times.filter(_ >= 0).sorted
       if (ok.length < runs)
