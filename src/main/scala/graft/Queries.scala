@@ -3988,7 +3988,14 @@ object Queries {
     confs.foreach { case (k, v) => s.conf.set(k, v) }
     try {
       val q = start
-      if (!q.awaitTermination(600000)) {
+      // 600s covers every fixture drain with 30× headroom at sf ≤ 0.1;
+      // scale sweeps (10M-event landing dirs, stream-stream join state)
+      // legitimately need more wall — raise via env rather than weaken
+      // the guard for everyone (a hung stream past the cap is still a
+      // bug signal, and stop() on a mid-batch stream can destabilize
+      // the whole context, so the cap must stay ABOVE any honest drain).
+      val capMs = sys.env.getOrElse("SPARK_GRAFT_DRAIN_TIMEOUT_MS", "600000").toLong
+      if (!q.awaitTermination(capMs)) {
         q.stop()
         throw new IllegalStateException(s"$name: stream did not drain")
       }
@@ -4251,26 +4258,37 @@ object Queries {
       |         AS value_milli_sum
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val pairsPubCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def qStreamPairs(s: SparkSession, dir: String): DataFrame = {
     val landing = eventsLanding(dir)
-    val sink = s"q_stream_pairs_sink_${math.abs(dir.hashCode)}"
-    if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+    val pub = pairsPubCache.computeIfAbsent(dir, _ =>
+      s"/root/repo/target/tmp/pairs_pub_${java.util.UUID.randomUUID()}")
     val ev = Streaming.eventsStream(s, landing).withWatermark("ts", "1 hour")
     // inner stream-stream joins emit each pair in the micro-batch where
     // both rows arrive (no watermark holdback), so the trailing no-data
     // watermark-advance batch does pure state-eviction bookkeeping here
     // — skip it (it cannot change the result set)
+    //
+    // Pairs publish through the exactly-once parquet sink, NOT a memory
+    // sink: the pair stream is corpus-scale (events × within-window
+    // mates), and a memory sink is a driver-side collect of all of it —
+    // at the sf10 sweep it died on spark.driver.maxResultSize (1.2 GiB
+    // of serialized pairs) after GC-thrashing the 600s drain guard. The
+    // downstream (a_type, b_type) rollup aggregates from the published
+    // files, executor-side.
     drainStream(s, 8, "q_stream_pairs",
         Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) {
       Streaming.correlatedPairs(ev, ev, withinSeconds = 86400)
         .writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          Streaming.idempotentPublish(batch, id, pub)
+        }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
-    s.table(sink)
+    Streaming.readPublished(s, pub)
       .groupBy("a_type", "b_type")
       .agg(count(lit(1)).as("n_pairs"), sum("gap_micros").as("gap_micros_sum"))
       .orderBy("a_type", "b_type")
