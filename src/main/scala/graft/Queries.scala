@@ -4072,8 +4072,11 @@ object Queries {
     * relational SELECT DISTINCT. */
   private def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
     val landing = eventsLanding(dir)
-    val sink = s"q_stream_dedup_sink_${math.abs(dir.hashCode)}"
-    if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+    // publish sink, not memory: first-seen keys are corpus-scale (a
+    // memory sink would collect them all driver-side — the
+    // q_stream_pairs sf10 failure mode)
+    val pub = dedupPubCache.computeIfAbsent(dir, _ =>
+      s"/root/repo/target/tmp/dedup_pub_${java.util.UUID.randomUUID()}")
     drainStream(s, 8, "q_stream_dedup") {
       Streaming.dedupStream(
           Streaming.eventsStream(s, landing)
@@ -4081,14 +4084,17 @@ object Queries {
           Seq("user_id", "event_type"), watermark = Some("1 hour"))
         .select("user_id", "event_type")
         .writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          Streaming.idempotentPublish(batch, id, pub)
+        }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
-    s.table(sink).orderBy("user_id", "event_type")
+    Streaming.readPublished(s, pub).orderBy("user_id", "event_type")
   }
+
+  private val dedupPubCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val qStreamDedupSql: String =
     """SELECT DISTINCT user_id, event_type
@@ -4120,10 +4126,16 @@ object Queries {
     * the all-BIGINT cross-multiply `milli·n > Σmilli` — no division, no
     * float threshold, so the flag is bit-deterministic cross-engine.
     * Oracle: the same profile and cross-multiply replayed relationally. */
+  private val enrichPubCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def qStreamEnrich(s: SparkSession, dir: String): DataFrame = {
     val landing = eventsLanding(dir)
-    val sink = s"q_stream_enrich_sink_${math.abs(dir.hashCode)}"
-    if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+    // publish sink, not memory: enriched rows are event-scale (the
+    // q_stream_pairs sf10 failure mode); the per-type rollup aggregates
+    // from the published files executor-side
+    val pub = enrichPubCache.computeIfAbsent(dir, _ =>
+      s"/root/repo/target/tmp/enrich_pub_${java.util.UUID.randomUUID()}")
     val profile = Tables.events(s, dir)
       .select(col("event_type"),
         floor(col("value") * 1000).cast("long").as("milli"))
@@ -4139,13 +4151,13 @@ object Queries {
           (col("milli") * col("type_n") > col("type_milli_sum"))
             .cast("int").as("above_mean"))
         .writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          Streaming.idempotentPublish(batch, id, pub)
+        }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
-    s.table(sink)
+    Streaming.readPublished(s, pub)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         sum("above_mean").as("n_above_mean"),
@@ -4321,24 +4333,29 @@ object Queries {
         "embeddings")
       d.toString
     })
-    val sink = s"q_stream_index_sink_${math.abs(dir.hashCode)}"
-    if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
-    val q = VectorSearch.lshBucketTable(
-        Streaming.embeddingsStream(s, landing), "embedding", "vec_id",
-        Metric.Cosine, EmbeddingDim, bits = LshMultiBits, bands = IndexBands)
-      .select(col("vec_id"), col("band").cast("long").as("band"), col("bucket"))
-      .writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(600000)) {
-      q.stop()
-      throw new IllegalStateException("q_stream_index: stream did not drain")
+    // publish sink, not memory: the streamed index table is
+    // corpus × bands rows (the q_stream_pairs sf10 failure mode) — and
+    // publishing IS the operator's real contract (a streamed index is
+    // served from storage, not from driver memory)
+    val pub = streamIndexPubCache.computeIfAbsent(dir, _ =>
+      s"/root/repo/target/tmp/stream_index_pub_${java.util.UUID.randomUUID()}")
+    drainStream(s, 8, "q_stream_index") {
+      VectorSearch.lshBucketTable(
+          Streaming.embeddingsStream(s, landing), "embedding", "vec_id",
+          Metric.Cosine, EmbeddingDim, bits = LshMultiBits, bands = IndexBands)
+        .select(col("vec_id"), col("band").cast("long").as("band"), col("bucket"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          Streaming.idempotentPublish(batch, id, pub)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
     }
-    s.table(sink).orderBy("vec_id", "band")
+    Streaming.readPublished(s, pub).orderBy("vec_id", "band")
   }
+
+  private val streamIndexPubCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   // def, not val: qIndexAppendSql (the full-rebuild replay) initializes
   // earlier in the file but keep the reference lazy for safety
@@ -4416,23 +4433,26 @@ object Queries {
         "embeddings")
       d.toString
     })
-    val sink = s"q_stream_codes_sink_${math.abs(dir.hashCode)}"
-    if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
-    val q = VectorSearch.pqEncode(
-        Streaming.embeddingsStream(s, landing), "embedding", "vec_id",
-        cbs, Metric.Cosine)
-      .writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(600000)) {
-      q.stop()
-      throw new IllegalStateException("q_stream_codes: stream did not drain")
+    // publish sink, not memory: codes are corpus-scale, and published
+    // parquet IS the PQ code table's serving layout
+    val pub = streamCodesPubCache.computeIfAbsent(dir, _ =>
+      s"/root/repo/target/tmp/stream_codes_pub_${java.util.UUID.randomUUID()}")
+    drainStream(s, 8, "q_stream_codes") {
+      VectorSearch.pqEncode(
+          Streaming.embeddingsStream(s, landing), "embedding", "vec_id",
+          cbs, Metric.Cosine)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          Streaming.idempotentPublish(batch, id, pub)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
     }
-    s.table(sink).orderBy("vec_id")
+    Streaming.readPublished(s, pub).orderBy("vec_id")
   }
+
+  private val streamCodesPubCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val qStreamCodesSql: String = {
     val sSub = EmbeddingDim / PqM
@@ -4591,22 +4611,27 @@ object Queries {
       }
       d.toString
     })
-    val sink = s"q_stream_sessions_sink_${math.abs(dir.hashCode)}"
-    if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+    // publish sink, not memory: closed sessions are corpus-scale (the
+    // q_stream_pairs sf10 failure mode)
+    val pub = sessionsPubCache.computeIfAbsent(dir, _ =>
+      s"/root/repo/target/tmp/sessions_pub_${java.util.UUID.randomUUID()}")
     drainStream(s, 8, "q_stream_sessions") {
       Streaming.closedSessions(
           Streaming.eventsStream(s, landing, maxFilesPerTrigger = Some(1)),
           gapSecs = 1800L, watermark = "1 hour")
         .toDF()
         .writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          Streaming.idempotentPublish(batch, id, pub)
+        }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
-    s.table(sink).orderBy("user_id", "session_start_epoch")
+    Streaming.readPublished(s, pub).orderBy("user_id", "session_start_epoch")
   }
+
+  private val sessionsPubCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val qStreamSessionsSql: String =
     """WITH e AS (
