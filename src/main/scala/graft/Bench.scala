@@ -79,17 +79,36 @@ object Bench {
     lazy val cScaled = math.max(16, math.ceil(math.sqrt(nVec.toDouble)).toInt)
     lazy val evalMod = math.max(20L, nVec / 1000L)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map {
+      .map { orig => (orig._1, orig match {
         case ("q_ann_lsh", _) if annScaled =>
           ("q_ann_lsh_scaled",
             (s: SparkSession, d: String) => Queries.annLshScaled(s, d, bitsScaled))
         case ("q_ann_multiprobe", _) if annScaled =>
           ("q_ann_multiprobe_scaled",
             (s: SparkSession, d: String) => Queries.annMultiprobeScaled(s, d, bitsScaled))
+        // the sweep's multiband serving row runs CAPPED (factor 4× mean
+        // bucket occupancy) — the r9 sweep measured the uncapped form
+        // spending 427s (19% of the whole sweep) in one 17×-mean hot
+        // bucket; the cap is the production shape (q_ann_capped is its
+        // oracle row, q_ann_recall_capped its recall certificate)
         case ("q_ann_lsh_multi", _) if annScaled =>
-          ("q_ann_lsh_multi_scaled",
-            (s: SparkSession, d: String) => Queries.annLshMultiScaled(s, d, bitsScaled))
+          ("q_ann_lsh_multi_capped",
+            (s: SparkSession, d: String) =>
+              Queries.annLshMultiScaled(s, d, bitsScaled, Some(4.0)))
+        // second operating point on the factor curve: a 2× cap trades
+        // more tail recall for less pair work — benched so MIGRATION.md's
+        // factor guidance carries two measured points, not one
+        case ("q_ann_capped", _) if annScaled =>
+          ("q_ann_capped_scaled",
+            (s: SparkSession, d: String) =>
+              Queries.annLshMultiScaled(s, d, bitsScaled, Some(2.0)))
+        // recall of the CAPPED scaled serving config against exact top-k
+        // on a fixed-count sample — the sweep's recall number for the
+        // capped row is measured, not argued
+        case ("q_ann_recall_capped", _) if annScaled =>
+          ("q_ann_recall_capped_scaled",
+            (s: SparkSession, d: String) =>
+              Queries.annRecallCappedScaled(s, d, evalMod, bitsScaled, 4.0))
         case ("q_ann_ivf", _) if annScaled =>
           ("q_ann_ivf_scaled",
             (s: SparkSession, d: String) => Queries.annIvfScaled(s, d, cScaled))
@@ -115,7 +134,15 @@ object Bench {
           ("q_cluster_weights_capped",
             (s: SparkSession, d: String) => Queries.clusterWeightsCapped(s, d, neardupCap.get))
         case other => other
-      }
+      }) }
+      // ONLY filter runs AFTER the scale-sweep substitution and accepts
+      // EITHER the original or the substituted name (r9 ADVICE: filtering
+      // by the honest substituted row names — q_ann_ivf_scaled,
+      // q_knn_join_sampled, … — silently selected nothing because the
+      // filter ran on the pre-substitution names).
+      .filter { case (origName, (name, _)) =>
+        only.forall(s => s.contains(origName) || s.contains(name)) }
+      .map(_._2)
 
     // untimed warmup: plan + execute each query once. The per-query
     // stderr line is long-sweep visibility (a multi-hour sf10 run with

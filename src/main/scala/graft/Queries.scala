@@ -776,11 +776,11 @@ object Queries {
     * each `v_i` is referenced twice (pairs + rewrite), so DuckDB's
     * default inlining would re-evaluate the chain 2^rounds times —
     * measured as a hang at 8 rounds even on the 500-doc fixture. */
-  private def bpeRoundsCtes(rounds: Int): String = {
+  private def bpeRoundsCtes(rounds: Int, src: String = "documents"): String = {
     val head = Seq(
-      """bwords AS MATERIALIZED (
+      s"""bwords AS MATERIALIZED (
         |  SELECT lang, unnest(string_split_regex(trim(text), ' +')) AS w
-        |  FROM documents)""".stripMargin,
+        |  FROM $src)""".stripMargin,
       """v0 AS MATERIALIZED (
         |  SELECT w, CAST(count(*) AS BIGINT) AS f,
         |         chr(1) || regexp_replace(w, '(.)', '\1' || chr(1), 'g') AS sp
@@ -1210,8 +1210,14 @@ object Queries {
     element_at(array(lit("www."), lit("cdn."), lit(""), lit("a.b.")),
       (docId % 4 + 1).cast("int")),
     when(docId % 6 === 0, upper(source)).otherwise(source),
-    element_at(array(lit(".org"), lit(".net"), lit(".io")),
-      (docId % 3 + 1).cast("int")),
+    // .co.uk branch: multi-label public suffix so q_host_stats exercises
+    // the PSL apex path (shop.example.co.uk-class hosts), not just the
+    // last-two-labels fallback. The selector is (doc_id // 4) % 4, NOT
+    // doc_id % 4: the fixture's source column is doc_id % 20, so a %4
+    // TLD would be CONSTANT per source (and per subdomain prefix),
+    // silently killing the q_url_filter blocklist drop path.
+    element_at(array(lit(".org"), lit(".net"), lit(".io"), lit(".co.uk")),
+      (shiftright(docId, 2) % 4 + 1).cast("int")),
     when(docId % 5 === 0, lit(":8080")).otherwise(lit("")),
     lit("/d/"), docId.cast("string"),
     when(docId % 2 === 0, lit("?ref=1")).otherwise(lit("")))
@@ -1221,7 +1227,7 @@ object Queries {
       | || CASE WHEN doc_id % 11 = 0 THEN 'user:pw@' ELSE '' END
       | || CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.' WHEN 2 THEN '' ELSE 'a.b.' END
       | || CASE WHEN doc_id % 6 = 0 THEN upper(source) ELSE source END
-      | || CASE doc_id % 3 WHEN 0 THEN '.org' WHEN 1 THEN '.net' ELSE '.io' END
+      | || CASE (doc_id // 4) % 4 WHEN 0 THEN '.org' WHEN 1 THEN '.net' WHEN 2 THEN '.io' ELSE '.co.uk' END
       | || CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END
       | || '/d/' || doc_id || CASE WHEN doc_id % 2 = 0 THEN '?ref=1' ELSE '' END"""
       .stripMargin.replace("\n", "")
@@ -1233,6 +1239,11 @@ object Queries {
     s"""CASE WHEN regexp_extract($h, '([^.]+\\.[^.]+)$$', 1) = '' THEN $h
        |     ELSE regexp_extract($h, '([^.]+\\.[^.]+)$$', 1) END"""
       .stripMargin.replace("\n", "")
+
+  /** The [[Web.PublicSuffixes]] subset as a DuckDB list literal, for
+    * oracle replays of the PSL-aware apex ([[Web.apexDomainPsl]]). */
+  private val PslListSql: String =
+    graft.operators.Web.PublicSuffixes.map(sx => s"'$sx'").mkString("[", ",", "]")
 
   /** Per-host crawl statistics ([[Web.hostStats]]) — the curator's view
     * for spotting spam farms: host extracted by the shared-dialect
@@ -1251,13 +1262,27 @@ object Queries {
        |  SELECT regexp_extract(lower($syntheticUrlSql), '${Web.HostPattern}', 1) AS host,
        |         lang, n_chars,
        |         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_toks
-       |  FROM documents)
-       |SELECT host, ${apexSql("host")} AS apex,
-       |       CAST(count(*) AS BIGINT) AS n_docs,
-       |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
-       |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-       |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-       |FROM u GROUP BY host ORDER BY host""".stripMargin
+       |  FROM documents),
+       |g AS (
+       |  SELECT host,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+       |  FROM u GROUP BY host),
+       |s AS (
+       |  SELECT *, list_transform(range(1, len(string_split(host, '.')) + 1),
+       |                           i -> array_to_string(string_split(host, '.')[i:], '.')) AS __sufs
+       |  FROM g),
+       |m AS (
+       |  SELECT *, list_filter(__sufs, x -> list_contains($PslListSql, x)) AS __m
+       |  FROM s)
+       |SELECT host,
+       |       CASE WHEN len(__m) = 0 THEN ${apexSql("host")}
+       |            WHEN list_position(__sufs, __m[1]) = 1 THEN host
+       |            ELSE __sufs[list_position(__sufs, __m[1]) - 1] END AS apex,
+       |       n_docs, n_chars, n_tokens, n_langs
+       |FROM m ORDER BY host""".stripMargin
 
   /** The q_url_filter blocklist: two apex domains (subdomains inherit
     * the block) and one exact subdomain host (its siblings survive). */
@@ -1535,6 +1560,152 @@ object Queries {
        |SELECT query_id, neighbor_id, score, rank
        |FROM r WHERE rank <= $KnnJoinK
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Bucket-cap factor for [[qAnnCapped]] — the serving default
+    * (MIGRATION.md "Bucket caps"): corpus-side (band, bucket)s denser
+    * than 4× the mean occupancy are dropped before the join. 4× keeps
+    * every organically-sized bucket in the fixtures (sf0.01: mean 2.35,
+    * p99 7) while actually dropping the over-dense tail (sf0.01 max 13;
+    * the sf10 sweep measured a 17×-mean hot bucket doing 290× a mean
+    * bucket's pair work) — so the oracle row certifies the DROP path,
+    * not just the pass-through, at every fixture scale, because the cap
+    * is RELATIVE and self-sizes. */
+  private val AnnCapFactor = 4.0
+
+  /** Tighter factor for [[qAnnRecallCapped]]: at the recall operating
+    * point (4-bit × 16-band) the sf0.01 occupancy is mean 31.25 /
+    * max 72, so 4× (cap 125) would drop NOTHING and certify nothing —
+    * 2× (cap 62.5) drops the measured 63–72-row tail while the dropped
+    * vectors keep their other 15 bands, which is exactly the
+    * graceful-decay claim the row exists to certify. */
+  private val RecallCapFactor = 2.0
+
+  /** The capped multiband ANN serving row —
+    * [[VectorSearch.multibandKnnJoin]] with its production bucket-size
+    * cap engaged ([[AnnCapFactor]]× mean occupancy, whole-bucket drop),
+    * certifying the cap semantics through the hash gate the way
+    * [[qNeardupCapped]] certifies the text cap: the oracle replays
+    * bucket sizing, the mean threshold, the drop, and the
+    * post-cap candidate/rank pipeline relationally. This is the shape
+    * the 100 TB sweep runs (`q_ann_lsh_multi_capped`): sign-LSH
+    * occupancy skew makes the uncapped join's hottest bucket quadratic
+    * on its own (r9 sweep: 427s, 19% of the whole sweep, on one
+    * 17×-mean bucket). */
+  private def qAnnCapped(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    VectorSearch.multibandKnnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim,
+      bits = LshMultiBits, bands = LshMultiBands,
+      maxBucketFactor = Some(AnnCapFactor))
+      .orderBy("query_id", "rank")
+  }
+
+  private val qAnnCappedSql: String = {
+    val score = Oracle.dot("a.nemb", "b.nemb", EmbeddingDim)
+    val bandBranches = (0 until LshMultiBands).map { band =>
+      s"SELECT vec_id, nemb, $band AS band, " +
+        s"${Oracle.lshBucketBand("nemb", EmbeddingDim, LshMultiBits, band)} AS bucket FROM n"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |nb AS (
+       |  $bandBranches),
+       |bs AS (SELECT band, bucket, count(*) AS n FROM nb GROUP BY 1, 2),
+       |thr AS (SELECT avg(n) AS meanb FROM bs),
+       |kept AS (
+       |  SELECT nb.vec_id, nb.nemb, nb.band, nb.bucket
+       |  FROM nb JOIN bs USING (band, bucket) CROSS JOIN thr
+       |  WHERE CAST(bs.n AS DOUBLE) <= $AnnCapFactor * thr.meanb),
+       |p AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, max($score) AS score
+       |  FROM nb a JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
+       |                       AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM p)
+       |SELECT query_id, neighbor_id, score, rank
+       |FROM r WHERE rank <= $KnnJoinK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Recall of the CAPPED multiband ANN vs exact top-k — the
+    * re-certification the cap demands ([[qAnnRecall]]'s eval shape with
+    * [[VectorSearch.multibandKnnJoin]]'s `maxBucketFactor` engaged at
+    * the pinned recall operating point): a vector in a dropped bucket
+    * keeps its other 15 bands, so recall must decay gracefully, and
+    * this row measures exactly how much through the hash gate
+    * (LshSpec additionally pins mean capped recall ≥ 0.8). Eval shape
+    * unchanged: sample × corpus exact side, never corpus². */
+  private def qAnnRecallCapped(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % RecallSampleMod === 0)
+    val exact = VectorSearch.knnJoin(queries, emb, "embedding", "vec_id",
+      Metric.Cosine, k = KnnJoinK, excludeSelf = true)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = VectorSearch.multibandKnnJoin(queries, emb, "embedding", "vec_id",
+      Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim,
+      bits = RecallBits, bands = RecallBands,
+      maxBucketFactor = Some(RecallCapFactor))
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(ann, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("__h"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("__h"), lit(0L)))
+      .withColumn("recall_milli", expr("(n_hits * 1000) div n_exact"))
+      .select("query_id", "n_exact", "n_hits", "recall_milli")
+      .orderBy("query_id")
+  }
+
+  private val qAnnRecallCappedSql: String = {
+    val score = Oracle.dot("a.nemb", "b.nemb", EmbeddingDim)
+    val bandBranches = (0 until RecallBands).map { band =>
+      s"SELECT vec_id, nemb, $band AS band, " +
+        s"${Oracle.lshBucketBand("nemb", EmbeddingDim, RecallBits, band)} AS bucket FROM n"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |q AS (SELECT * FROM n WHERE vec_id % $RecallSampleMod = 0),
+       |ex AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |                            ORDER BY $score DESC, b.vec_id ASC) AS rank
+       |  FROM q a CROSS JOIN n b WHERE a.vec_id <> b.vec_id),
+       |exk AS (SELECT query_id, neighbor_id FROM ex WHERE rank <= $KnnJoinK),
+       |nb AS (
+       |  $bandBranches),
+       |bs AS (SELECT band, bucket, count(*) AS n FROM nb GROUP BY 1, 2),
+       |thr AS (SELECT avg(n) AS meanb FROM bs),
+       |kept AS (
+       |  SELECT nb.vec_id, nb.nemb, nb.band, nb.bucket
+       |  FROM nb JOIN bs USING (band, bucket) CROSS JOIN thr
+       |  WHERE CAST(bs.n AS DOUBLE) <= $RecallCapFactor * thr.meanb),
+       |qb AS (SELECT * FROM nb WHERE vec_id % $RecallSampleMod = 0),
+       |p AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, max($score) AS score
+       |  FROM qb a JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
+       |                       AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |annk AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                              ORDER BY score DESC, neighbor_id ASC) AS rank
+       |    FROM p) WHERE rank <= $KnnJoinK),
+       |h AS (
+       |  SELECT query_id, count(*) AS n_hits
+       |  FROM exk JOIN annk USING (query_id, neighbor_id) GROUP BY 1)
+       |SELECT e.query_id,
+       |       CAST(count(*) AS BIGINT) AS n_exact,
+       |       CAST(COALESCE(max(h.n_hits), 0) AS BIGINT) AS n_hits,
+       |       CAST((COALESCE(max(h.n_hits), 0) * 1000) // count(*) AS BIGINT)
+       |         AS recall_milli
+       |FROM exk e LEFT JOIN h USING (query_id)
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
   }
 
   /** Multi-probe LSH knn join ([[VectorSearch.multiProbeKnnJoin]], Lv
@@ -2054,12 +2225,41 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
-  def annLshMultiScaled(s: SparkSession, dir: String, bits: Int): DataFrame = {
+  def annLshMultiScaled(s: SparkSession, dir: String, bits: Int,
+      capFactor: Option[Double] = None): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     VectorSearch.multibandKnnJoin(emb, emb, "embedding", "vec_id",
       Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim,
-      bits = bits, bands = LshMultiBands)
+      bits = bits, bands = LshMultiBands, maxBucketFactor = capFactor)
       .orderBy("query_id", "rank")
+  }
+
+  /** Scaled recall eval of the CAPPED serving config: recall of
+    * [[VectorSearch.multibandKnnJoin]] at the SWEEP's own operating
+    * point (corpus-sized `bits`, [[LshMultiBands]] bands, production
+    * cap factor) against exact top-k on a fixed-count query sample —
+    * so the sweep's capped serving row carries a measured recall
+    * number, not an argued one. */
+  def annRecallCappedScaled(s: SparkSession, dir: String, mod: Long,
+      bits: Int, capFactor: Double): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % mod === 0)
+    val exact = VectorSearch.knnJoin(queries, emb, "embedding", "vec_id",
+      Metric.Cosine, k = KnnJoinK, excludeSelf = true)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = VectorSearch.multibandKnnJoin(queries, emb, "embedding", "vec_id",
+      Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim,
+      bits = bits, bands = LshMultiBands,
+      maxBucketFactor = Some(capFactor))
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(ann, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("__h"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("__h"), lit(0L)))
+      .withColumn("recall_milli", expr("(n_hits * 1000) div n_exact"))
+      .select("query_id", "n_exact", "n_hits", "recall_milli")
+      .orderBy("query_id")
   }
 
   def annIvfScaled(s: SparkSession, dir: String, c: Int): DataFrame = {
@@ -6357,7 +6557,9 @@ object Queries {
     GraftQuery("q_bucketed_join", qBucketedJoin, Some(qBucketedJoinSql)),
     GraftQuery("q_ann_lsh", qAnnLsh, Some(qAnnLshSql)),
     GraftQuery("q_ann_lsh_multi", qAnnLshMulti, Some(qAnnLshMultiSql)),
+    GraftQuery("q_ann_capped", qAnnCapped, Some(qAnnCappedSql)),
     GraftQuery("q_ann_recall", qAnnRecall, Some(qAnnRecallSql)),
+    GraftQuery("q_ann_recall_capped", qAnnRecallCapped, Some(qAnnRecallCappedSql)),
     GraftQuery("q_ann_multiprobe", qAnnMultiprobe, Some(qAnnMultiprobeSql)),
     GraftQuery("q_index_append", qIndexAppend, Some(qIndexAppendSql)),
     GraftQuery("q_index_compact", qIndexCompact, Some(qIndexCompactSql)),

@@ -64,8 +64,12 @@ object ScaleUp {
     // wherever j+k coincides (≈45% duplicate ids at 10×10), silently
     // corrupting every uniqueness-dependent query. Scale from the
     // ORIGINAL fixture with a larger factor instead (sf10 = sf0.1×100).
-    val maxKey = spark.read.parquet(s"$in/documents.parquet")
-      .agg(max(col("doc_id"))).head().getLong(0)
+    val maxKeyRow = spark.read.parquet(s"$in/documents.parquet")
+      .agg(max(col("doc_id"))).head()
+    require(!maxKeyRow.isNullAt(0),
+      s"input $in has an empty documents table (max(doc_id) is NULL) — " +
+        "nothing to scale; point SPARK_GRAFT_SCALE_IN at a populated fixture")
+    val maxKey = maxKeyRow.getLong(0)
     require(maxKey < ReplicaOffset,
       s"input $in already carries replica-offset keys (max doc_id $maxKey" +
         s" >= $ReplicaOffset): scale from the original fixture with a" +
@@ -130,10 +134,27 @@ object ScaleUp {
         .withColumn("embedding", rotated)
     }, "embeddings")
 
-    write(replicate(Tables.events(spark, in)) { (df, k) =>
+    // Replicas EXTEND the time axis instead of densifying it (VERDICT r9
+    // "What's missing" #3): replica k's events shift by k·(span + 1h), so
+    // a 10× fixture covers ~10× the wall-clock — how a real crawl grows —
+    // and interval joins / sessionization / watermark sweeps measure plan
+    // scaling, not a manufactured 100×-density window. The old k-ms
+    // jitter densified one month: interval-join matches grew ~factor²/10
+    // (q_range_join 57× at sf10 — a fixture artifact, not a plan cost).
+    // The 1h gap keeps replica boundaries outside any session/window
+    // reach (fixture sessions gap at 30min); offsets stay pure column
+    // arithmetic over deterministic inputs, so the fixture remains
+    // reproducible bit-for-bit.
+    val evIn = Tables.events(spark, in)
+    val spanRow = evIn.agg(
+      min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    require(!spanRow.isNullAt(0),
+      s"input $in has an empty events table — nothing to scale")
+    val spanMicros = spanRow.getLong(1) - spanRow.getLong(0) + 3600L * 1000000L
+    write(replicate(evIn) { (df, k) =>
       df.withColumn("event_id", off("event_id", k))
         .withColumn("user_id", off("user_id", k))
-        .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + lit(k * 1000L)))
+        .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + lit(k * spanMicros)))
     }, "events")
 
     spark.stop()

@@ -188,7 +188,12 @@ object Budget {
       .agg(sum(col(weightCol)).as("__bsum"))
       .withColumn("__bcum", sum(col("__bsum")).over(wBucket))
       .withColumn("__bbefore", col("__bcum") - col("__bsum"))
-      .localCheckpoint()
+      // eager = false: construction stays job-free (merely building a
+      // Budget frame must not trigger a Spark job — r9 ADVICE), while
+      // the LogicalRDD wrapper still guarantees the bounds aggregate
+      // plans ONCE however many union branches join it; the RDD is
+      // materialized-and-cached by the first action that touches it.
+      .localCheckpoint(eager = false)
     withB.join(broadcast(bounds), groupCols :+ "__bucket")
   }
 }

@@ -791,7 +791,29 @@ object VectorSearch {
     * (`bits ≈ log2(N / target_bucket_rows)`) so per-bucket all-pairs
     * stays bounded, then buy recall with `bands`. Deterministic
     * (arithmetic planes) — an oracle replays it as a UNION ALL of the
-    * per-band bucketings. */
+    * per-band bucketings.
+    *
+    * `maxBucketFactor` — the production bucket-size cap (r9 sweep
+    * finding): sign-LSH occupancy is SKEWED on real embeddings (the
+    * sf10 fixture measured max bucket 17× the mean, Σn² 2.6× uniform),
+    * and at corpus scale one hot bucket does quadratic pair work while
+    * the rest of the cluster idles — the same death
+    * [[graft.operators.Sketches.minhashCandidatesCapped]] guards the
+    * text path against. When set, every corpus-side (band, bucket)
+    * whose occupancy exceeds `factor × mean occupancy` is dropped
+    * BEFORE the join, bounding each bucket's pair fan-out by
+    * (factor·mean)·|queries in bucket| BY CONSTRUCTION. The cap is
+    * RELATIVE, not absolute, so one constant self-sizes along the whole
+    * scale curve (a fixed row cap correct at sf0.01's mean of 2.4 rows
+    * is absurd at sf10's mean of 49 and vice versa). Vectors in a
+    * dropped bucket keep their other `bands−1` chances — recall decays
+    * gracefully (certified ≥0.8 through the q_ann_recall_capped oracle
+    * row and LshSpec). The sizing pass is ONE count over the 24-byte
+    * scalar index rows on the (band, bucket) keys the join shuffles to
+    * anyway, plus a 1-row broadcast threshold — bucket sizing never
+    * touches vectors. Whole buckets drop (never a row sample): the
+    * predicate is a pure function of the bucket, so an oracle replays
+    * it exactly and incremental rebuilds stay deterministic. */
   def multibandKnnJoin(
       queries: DataFrame,
       data: DataFrame,
@@ -802,7 +824,8 @@ object VectorSearch {
       dim: Int,
       bits: Int = 8,
       bands: Int = 8,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      maxBucketFactor: Option[Double] = None): DataFrame = {
     // self-knn fast path: when both sides are the same frame, bucket the
     // corpus ONCE and materialize the scalar index (24-byte rows) — the
     // two join sides are differently-named projections, so Catalyst
@@ -814,9 +837,27 @@ object VectorSearch {
     val sharedIdx = if (self) qIdx.localCheckpoint() else qIdx
     val qi = sharedIdx
       .select(col(idCol).as("query_id"), col("band"), col("bucket"))
-    val di = (if (self) sharedIdx
+    val diRaw = (if (self) sharedIdx
               else lshBucketTable(data, vecCol, idCol, metric, dim, bits, bands))
       .select(col(idCol).as("neighbor_id"), col("band"), col("bucket"))
+    val di = maxBucketFactor match {
+      case None => diRaw
+      case Some(f) =>
+        // corpus-side only: a query in a dropped bucket still probes its
+        // other bands (and in the self case the pair vanishes from that
+        // band either way, so capping one side equals capping both).
+        // checkpoint (lazy) so the sizing aggregate and the join feed
+        // from ONE execution of the index subtree.
+        val idx = if (self) diRaw else diRaw.localCheckpoint(eager = false)
+        val thr = idx.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__n"))
+          .agg(avg(col("__n")).as("__meanb"))
+        val wB = Window.partitionBy("band", "bucket")
+        idx.withColumn("__bsz", count(lit(1)).over(wB))
+          .crossJoin(broadcast(thr))
+          .filter(col("__bsz").cast("double") <= lit(f) * col("__meanb"))
+          .drop("__bsz", "__meanb")
+    }
     val joined = qi.join(di, Seq("band", "bucket"))
     val nonSelf =
       if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))

@@ -39,11 +39,99 @@ object Web {
 
   /** Registrable-domain heuristic: the last two labels of the host
     * (`a.b.example.org` → `example.org`); single-label hosts are their
-    * own apex. A public-suffix list upgrade slots in as a broadcast
-    * suffix table via [[hostSuffixes]] — same join shape. */
+    * own apex. WRONG for multi-label public suffixes
+    * (`shop.example.co.uk` → `co.uk`, corrupting per-apex rollups for
+    * ccTLD corpora) — [[apexDomainPsl]] is the production form; this
+    * stays as its fallback for hosts under suffixes the list doesn't
+    * carry. */
   def apexDomain(hostCol: Column): Column = {
     val lastTwo = regexp_extract(hostCol, "([^.]+\\.[^.]+)$", 1)
     when(lastTwo === "", hostCol).otherwise(lastTwo)
+  }
+
+  /** Multi-label public suffixes — a curated subset of the public
+    * suffix list (publicsuffix.org) covering the high-traffic ccTLD
+    * second-level registries. Single-label TLDs are intentionally
+    * absent: for them the registrable domain IS the last two labels,
+    * which is exactly [[apexDomain]]'s fallback, so listing them would
+    * change nothing. Swap in the full PSL (~10k multi-label rows, a
+    * model-sized artifact) via [[suffixesOf]] for production crawls. */
+  val PublicSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "me.uk", "net.uk", "ac.uk", "gov.uk", "sch.uk", "nhs.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz", "geek.nz",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp", "gr.jp", "lg.jp",
+    "co.kr", "or.kr", "ne.kr", "ac.kr", "go.kr", "re.kr", "pe.kr",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br", "blog.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "com.ar", "org.ar", "net.ar", "gob.ar", "edu.ar",
+    "com.tr", "org.tr", "net.tr", "gov.tr", "edu.tr", "web.tr",
+    "co.in", "net.in", "org.in", "gov.in", "ac.in", "firm.in", "gen.in", "ind.in",
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
+    "com.sg", "org.sg", "net.sg", "edu.sg", "gov.sg",
+    "com.hk", "org.hk", "net.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.tw", "org.tw", "net.tw", "edu.tw", "gov.tw", "idv.tw",
+    "co.id", "or.id", "ac.id", "go.id", "web.id", "sch.id",
+    "com.my", "org.my", "net.my", "gov.my", "edu.my",
+    "co.th", "or.th", "ac.th", "go.th", "in.th", "net.th",
+    "com.vn", "org.vn", "net.vn", "edu.vn", "gov.vn", "ac.vn",
+    "com.ph", "org.ph", "net.ph", "gov.ph", "edu.ph",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "com.sa", "org.sa", "net.sa", "edu.sa", "gov.sa", "med.sa",
+    "com.pk", "org.pk", "net.pk", "edu.pk", "gov.pk",
+    "com.eg", "org.eg", "net.eg", "edu.eg", "gov.eg",
+    "com.ng", "org.ng", "net.ng", "edu.ng", "gov.ng",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke",
+    "com.ua", "org.ua", "net.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.pl", "org.pl", "net.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.gr", "org.gr", "net.gr", "edu.gr", "gov.gr",
+    "com.pt", "org.pt", "net.pt", "edu.pt", "gov.pt",
+    "com.es", "org.es", "nom.es", "gob.es", "edu.es",
+    "co.at", "or.at", "ac.at", "gv.at",
+    "com.co", "org.co", "net.co", "edu.co", "gov.co", "nom.co")
+
+  /** Public-suffix-aware registrable domain (the FineWeb/CCNet apex):
+    * the LONGEST suffix of the host present in `suffixes` wins, and the
+    * apex is that suffix plus one preceding label
+    * (`shop.example.co.uk` → `example.co.uk`); a host that IS a listed
+    * suffix is its own apex; hosts matching nothing fall back to the
+    * [[apexDomain]] last-two-labels heuristic (equivalent to every
+    * single-label TLD being listed).
+    *
+    * Scale shape: a pure per-row codegen projection, zero shuffle —
+    * the suffix list ships once in the task closure and each of the
+    * host's ≤label-count dot-suffixes ([[hostSuffixes]]) probes it as
+    * an O(1) InSet hash lookup, the [[urlFilter]] idiom. The full PSL
+    * is ~10k multi-label rows — a model-sized artifact like the trained
+    * classifier weights, never a join side. Longest-match = FIRST
+    * match in the most-specific-first suffix chain, so the whole
+    * resolution is deterministic and an oracle replays it with the
+    * same list. */
+  def apexDomainPsl(hostCol: Column,
+      suffixes: Seq[String] = PublicSuffixes): Column = {
+    val sufs = hostSuffixes(hostCol)
+    val matched = filter(sufs, s => s.isInCollection(suffixes))
+    // try_: an empty match list must yield NULL (-> heuristic fallback),
+    // not an ANSI out-of-bounds error
+    val ps = try_element_at(matched, lit(1))
+    val pos = array_position(sufs, ps)
+    when(ps.isNull, apexDomain(hostCol))
+      .otherwise(when(pos === 1, hostCol)
+        .otherwise(element_at(sufs, (pos - 1).cast("int"))))
+  }
+
+  /** Materialize a suffix TABLE (a maintained full-PSL relation) into
+    * the closure-shipped list [[apexDomainPsl]] consumes. The collect
+    * is bounded by the PSL's own size (~10k rows — model-sized, the
+    * trained-classifier-weights class, never corpus-scale), which is
+    * the right 100 TB trade: one bounded driver read buys a
+    * zero-shuffle per-row apex for the whole corpus, where a join-back
+    * would re-shuffle corpus text for a dictionary lookup. */
+  def suffixesOf(suffixTable: DataFrame): Seq[String] = {
+    val c = suffixTable.columns.head
+    suffixTable.select(col(c).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
   }
 
   /** Every dot-suffix of a host, most-specific first:
@@ -67,7 +155,8 @@ object Web {
     * corpus-side exchange. Hosts are Zipf-skewed; partial aggregation
     * absorbs the head before the shuffle. */
   def hostStats(docs: DataFrame, urlCol: String, textCol: String,
-      nCharsCol: String, langCol: String): DataFrame =
+      nCharsCol: String, langCol: String,
+      suffixes: Seq[String] = PublicSuffixes): DataFrame =
     docs
       .select(host(col(urlCol)).as("host"), col(langCol).as("__lang"),
         col(nCharsCol).as("__nc"), TextOps.tokenCount(col(textCol)).as("__nt"))
@@ -80,7 +169,7 @@ object Web {
         sum("__chars").as("n_chars"),
         sum("__toks").as("n_tokens"),
         count(lit(1)).as("n_langs"))
-      .select(col("host"), apexDomain(col("host")).as("apex"),
+      .select(col("host"), apexDomainPsl(col("host"), suffixes).as("apex"),
         col("n_docs"), col("n_chars"), col("n_tokens"), col("n_langs"))
 
   /** Blocklist URL filter with subdomain inheritance: drop every doc

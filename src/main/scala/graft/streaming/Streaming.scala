@@ -551,6 +551,30 @@ object Streaming {
     def typed(df: DataFrame) = df.select(col("vec_id"),
       col("band").cast("long").as("band"), col("bucket"),
       col("batch_id").cast("long").as("batch_id"))
+    // Layout-break guard (r9 ADVICE): before r9, fragments were FLAT
+    // append files carrying batch_id as a DATA column; since r9 they are
+    // batch_id= partition directories (the idempotentPublish contract).
+    // A fragment dir written partly by each layout would mis-merge (the
+    // flat files' batch_id column vs the dirs' partition values) — fail
+    // loudly instead of serving a corrupted index. Migration: rewrite
+    // flat fragments once via compactingIndexAppend, or compact them
+    // into a snapshot and delete the flat files. See MIGRATION.md.
+    locally {
+      val frag = new org.apache.hadoop.fs.Path(fragDir)
+      val ffs = frag.getFileSystem(spark.sessionState.newHadoopConf())
+      if (ffs.exists(frag)) {
+        val entries = ffs.listStatus(frag)
+        val hasFlat = entries.exists(e =>
+          e.isFile && e.getPath.getName.endsWith(".parquet"))
+        val hasPart = entries.exists(e =>
+          e.isDirectory && e.getPath.getName.startsWith("batch_id="))
+        require(!(hasFlat && hasPart),
+          s"fragment dir $fragDir mixes the pre-r9 flat layout (*.parquet " +
+            "with a batch_id data column) and the r9 batch_id= partition " +
+            "layout; reading both would mis-merge — migrate the flat files " +
+            "(MIGRATION.md 'Streamed-index fragment layout') before serving")
+      }
+    }
     val base = new org.apache.hadoop.fs.Path(compactBase)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     val snaps =

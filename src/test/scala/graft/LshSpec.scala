@@ -153,6 +153,33 @@ class LshSpec extends SparkSpec {
     assert(recall >= 0.8, f"recall below the HNSW-replacement floor: $recall%.3f")
   }
 
+  test("capped multiband candidates are a subset of uncapped (whole buckets drop, nothing is added)") {
+    val uncapped = pairsOf(VectorSearch.multibandKnnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = 1000, dim = Dim, bits = 4, bands = 16))
+    val capped = pairsOf(VectorSearch.multibandKnnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = 1000, dim = Dim, bits = 4, bands = 16,
+      maxBucketFactor = Some(2.0)))
+    assert(capped.subsetOf(uncapped),
+      s"cap invented candidates (${(capped -- uncapped).size} not in uncapped)")
+    // and the fixture's over-dense tail actually gets dropped — the cap
+    // must certify the DROP path, not a pass-through (at 4 bits the
+    // sf0.001 occupancy is mean 31.25 / max 71, so a 2x cap bites)
+    assert(capped.size < uncapped.size,
+      s"cap dropped nothing (${capped.size} == ${uncapped.size} pairs)")
+  }
+
+  test("capped multiband recall@5 >= 0.8 (graceful decay: a dropped bucket keeps its other bands)") {
+    val exact = pairsOf(VectorSearch.knnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = K, excludeSelf = true, broadcastData = true))
+    val capped = pairsOf(VectorSearch.multibandKnnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = K, dim = Dim, bits = 4, bands = 16,
+      maxBucketFactor = Some(2.0)))
+    val recall = (exact intersect capped).size.toDouble / exact.size
+    info(f"capped (2x mean) multiband recall@$K bits=4 bands=16: $recall%.3f")
+    assert(recall >= 0.8,
+      f"bucket cap broke the HNSW-replacement recall floor: $recall%.3f")
+  }
+
   test("multiband top-1 agreement with brute force (the reference's own ANN contract)") {
     // test_v3_features.py:29-46 pins HNSW top-1 == brute-force top-1;
     // the batch replacement should agree for MOST queries (argmax

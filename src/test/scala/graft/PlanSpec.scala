@@ -219,8 +219,12 @@ class PlanSpec extends SparkSpec {
     // keep-whole + boundary branches contribute 2×2 = 4 — the r8 shape
     // re-planned the bounds aggregate per branch too and showed 8 (4
     // input executions, an expensive upstream silently doubled)
+    // upper bound, not exact (r9 ADVICE): the regression guarded against
+    // is MORE scans (the bounds aggregate re-planning the input per
+    // branch showed 8); an extra legitimate footer read or AQE formatting
+    // change must not fail this
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
-    assert(scans == 4, s"expected 2 probe branches x 2-scan input (bounds checkpointed), saw $scans:\n$p")
+    assert(scans <= 4, s"expected at most 2 probe branches x 2-scan input (bounds checkpointed), saw $scans:\n$p")
   }
 
   test("q_shard_assign: the corpus window partitions by bucket, never globally") {
@@ -235,9 +239,10 @@ class PlanSpec extends SparkSpec {
       s"per-row window lost its bucket partitioning:\n$p")
     assert("windowspecdefinition\\(doc_id#\\d+L ASC".r.findFirstIn(p).isEmpty,
       s"global single-partition window over the corpus:\n$p")
-    // one probe scan; the bounds side reads its checkpoint, not parquet
+    // at most one probe scan; the bounds side reads its checkpoint, not
+    // parquet (upper bound, not exact — r9 ADVICE)
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
-    assert(scans == 1, s"expected 1 probe scan (bounds checkpointed), saw $scans:\n$p")
+    assert(scans <= 1, s"expected at most 1 probe scan (bounds checkpointed), saw $scans:\n$p")
   }
 
   test("q_bpe_merge: vocab-first two-level aggregation, joinless, partial top-k") {

@@ -30,6 +30,29 @@ class WebSpec extends SparkSpec {
     assert(got.toSeq == Seq("example.org", "example.org", "localhost", ""))
   }
 
+  test("apexDomainPsl: longest listed suffix wins, apex = suffix + one label") {
+    val got = Seq(
+      "shop.example.co.uk",  // multi-label PSL: apex is example.co.uk, NOT co.uk
+      "example.co.uk",
+      "co.uk",               // the host IS a public suffix -> its own apex
+      "a.b.news.com.au",
+      "a.b.example.org",     // unlisted suffix -> last-two-labels fallback
+      "localhost")
+      .toDF("h").select(Web.apexDomainPsl(col("h"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq(
+      "example.co.uk", "example.co.uk", "co.uk",
+      "news.com.au", "example.org", "localhost"))
+  }
+
+  test("suffixesOf: a suffix TABLE feeds apexDomainPsl identically to the shipped list") {
+    val tbl = Web.PublicSuffixes.toDF("suffix")
+    val fromTable = Web.suffixesOf(tbl)
+    val hosts = Seq("shop.example.co.uk", "x.gov.uk", "a.example.net").toDF("h")
+    val a = hosts.select(Web.apexDomainPsl(col("h"), fromTable)).collect().map(_.getString(0))
+    val b = hosts.select(Web.apexDomainPsl(col("h"))).collect().map(_.getString(0))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("hostSuffixes: every dot-suffix, most-specific first") {
     val got = Seq("a.b.example.org").toDF("h")
       .select(Web.hostSuffixes(col("h"))).head().getSeq[String](0)
