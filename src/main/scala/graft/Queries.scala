@@ -855,6 +855,100 @@ object Queries {
        |       CAST((sum_chars * 1000) // bpe_tokens AS BIGINT) AS chars_per_bpe_milli
        |FROM d JOIN agg USING (lang) ORDER BY lang""".stripMargin
 
+  /** Apply-side BPE rounds for oracle replays: chained `replace`s of
+    * each learned merge `m_i` over a spaced-vocab CTE `(…, sp)` named
+    * `$src0` — the SQL mirror of [[TextOps.bpeApplySpaced]], reusing
+    * the same chr(2) no-op coalesce as [[bpeRoundsCtes]]. Emits CTEs
+    * `${src0}_1 … ${src0}_rounds`. */
+  private def bpeApplyCtes(rounds: Int, src0: String, carry: String): String =
+    (0 until rounds).map { i =>
+      val prev = if (i == 0) src0 else s"${src0}_$i"
+      s"""${src0}_${i + 1} AS MATERIALIZED (
+         |  SELECT $carry, replace(sp,
+         |    COALESCE((SELECT chr(1)||a||chr(1)||b||chr(1) FROM m$i), chr(2)),
+         |    COALESCE((SELECT chr(1)||a||b||chr(1) FROM m$i), chr(2))) AS sp
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+
+  /** The FineWeb-shaped funnel end-to-end, certified as ONE oracle row
+    * (the [[qCorpusPipeline]] contract widened to the r9/r10 surface):
+    * URL blocklist gate ([[Web.urlFilter]]) → quality filter
+    * ([[TextOps.qualityMetrics]]) → exact dedup keeping the min-id copy
+    * ([[TextOps.dedupExact]]) → deterministic split
+    * ([[Splits.assignSplit]]) → BPE merges learned on the TRAIN split
+    * only ([[TextOps.bpeLearnMerges]]) → per-(split, lang) tokenizer
+    * fertility over the learned subwords
+    * ([[TextOps.tokenizerFertilityBpe]]). Six operator families, each
+    * certified alone elsewhere; this row certifies their COMPOSITION —
+    * that ids, columns, and filters survive assembly, and that the
+    * tokenizer-vs-corpus split flow (train-learned merges applied to
+    * val/test text) is plumbed the way a real pipeline runs it. */
+  private def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("url", syntheticUrl(col("doc_id"), col("source")))
+    val urlKept = Web.urlFilter(docs, "url", BlockedHosts)
+    val okIds = TextOps.qualityMetrics(urlKept, "doc_id", "text", "n_chars")
+      .filter(col("quality_ok") === 1)
+      .select("doc_id")
+    val kept = urlKept.join(okIds, "doc_id")
+    val dd = TextOps.dedupExact(kept, "doc_id", "text")
+    val lab = Splits.assignSplit(dd, "doc_id", SplitSalt, SplitWeights)
+    val merges = TextOps.bpeLearnMerges(
+      lab.filter(col("split") === "train"), "text", BpeMerges)
+    TextOps.tokenizerFertilityBpe(
+      lab.withColumn("cohort", concat_ws(":", col("split"), col("lang"))),
+      "cohort", "text", "n_chars", merges)
+  }
+
+  // lazy: interpolates syntheticUrlSql/BlockedHosts, declared later in
+  // this object — an eager val would interpolate null at init.
+  private lazy val qPipelineE2eSql: String = {
+    val vals = BlockedHosts.map(h => s"('$h')").mkString(", ")
+    s"""WITH uu AS (
+       |  SELECT doc_id, lang, text, n_chars,
+       |         regexp_extract(lower($syntheticUrlSql), '${Web.HostPattern}', 1) AS host
+       |  FROM documents),
+       |fu AS (
+       |  SELECT * FROM uu d
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM (VALUES $vals) b(h)
+       |    WHERE d.host = b.h OR d.host LIKE '%.' || b.h)),
+       |t AS (
+       |  SELECT doc_id, lang, text, n_chars,
+       |         string_split_regex(trim(text), ' +') AS toks
+       |  FROM fu),
+       |q AS (SELECT doc_id, lang, text, n_chars FROM t WHERE $qualityOkCaseSql = 1),
+       |keepers AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+       |dd AS (SELECT q.* FROM q JOIN keepers USING (doc_id)),
+       |lab AS (SELECT *, $splitCaseSql AS split FROM dd),
+       |trainrel AS (SELECT * FROM lab WHERE split = 'train'),
+       |${bpeRoundsCtes(BpeMerges, "trainrel")},
+       |lwc AS (
+       |  SELECT cohort, w, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT split || ':' || lang AS cohort,
+       |           unnest(string_split_regex(trim(text), ' +')) AS w
+       |    FROM lab) GROUP BY 1, 2),
+       |ap AS (
+       |  SELECT cohort, c,
+       |         chr(1) || regexp_replace(w, '(.)', '\\1' || chr(1), 'g') AS sp
+       |  FROM lwc),
+       |${bpeApplyCtes(BpeMerges, "ap", "cohort, c")},
+       |agg AS (
+       |  SELECT cohort, CAST(sum(c) AS BIGINT) AS ws_tokens,
+       |         CAST(sum(c * (len(sp) - len(replace(sp, chr(1), '')) - 1)) AS BIGINT)
+       |           AS bpe_tokens
+       |  FROM ap_$BpeMerges GROUP BY 1),
+       |d2 AS (
+       |  SELECT split || ':' || lang AS cohort,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |  FROM lab GROUP BY 1)
+       |SELECT cohort, n_docs, ws_tokens, bpe_tokens, sum_chars,
+       |       CAST((bpe_tokens * 1000) // ws_tokens AS BIGINT) AS fertility_milli,
+       |       CAST((sum_chars * 1000) // bpe_tokens AS BIGINT) AS chars_per_bpe_milli
+       |FROM d2 JOIN agg USING (cohort) ORDER BY cohort""".stripMargin
+  }
+
   /** Count floor for [[qPmiBigrams]] — PMI without one surfaces hapax
     * noise. */
   private val PmiMinCount = 5L
@@ -6531,6 +6625,7 @@ object Queries {
     GraftQuery("q_split", qSplit, Some(qSplitSql)),
     GraftQuery("q_contamination", qContamination, Some(qContaminationSql)),
     GraftQuery("q_corpus_pipeline", qCorpusPipeline, Some(qCorpusPipelineSql)),
+    GraftQuery("q_pipeline_e2e", qPipelineE2e, Some(qPipelineE2eSql)),
     GraftQuery("q_quota_sample", qQuotaSample, Some(qQuotaSampleSql)),
     GraftQuery("q_reservoir_sample", qReservoirSample, Some(qReservoirSampleSql)),
     GraftQuery("q_boilerplate_scrub", qBoilerplateScrub, Some(qBoilerplateScrubSql)),
