@@ -4606,6 +4606,17 @@ object Queries {
   private val embLandingCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Trigger granularity for the streamed index/codes maintenance rows:
+    * unset = drain everything available in one AvailableNow batch (the
+    * bulk-catch-up shape); set SPARK_GRAFT_STREAM_MAX_FILES=n to cap
+    * each micro-batch at n landing files (the steady-state file-arrival
+    * shape). Exposed as an env knob so scale sweeps can MEASURE the
+    * per-micro-batch overhead instead of arguing it (VERDICT r9 #7) —
+    * the result set is identical either way (stateless per-row
+    * projections; the publish sink is idempotent per batch id). */
+  private def streamMaxFiles: Option[Int] =
+    sys.env.get("SPARK_GRAFT_STREAM_MAX_FILES").map(_.toInt)
+
   /** Streamed ANN index maintenance executed FOR REAL under the gate:
     * the embeddings landing-dir stream bucketed through the SAME
     * stateless per-row sign-LSH assignment the batch index build uses
@@ -4635,7 +4646,8 @@ object Queries {
       s"/root/repo/target/tmp/stream_index_pub_${java.util.UUID.randomUUID()}")
     drainStream(s, 8, "q_stream_index") {
       VectorSearch.lshBucketTable(
-          Streaming.embeddingsStream(s, landing), "embedding", "vec_id",
+          Streaming.embeddingsStream(s, landing, streamMaxFiles),
+          "embedding", "vec_id",
           Metric.Cosine, EmbeddingDim, bits = LshMultiBits, bands = IndexBands)
         .select(col("vec_id"), col("band").cast("long").as("band"), col("bucket"))
         .writeStream
@@ -4733,7 +4745,8 @@ object Queries {
       s"/root/repo/target/tmp/stream_codes_pub_${java.util.UUID.randomUUID()}")
     drainStream(s, 8, "q_stream_codes") {
       VectorSearch.pqEncode(
-          Streaming.embeddingsStream(s, landing), "embedding", "vec_id",
+          Streaming.embeddingsStream(s, landing, streamMaxFiles),
+          "embedding", "vec_id",
           cbs, Metric.Cosine)
         .writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
