@@ -785,7 +785,10 @@ object VectorSearch {
     * codegen scoring — total vector movement is 2 id-keyed joins of the
     * candidate set, independent of `bands`. Recall rises as
     * 1−(1−p^bits)^bands; index cost is linear in `bands`, vector cost
-    * is not.
+    * is not. (Measured negative, r10 sf10: forcing the two re-attach
+    * joins to shuffled-hash instead of sort-merge moved the capped row
+    * 295.6s → 307.3s — the candidate-volume EXCHANGES dominate, not the
+    * sorts, so the join-strategy hint is left to Catalyst/AQE.)
     *
     * Parameter guide at 100 TB: size `bits` to the corpus
     * (`bits ≈ log2(N / target_bucket_rows)`) so per-bucket all-pairs
