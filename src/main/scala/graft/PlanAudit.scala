@@ -20,7 +20,8 @@ import org.apache.spark.sql.SparkSession
   *    (q_lm_score, q_ccnet_buckets), pmiBigrams (q_pmi_bigrams), and
   *    the two 1-row distribution totals inside dsirWeights
   *    (q_dsir_weights), and the 1-row mean-occupancy threshold frame
-  *    of the capped multiband join (q_ann_capped, q_ann_recall_capped
+  *    of the capped multiband join (q_ann_capped, q_ann_capped_scaled,
+  *    q_ann_recall_capped
   *    — multibandKnnJoin's maxBucketFactor crossJoins a 1-row avg
   *    over the scalar index); anything else needs a key
   *  - `GLOBALWIN`: a Window with an EMPTY partition spec — the whole

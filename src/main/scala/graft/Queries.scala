@@ -912,7 +912,7 @@ object Queries {
        |  SELECT * FROM uu d
        |  WHERE NOT EXISTS (
        |    SELECT 1 FROM (VALUES $vals) b(h)
-       |    WHERE d.host = b.h OR d.host LIKE '%.' || b.h)),
+       |    WHERE d.host = b.h OR right(d.host, length(b.h)+1) = '.' || b.h)),
        |t AS (
        |  SELECT doc_id, lang, text, n_chars,
        |         string_split_regex(trim(text), ' +') AS toks
@@ -1397,6 +1397,10 @@ object Queries {
       .select(col("doc_id"), Web.host(col("url")).as("host"))
       .orderBy("doc_id")
 
+  // Blocklist replay uses right()/length() exact suffix compare, NOT
+  // `LIKE '%.' || b.h` — LIKE would treat '_'/'%' in a blocklist entry
+  // as wildcards, silently diverging from Web.urlFilter's exact
+  // dot-suffix InSet match (ADVICE r10). Same idiom in qPipelineE2eSql.
   private val qUrlFilterSql: String = {
     val vals = BlockedHosts.map(h => s"('$h')").mkString(", ")
     s"""WITH u AS (
@@ -1406,7 +1410,7 @@ object Queries {
        |SELECT doc_id, host FROM u d
        |WHERE NOT EXISTS (
        |  SELECT 1 FROM (VALUES $vals) b(h)
-       |  WHERE d.host = b.h OR d.host LIKE '%.' || b.h)
+       |  WHERE d.host = b.h OR right(d.host, length(b.h)+1) = '.' || b.h)
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -1668,9 +1672,11 @@ object Queries {
   private val AnnCapFactor = 4.0
 
   /** Tighter factor for [[qAnnRecallCapped]]: at the recall operating
-    * point (4-bit × 16-band) the sf0.01 occupancy is mean 31.25 /
-    * max 72, so 4× (cap 125) would drop NOTHING and certify nothing —
-    * 2× (cap 62.5) drops the measured 63–72-row tail while the dropped
+    * point (4-bit × 16-band) the measured occupancy is mean 31.25 at
+    * both fixture scales (the embeddings table is 500 rows in each),
+    * max 72 at sf0.01 (this row) and max 71 at sf0.001 (LshSpec), so
+    * 4× (cap 125) would drop NOTHING and certify nothing — 2×
+    * (cap 62.5) drops the measured 63–72-row tail while the dropped
     * vectors keep their other 15 bands, which is exactly the
     * graceful-decay claim the row exists to certify. */
   private val RecallCapFactor = 2.0
@@ -1705,6 +1711,91 @@ object Queries {
        |${Oracle.normalizedCte},
        |nb AS (
        |  $bandBranches),
+       |bs AS (SELECT band, bucket, count(*) AS n FROM nb GROUP BY 1, 2),
+       |thr AS (SELECT avg(n) AS meanb FROM bs),
+       |kept AS (
+       |  SELECT nb.vec_id, nb.nemb, nb.band, nb.bucket
+       |  FROM nb JOIN bs USING (band, bucket) CROSS JOIN thr
+       |  WHERE CAST(bs.n AS DOUBLE) <= $AnnCapFactor * thr.meanb),
+       |p AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, max($score) AS score
+       |  FROM nb a JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
+       |                       AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM p)
+       |SELECT query_id, neighbor_id, score, rank
+       |FROM r WHERE rank <= $KnnJoinK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Bands for [[qAnnCappedScaled]] — fixed while `bits` scales, per
+    * MIGRATION's own rule (size `bits` from N FIRST so per-bucket work
+    * stays bounded, then buy recall with `bands`). */
+  private val ScaledCapBands = 8
+
+  /** MIGRATION's serving-config rule `bits ≈ log2(N / target_bucket_rows)`
+    * (target 50 rows/bucket) applied at RUNTIME from the corpus count —
+    * pure integer math (`floor(log2(m)) = bitLength(m) − 1`) so the
+    * DuckDB oracle derives the identical value via `length(bin(m)) − 1`
+    * with zero cross-engine float risk. Clamped to [1, 20]. */
+  private def scaledLshBits(n: Long): Int = {
+    val m = math.max(1L, n / 50)
+    math.max(1, math.min(20, 63 - java.lang.Long.numberOfLeadingZeros(m)))
+  }
+
+  /** The capped multiband serving join at the SCALED operating point —
+    * VERDICT r10 #4: every other ANN row pins fixture constants, so the
+    * sweep's scaled configs (`bits` from corpus size) were never
+    * hash-certified at any scale. Here `bits` is computed from
+    * `count(embeddings)` by the MIGRATION rule IN BOTH ENGINES (the
+    * oracle unrolls band × bit hyperplane arithmetic with `bits` as a
+    * runtime scalar — `unnest(range(...))` over a count subquery — the
+    * closed-form weight `((li·jj·7919) mod 193)/193 − 0.5` makes that
+    * possible), so the SAME declared row certifies bits=3 at sf0.01
+    * (N=500), bits=8 at sf1 (N≈20k), and bits=11 at sf10 (N=200k)
+    * without touching a constant. One count job sizes the index —
+    * exactly the sizing pass a production deployment runs. */
+  private def qAnnCappedScaled(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val bits = scaledLshBits(emb.count())
+    VectorSearch.multibandKnnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim,
+      bits = bits, bands = ScaledCapBands,
+      maxBucketFactor = Some(AnnCapFactor))
+      .orderBy("query_id", "rank")
+  }
+
+  private val qAnnCappedScaledSql: String = {
+    val score = Oracle.dot("a.nemb", "b.nemb", EmbeddingDim)
+    // band × bit unrolled as DATA (not SQL text): plane index
+    // jj = band·bits + j + 1 with `bits` a runtime scalar from params —
+    // the same integer-weight formula Oracle.lshBucketBand burns into
+    // literals when bits is compile-time
+    val w = "(CAST((li * (b.band * pp.bits + j.j + 1) * 7919) % 193 AS DOUBLE) / 193.0 - 0.5)"
+    val pr = Oracle.foldSum(
+      s"list_transform(range(1, ${EmbeddingDim + 1}), li -> n.nemb[li] * $w)")
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |params AS (
+       |  SELECT GREATEST(1, LEAST(20,
+       |           length(bin(GREATEST(1, count(*) // 50))) - 1)) AS bits
+       |  FROM embeddings),
+       |bx AS (SELECT unnest(range(0, $ScaledCapBands)) AS band),
+       |jx AS (SELECT unnest(range(0, (SELECT bits FROM params))) AS j),
+       |proj AS (
+       |  SELECT n.vec_id, b.band, j.j, $pr AS pr
+       |  FROM n, params pp, bx b, jx j),
+       |buck AS (
+       |  SELECT vec_id, band,
+       |         CAST(sum(CASE WHEN pr > 0.0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY 1, 2),
+       |nb AS (
+       |  SELECT bu.vec_id, n.nemb, bu.band, bu.bucket
+       |  FROM buck bu JOIN n ON bu.vec_id = n.vec_id),
        |bs AS (SELECT band, bucket, count(*) AS n FROM nb GROUP BY 1, 2),
        |thr AS (SELECT avg(n) AS meanb FROM bs),
        |kept AS (
@@ -4615,7 +4706,16 @@ object Queries {
     * the result set is identical either way (stateless per-row
     * projections; the publish sink is idempotent per batch id). */
   private def streamMaxFiles: Option[Int] =
-    sys.env.get("SPARK_GRAFT_STREAM_MAX_FILES").map(_.toInt)
+    sys.env.get("SPARK_GRAFT_STREAM_MAX_FILES").map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_STREAM_MAX_FILES must be a positive integer " +
+            s"(files per micro-batch), got '$v'")
+      }
+      require(n > 0,
+        s"SPARK_GRAFT_STREAM_MAX_FILES must be positive, got $n")
+      n
+    }
 
   /** Streamed ANN index maintenance executed FOR REAL under the gate:
     * the embeddings landing-dir stream bucketed through the SAME
@@ -6666,6 +6766,7 @@ object Queries {
     GraftQuery("q_ann_lsh", qAnnLsh, Some(qAnnLshSql)),
     GraftQuery("q_ann_lsh_multi", qAnnLshMulti, Some(qAnnLshMultiSql)),
     GraftQuery("q_ann_capped", qAnnCapped, Some(qAnnCappedSql)),
+    GraftQuery("q_ann_capped_scaled", qAnnCappedScaled, Some(qAnnCappedScaledSql)),
     GraftQuery("q_ann_recall", qAnnRecall, Some(qAnnRecallSql)),
     GraftQuery("q_ann_recall_capped", qAnnRecallCapped, Some(qAnnRecallCappedSql)),
     GraftQuery("q_ann_multiprobe", qAnnMultiprobe, Some(qAnnMultiprobeSql)),

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -66,11 +67,46 @@ object ExpandRangeJoin extends Rule[LogicalPlan] {
   private def bucketOf(e: Expression, width: Long): Expression =
     IntegralDivide(e, Literal(width, LongType))
 
+  /** Runtime points-side prune (VERDICT r10 #1): without it the rewrite
+    * buckets and SHUFFLES every point even when the interval set covers
+    * a sliver of the domain — at sf10 that is 60M lineitems exchanged to
+    * match a 34-day window (~1% can match), and at 100 TB a corpus-scale
+    * exchange for metadata-scale selectivity the engine knows at run
+    * time. The fix is the `InjectRuntimeFilter` idiom: an uncorrelated
+    * scalar subquery computing `struct(min(lo), max(hi))` over the
+    * interval frame, applied as `pt BETWEEN …` on the points side BELOW
+    * the bucket exchange. The subquery is one metadata-scale aggregate
+    * job (executed once before the main stages; both struct fields read
+    * the same subquery instance, so `ReuseSubquery` dedups it); empty or
+    * all-NULL interval frames yield NULL bounds, whose null-rejecting
+    * comparison drops every point — exactly right, nothing could match.
+    * Inverted intervals only widen the bounds (prune stays a superset of
+    * the match set). Skipped when the interval plan is nondeterministic:
+    * the subquery would re-execute it and could prune against a
+    * different draw than the join sees. */
+  private def pointBoundsPrune(r: LogicalPlan, pt: Expression,
+      lo: Expression, hi: Expression): Option[Expression] = {
+    val deterministic = !r.exists(_.expressions.exists(!_.deterministic))
+    if (!deterministic) None
+    else {
+      val bounds = Alias(CreateNamedStruct(Seq(
+        Literal("lo"), Min(lo).toAggregateExpression(),
+        Literal("hi"), Max(hi).toAggregateExpression())), "__rj_bounds")()
+      val sub = ScalarSubquery(Aggregate(Nil, Seq(bounds), r))
+      Some(And(
+        GreaterThanOrEqual(pt, GetStructField(sub, 0, Some("lo"))),
+        LessThanOrEqual(pt, GetStructField(sub, 1, Some("hi")))))
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case rj @ RangeJoinPlan(l, r, pt, lo, hi, width) =>
-      // points side: one bucket per row
+      // points side: runtime bounds prune below the exchange, then one
+      // bucket per surviving row
+      val lPruned = pointBoundsPrune(r, pt, lo, hi)
+        .map(Filter(_, l)).getOrElse(l)
       val ptBucket = Alias(bucketOf(pt, width), "__pt_bucket")()
-      val lProj = Project(l.output :+ ptBucket, l)
+      val lProj = Project(l.output :+ ptBucket, lPruned)
 
       // intervals side: explode to every overlapped bucket; NULL or
       // inverted bounds yield a NULL array, which Explode drops

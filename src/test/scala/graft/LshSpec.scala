@@ -163,7 +163,10 @@ class LshSpec extends SparkSpec {
       s"cap invented candidates (${(capped -- uncapped).size} not in uncapped)")
     // and the fixture's over-dense tail actually gets dropped — the cap
     // must certify the DROP path, not a pass-through (at 4 bits the
-    // sf0.001 occupancy is mean 31.25 / max 71, so a 2x cap bites)
+    // measured occupancy is mean 31.25 at BOTH scales — the embeddings
+    // table is 500 rows in each fixture — with max 71 at sf0.001 (this
+    // suite) and max 72 at sf0.01 (the declared q_ann_recall_capped
+    // row), so a 2x cap (62.5) bites at both)
     assert(capped.size < uncapped.size,
       s"cap dropped nothing (${capped.size} == ${uncapped.size} pairs)")
   }

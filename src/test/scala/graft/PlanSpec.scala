@@ -145,6 +145,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"range join fell back to a pair scan:\n$p")
     assert(p.contains("Generate"), s"no interval bucket explode:\n$p")
+    // the runtime points-side prune (VERDICT r10 #1): a Filter comparing
+    // the point column against the interval frame's scalar-subquery
+    // min/max bounds must sit on the points scan BELOW the join — without
+    // it every point is bucketed and exchanged even when the interval set
+    // covers a sliver of the time domain (60M rows for a 34-day window at
+    // sf10)
+    val pruned = """ship_s#\d+L >= Subquery subquery""".r.findFirstIn(p)
+    assert(pruned.isDefined,
+      s"points side lost the runtime min/max bounds prune:\n$p")
   }
 
   test("q_ivfpq_search: serving scans the persisted code table, pruned by cell") {
