@@ -22,10 +22,19 @@ object Verify {
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // Per-query engine seconds (plan + execute + single-file write) —
+    // tools/check_oracle.py merges these into its gate output so every
+    // scale-gate row carries {spark_s, oracle_s} separately (VERDICT
+    // r10 #3: a 1,519.9s combined reading for q_range_join at sf10 was
+    // unattributable between engine and oracle).
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        times(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed += name
       }
@@ -54,6 +63,9 @@ object Verify {
     // completed result.
     Files.writeString(Paths.get(s"$outDir/skipped.json"),
       failed.sorted.map(q).mkString("[", ",", "]"))
+    Files.writeString(Paths.get(s"$outDir/spark_times.json"),
+      times.map { case (k, v) => s"${q(k)}: ${"%.1f".format(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(
