@@ -97,9 +97,12 @@ object Bench {
               Queries.annLshMultiScaled(s, d, bitsScaled, Some(4.0)))
         // second operating point on the factor curve: a 2× cap trades
         // more tail recall for less pair work — benched so MIGRATION.md's
-        // factor guidance carries two measured points, not one
+        // factor guidance carries two measured points, not one. Named
+        // _2x since r11: the DECLARED row q_ann_capped_scaled (4× cap,
+        // integer floor-log2 bits, hash-certified at every scale) now
+        // owns the plain _scaled name and benches unsubstituted.
         case ("q_ann_capped", _) if annScaled =>
-          ("q_ann_capped_scaled",
+          ("q_ann_capped_scaled_2x",
             (s: SparkSession, d: String) =>
               Queries.annLshMultiScaled(s, d, bitsScaled, Some(2.0)))
         // recall of the CAPPED scaled serving config against exact top-k
