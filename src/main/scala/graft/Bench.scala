@@ -112,9 +112,16 @@ object Bench {
           ("q_ann_recall_capped_scaled",
             (s: SparkSession, d: String) =>
               Queries.annRecallCappedScaled(s, d, evalMod, bitsScaled, 4.0))
+        // second operating point on the PROBE curve (the capped row's
+        // _2x precedent): the DECLARED q_ann_ivf_scaled (c = 2^⌈bits/2⌉
+        // from the corpus count, probes=2, hash-certified at every
+        // scale) benches unsubstituted; this substitution re-points the
+        // fixture-constant q_ann_ivf at probes=4 with c = ⌈√N⌉, so
+        // MIGRATION's probe guidance carries two measured points
         case ("q_ann_ivf", _) if annScaled =>
-          ("q_ann_ivf_scaled",
-            (s: SparkSession, d: String) => Queries.annIvfScaled(s, d, cScaled))
+          ("q_ann_ivf_scaled_p4",
+            (s: SparkSession, d: String) =>
+              Queries.annIvfScaled(s, d, cScaled, nProbes = 4))
         case ("q_semantic_dedup", _) if annScaled =>
           ("q_semantic_dedup_scaled",
             (s: SparkSession, d: String) => Queries.semanticDedupScaled(s, d, cScaled))

@@ -2380,6 +2380,81 @@ object Queries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** MIGRATION's IVF sizing rule `c ≈ √N` in the integer-exact form the
+    * hash gate demands: `c = 2^ceil(bitLength(N)/2)` — the power-of-two
+    * ceiling of √N (within √2 of it), derived with zero float math so
+    * DuckDB's `1 << ((length(bin(N)) + 1) // 2)` lands on the identical
+    * value at every fixture size. Clamped to [16, 4096]: the floor keeps
+    * tiny fixtures on the declared q_ann_ivf shape, the cap bounds the
+    * centroid broadcast (4096 × 64 doubles ≈ 2 MB, still model-sized). */
+  private def scaledIvfCells(n: Long): Int = {
+    val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))
+    math.max(16L, math.min(4096L, 1L << ((bitLen + 1) / 2))).toInt
+  }
+
+  /** IVF knn join at the SCALED operating point — the IVF counterpart of
+    * [[qAnnCappedScaled]] (VERDICT r10 #4 closed the multiband family;
+    * this row closes IVF): every other IVF row pins c = 16 cells, which
+    * does N²/16 pair work and is exactly the shape the r9 sweep measured
+    * dying at sf10 (5·10⁹ pairs, 25 min stuck). Here `c` is computed
+    * from `count(embeddings)` by [[scaledIvfCells]] IN BOTH ENGINES —
+    * the oracle's centroid CTE takes the first `c` vectors via a
+    * ROW_NUMBER bound read from a count subquery — so the SAME declared
+    * row certifies c=32 at sf0.01 (N=500), c=256 at sf1 (N≈20k), and
+    * c=512 at sf10 (N=200k) without touching a constant. Per-query work
+    * is nProbes·N/c ≈ 2√N rows: the N^1.5 total is the inherent IVF
+    * flop count, spread evenly across cells (no skew — cells are
+    * first-c-seeded Voronoi regions), and the assignment pass is a
+    * broadcast-centroid per-row projection, never a shuffle. */
+  private def qAnnIvfScaled(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val c = scaledIvfCells(emb.count())
+    val centroids = centroidCache.computeIfAbsent(s"$dir#$c",
+      _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", c, Metric.Cosine))
+    VectorSearch.ivfKnnJoin(emb, emb, "embedding", "vec_id", Metric.Cosine,
+      k = KnnJoinK, c = c, nProbes = 2, centroids = Some(centroids))
+      .orderBy("query_id", "rank")
+  }
+
+  private val qAnnIvfScaledSql: String = {
+    val assign = Oracle.dot("v.nemb", "c.cvec", EmbeddingDim)
+    val score = Oracle.dot("q.nemb", "d.nemb", EmbeddingDim)
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |params AS (
+       |  SELECT GREATEST(16, LEAST(4096,
+       |           1 << ((length(bin(GREATEST(1, count(*)))) + 1) // 2))) AS c
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT vec_id AS cid, nemb AS cvec FROM (
+       |    SELECT vec_id, nemb, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+       |    FROM n)
+       |  WHERE rn <= (SELECT c FROM params)),
+       |da AS (
+       |  SELECT vec_id, nemb, cid FROM (
+       |    SELECT v.vec_id, v.nemb, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |                              ORDER BY $assign DESC, c.cid ASC) AS rn
+       |    FROM n v CROSS JOIN c) WHERE rn = 1),
+       |qa AS (
+       |  SELECT vec_id, nemb, cid FROM (
+       |    SELECT v.vec_id, v.nemb, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |                              ORDER BY $assign DESC, c.cid ASC) AS rn
+       |    FROM n v CROSS JOIN c) WHERE rn <= 2),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, $score AS score
+       |  FROM qa q JOIN da d ON q.cid = d.cid AND q.vec_id <> d.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM p)
+       |SELECT query_id, neighbor_id, score, rank
+       |FROM r WHERE rank <= $KnnJoinK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ------------------------------------- ANN scale-sweep variants ---------
 
   /** Scale-sweep ANN variants (substituted by Bench under
@@ -2447,12 +2522,13 @@ object Queries {
       .orderBy("query_id")
   }
 
-  def annIvfScaled(s: SparkSession, dir: String, c: Int): DataFrame = {
+  def annIvfScaled(s: SparkSession, dir: String, c: Int,
+      nProbes: Int = 2): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val centroids = centroidCache.computeIfAbsent(s"$dir#$c",
       _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", c, Metric.Cosine))
     VectorSearch.ivfKnnJoin(emb, emb, "embedding", "vec_id", Metric.Cosine,
-      k = KnnJoinK, c = c, nProbes = 2, centroids = Some(centroids))
+      k = KnnJoinK, c = c, nProbes = nProbes, centroids = Some(centroids))
       .orderBy("query_id", "rank")
   }
 
@@ -6773,6 +6849,7 @@ object Queries {
     GraftQuery("q_index_append", qIndexAppend, Some(qIndexAppendSql)),
     GraftQuery("q_index_compact", qIndexCompact, Some(qIndexCompactSql)),
     GraftQuery("q_ann_ivf", qAnnIvf, Some(qAnnIvfSql)),
+    GraftQuery("q_ann_ivf_scaled", qAnnIvfScaled, Some(qAnnIvfScaledSql)),
     GraftQuery("q_semantic_dedup", qSemanticDedup, Some(qSemanticDedupSql)),
     GraftQuery("q_pq_search", qPqSearch, Some(qPqSearchSql)),
     GraftQuery("q_ivfpq_search", qIvfPqSearch, Some(qIvfPqSearchSql)),

@@ -1,0 +1,23 @@
+#!/usr/bin/env bash
+# Run a graft main class with the compiled classes + Spark jars, without
+# going through sbt (avoids the project lock so long runs can overlap
+# local iteration). Usage: tools/run_main.sh graft.Bench [args...]
+# Env: SPARK_DRIVER_MEM (default 8g) sizes the JVM heap, same knob as
+# build.sbt's forked runs.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+CLASSES=target/scala-2.13/classes
+[ -d "$CLASSES" ] || { echo "run 'sbt compile' first" >&2; exit 1; }
+MAIN="$1"; shift
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "$CLASSES:/opt/spark/jars/*" "$MAIN" "$@"
