@@ -1739,12 +1739,18 @@ object Queries {
 
   /** MIGRATION's serving-config rule `bits ≈ log2(N / target_bucket_rows)`
     * (target 50 rows/bucket) applied at RUNTIME from the corpus count —
-    * pure integer math (`floor(log2(m)) = bitLength(m) − 1`) so the
-    * DuckDB oracle derives the identical value via `length(bin(m)) − 1`
-    * with zero cross-engine float risk. Clamped to [1, 20]. */
+    * pure integer math (`ceil(log2(m)) = bitLength(m − 1)` for m ≥ 1) so
+    * the DuckDB oracle derives the identical value via
+    * `length(bin(m − 1))` with zero cross-engine float risk. CEIL, not
+    * floor: rounding bits DOWN doubles mean bucket occupancy (the r11
+    * sf10 gate measured the floor form at bits=11 → mean bucket 98 →
+    * ~1.6·10⁸ candidate pairs whose vector re-attach exchange overran
+    * the gate machine's disk), while rounding UP halves it — the cheap
+    * side of the trade, and the side the r9/r10 sweeps actually ran
+    * (bits=12 at N=200k). Clamped to [1, 20]. */
   private def scaledLshBits(n: Long): Int = {
     val m = math.max(1L, n / 50)
-    math.max(1, math.min(20, 63 - java.lang.Long.numberOfLeadingZeros(m)))
+    math.max(1, math.min(20, 64 - java.lang.Long.numberOfLeadingZeros(m - 1)))
   }
 
   /** The capped multiband serving join at the SCALED operating point —
@@ -1755,8 +1761,8 @@ object Queries {
     * oracle unrolls band × bit hyperplane arithmetic with `bits` as a
     * runtime scalar — `unnest(range(...))` over a count subquery — the
     * closed-form weight `((li·jj·7919) mod 193)/193 − 0.5` makes that
-    * possible), so the SAME declared row certifies bits=3 at sf0.01
-    * (N=500), bits=8 at sf1 (N≈20k), and bits=11 at sf10 (N=200k)
+    * possible), so the SAME declared row certifies bits=4 at sf0.01
+    * (N=500), bits=9 at sf1 (N≈20k), and bits=12 at sf10 (N=200k)
     * without touching a constant. One count job sizes the index —
     * exactly the sizing pass a production deployment runs. */
   private def qAnnCappedScaled(s: SparkSession, dir: String): DataFrame = {
@@ -1782,7 +1788,7 @@ object Queries {
        |${Oracle.normalizedCte},
        |params AS (
        |  SELECT GREATEST(1, LEAST(20,
-       |           length(bin(GREATEST(1, count(*) // 50))) - 1)) AS bits
+       |           length(bin(GREATEST(1, count(*) // 50) - 1)))) AS bits
        |  FROM embeddings),
        |bx AS (SELECT unnest(range(0, $ScaledCapBands)) AS band),
        |jx AS (SELECT unnest(range(0, (SELECT bits FROM params))) AS j),
