@@ -103,15 +103,44 @@ object ScaleUp {
       df.withColumn("p_partkey", off("p_partkey", k))
     }, "part")
 
-    write(replicate(Tables.orders(spark, in)) { (df, k) =>
+    // orders/lineitem replicas EXTEND the shared order-processing time
+    // axis, exactly as events replicas do below (r10 extended events
+    // only, and the r11 sf10 gate measured what that omission costs:
+    // every replica's orders landed in the SAME months, so q_range_join's
+    // March-1995 interval density grew 100× and its true match set hit
+    // 18.5 BILLION pairs — factor² output growth no join strategy can
+    // beat, a fixture artifact, not a plan cost; a real 100× corpus has
+    // ~100× the matches). The span is computed across BOTH tables' date
+    // columns and both shift by the same k·(span+7d), so within-replica
+    // o_orderdate ↔ l_shipdate correlation (ship-within-days-of-order)
+    // is preserved exactly; the 7-day gap keeps replica boundaries
+    // beyond any interval join's reach (the declared row probes ±3d on
+    // 4d buckets). NTZ in, NTZ out: the shift runs in unix micros under
+    // the pinned-UTC session and casts back, so the parquet footer
+    // contract (timestamp[us], no tz) is unchanged.
+    val ordIn = Tables.orders(spark, in)
+    val liIn = Tables.lineitem(spark, in)
+    def micros(c: String) = unix_micros(col(c).cast("timestamp"))
+    val odBounds = ordIn.agg(min(micros("o_orderdate")), max(micros("o_orderdate"))).head()
+    val sdBounds = liIn.agg(min(micros("l_shipdate")), max(micros("l_shipdate"))).head()
+    require(!odBounds.isNullAt(0) && !sdBounds.isNullAt(0),
+      s"input $in has empty orders/lineitem date columns — nothing to scale")
+    val orderSpanMicros = math.max(odBounds.getLong(1), sdBounds.getLong(1)) -
+      math.min(odBounds.getLong(0), sdBounds.getLong(0)) + 7L * 86400L * 1000000L
+    def shiftDate(c: String, k: Int) =
+      timestamp_micros(micros(c) + lit(k * orderSpanMicros)).cast("timestamp_ntz")
+
+    write(replicate(ordIn) { (df, k) =>
       df.withColumn("o_orderkey", off("o_orderkey", k))
         .withColumn("o_custkey", off("o_custkey", k))
+        .withColumn("o_orderdate", shiftDate("o_orderdate", k))
     }, "orders")
 
-    write(replicate(Tables.lineitem(spark, in)) { (df, k) =>
+    write(replicate(liIn) { (df, k) =>
       df.withColumn("l_orderkey", off("l_orderkey", k))
         .withColumn("l_partkey", off("l_partkey", k))
         .withColumn("l_suppkey", off("l_suppkey", k))
+        .withColumn("l_shipdate", shiftDate("l_shipdate", k))
     }, "lineitem")
 
     write(replicate(Tables.documents(spark, in)) { (df, k) =>

@@ -86,6 +86,10 @@ object ExpandRangeJoin extends Rule[LogicalPlan] {
     * different draw than the join sees. */
   private def pointBoundsPrune(r: LogicalPlan, pt: Expression,
       lo: Expression, hi: Expression): Option[Expression] = {
+    // diagnostic A/B knob (the SPARK_GRAFT_STREAM_MAX_FILES precedent):
+    // scale sweeps measure the prune's effect on the SAME fixture
+    // instead of arguing it; never set in production
+    if (sys.env.get("SPARK_GRAFT_RANGEJOIN_NOPRUNE").contains("1")) return None
     val deterministic = !r.exists(_.expressions.exists(!_.deterministic))
     if (!deterministic) None
     else {
