@@ -30,8 +30,13 @@ import org.apache.spark.sql.functions._
   *    near-dups of each other — Jaccard ≈ 1 — so the near-dup family
   *    gets a genuine 10-clique stress test, while exact-dedup groups
   *    stay replica-local thanks to the suffix);
-  *  - event ids/users offset, timestamps jittered by k ms so watermark /
-  *    window boundaries don't see 10 bit-identical streams.
+  *  - event ids/users offset, timestamps shifted by k·(span+1h) — and
+  *    since r11 orders/lineitem dates by k·(shared span+7d) — so
+  *    replicas EXTEND every time axis instead of densifying it: a 10×
+  *    fixture covers ~10× the wall-clock, the way a real corpus grows,
+  *    and interval joins / watermark sweeps measure plan scaling rather
+  *    than a manufactured density² window (the r11 sf10 gate measured
+  *    the dense-axis q_range_join match set at 18.5 billion pairs).
   *
   * Determinism: pure column arithmetic over the seed=42 fixture — no
   * rand(), so the scaled fixture is itself reproducible bit-for-bit.
