@@ -99,7 +99,7 @@ object Bench {
         // more tail recall for less pair work — benched so MIGRATION.md's
         // factor guidance carries two measured points, not one. Named
         // _2x since r11: the DECLARED row q_ann_capped_scaled (4× cap,
-        // integer floor-log2 bits, hash-certified at every scale) now
+        // integer ceil-log2 bits, hash-certified at every scale) now
         // owns the plain _scaled name and benches unsubstituted.
         case ("q_ann_capped", _) if annScaled =>
           ("q_ann_capped_scaled_2x",

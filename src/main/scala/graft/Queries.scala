@@ -2388,7 +2388,9 @@ object Queries {
 
   /** MIGRATION's IVF sizing rule `c ≈ √N` in the integer-exact form the
     * hash gate demands: `c = 2^ceil(bitLength(N)/2)` — the power-of-two
-    * ceiling of √N (within √2 of it), derived with zero float math so
+    * ceiling of √N (within 2× of it — the ratio sits in (1, 2], worst
+    * exactly at N = 2^(2j), e.g. N=256 → c=32 = 2·√N), derived with
+    * zero float math so
     * DuckDB's `1 << ((length(bin(N)) + 1) // 2)` lands on the identical
     * value at every fixture size. Clamped to [16, 4096]: the floor keeps
     * tiny fixtures on the declared q_ann_ivf shape, the cap bounds the
