@@ -2438,18 +2438,18 @@ object Queries {
        |    SELECT vec_id, nemb, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
        |    FROM n)
        |  WHERE rn <= (SELECT c FROM params)),
-       |da AS (
-       |  SELECT vec_id, nemb, cid FROM (
-       |    SELECT v.vec_id, v.nemb, c.cid,
-       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
-       |                              ORDER BY $assign DESC, c.cid ASC) AS rn
-       |    FROM n v CROSS JOIN c) WHERE rn = 1),
-       |qa AS (
-       |  SELECT vec_id, nemb, cid FROM (
-       |    SELECT v.vec_id, v.nemb, c.cid,
+       |asgn AS (
+       |  SELECT vec_id, cid, rn FROM (
+       |    SELECT v.vec_id, c.cid,
        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
        |                              ORDER BY $assign DESC, c.cid ASC) AS rn
        |    FROM n v CROSS JOIN c) WHERE rn <= 2),
+       |da AS (
+       |  SELECT v.vec_id, v.nemb, a.cid FROM n v
+       |  JOIN asgn a ON a.vec_id = v.vec_id AND a.rn = 1),
+       |qa AS (
+       |  SELECT v.vec_id, v.nemb, a.cid FROM n v
+       |  JOIN asgn a ON a.vec_id = v.vec_id),
        |p AS (
        |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, $score AS score
        |  FROM qa q JOIN da d ON q.cid = d.cid AND q.vec_id <> d.vec_id),
@@ -4219,6 +4219,76 @@ object Queries {
        |ORDER BY d.vec_id""".stripMargin
   }
 
+  /** [[qSplitLeakage]] at the SCALED operating point — closing the one
+    * weak spot the r11 verdict flagged in the dedup family: the declared
+    * leakage row pins c = 16 fixture cells, the exact shape whose
+    * N²/16 within-cell pair work the r9 sweep measured dying at sf10.
+    * Here `c` is [[scaledIvfCells]]`(count(embeddings))` in BOTH
+    * engines (the q_ann_ivf_scaled rule: power-of-two ceiling of √N,
+    * pure integer, clamped [16, 4096]), so the SAME declared row
+    * certifies the leakage check at c=32 @ sf0.01, 256 @ sf1, 512 @
+    * sf10 — within-cell pair work stays ~N·√N-bounded along the scale
+    * curve. The oracle assigns cells through the skinny-window form
+    * (window input carries (vec_id, cid) + the score ORDER key only —
+    * never nemb), the restructuring that makes the N·c assignment
+    * replayable at sf10 (~2.4 GB window spill instead of the r11
+    * form's ~100 GB vector-cartesian). */
+  private def qSplitLeakageScaled(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val c = scaledIvfCells(emb.count())
+    val centroids = centroidCache.computeIfAbsent(s"$dir#$c",
+      _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", c, Metric.Cosine))
+    val isTrain =
+      Splits.hashBucket(col("vec_id"), LeakSalt) <
+        math.round(LeakTrainFrac * Splits.Buckets)
+    VectorSearch.clusterMaxSim(
+      emb.filter(!isTrain), emb.filter(isTrain),
+      "embedding", "vec_id", Metric.Cosine, centroids)
+      .withColumn("leaked",
+        col("max_sim").isNotNull && col("max_sim") > LeakTau)
+      .orderBy("vec_id")
+  }
+
+  private val qSplitLeakageScaledSql: String = {
+    val p = Sketches.MinhashPrime
+    val b = Splits.Buckets
+    val bound = math.round(LeakTrainFrac * b)
+    val bucket =
+      s"((CAST('0x' || substr(md5('$LeakSalt:' || CAST(v.vec_id AS VARCHAR)), 1, 15) AS BIGINT) % $p) % $b)"
+    val assign = Oracle.dot("v.nemb", "c.cvec", EmbeddingDim)
+    val sim = Oracle.dot("a.nemb", "b.nemb", EmbeddingDim)
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |params AS (
+       |  SELECT GREATEST(16, LEAST(4096,
+       |           1 << ((length(bin(GREATEST(1, count(*)))) + 1) // 2))) AS c
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT vec_id AS cid, nemb AS cvec FROM (
+       |    SELECT vec_id, nemb, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+       |    FROM n)
+       |  WHERE rn <= (SELECT c FROM params)),
+       |asgn AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |                              ORDER BY $assign DESC, c.cid ASC) AS rn
+       |    FROM n v CROSS JOIN c) WHERE rn = 1),
+       |da AS (
+       |  SELECT v.vec_id, v.nemb, a.cid, ($bucket < $bound) AS is_train
+       |  FROM n v JOIN asgn a ON a.vec_id = v.vec_id),
+       |m AS (
+       |  SELECT a.vec_id, max($sim) AS max_sim
+       |  FROM da a JOIN da b ON a.cid = b.cid AND NOT a.is_train AND b.is_train
+       |  GROUP BY 1)
+       |SELECT d.vec_id, d.cid AS centroid_id, m.max_sim,
+       |       (m.max_sim IS NOT NULL
+       |        AND m.max_sim > CAST($LeakTau AS DOUBLE)) AS leaked
+       |FROM da d LEFT JOIN m ON d.vec_id = m.vec_id
+       |WHERE NOT d.is_train
+       |ORDER BY d.vec_id""".stripMargin
+  }
+
   private val ProfileCols =
     Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
 
@@ -5376,6 +5446,50 @@ object Queries {
       | AND CAST(epoch(l.l_shipdate) AS BIGINT) <= CAST(epoch(o.o_orderdate) AS BIGINT) + 3 * 86400
       |WHERE o.o_orderdate >= TIMESTAMP '1995-03-01'
       |  AND o.o_orderdate < TIMESTAMP '1995-04-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Range join over a SPARSE-BUT-WIDE interval set — the documented
+    * failure mode of the r11 global-min/max points prune (VERDICT r11
+    * #3): intervals are orders placed in the OPENING 3 DAYS of any
+    * March, a seasonal-audit pattern that recurs once per fixture year,
+    * so the interval clusters span the whole date axis (global bounds
+    * cover ~everything → the r11 prune goes inert) while covering ~2%
+    * of its 4-day buckets. The r12 bucket-id bloom in
+    * [[graft.plans.ExpandRangeJoin]] is the load-bearing prune here:
+    * points in the ~98% of buckets no interval overlaps are dropped
+    * map-side, BELOW the bucket exchange. Calendar predicates survive
+    * [[ScaleUp]]'s axis extension (replicas shift by whole spans, so
+    * every replica contributes its own Marches) — the sparsity RATIO is
+    * scale-invariant and the A/B knob measures the bloom on the same
+    * fixture at any sf. */
+  private def qRangeJoinSparse(s: SparkSession, dir: String): DataFrame = {
+    val points = Tables.lineitem(s, dir).select(
+      col("l_orderkey"),
+      col("l_quantity"),
+      col("l_shipdate").cast("timestamp").cast("long").as("ship_s"))
+    val intervals = Tables.orders(s, dir)
+      .filter(month(col("o_orderdate")) === 3 && dayofmonth(col("o_orderdate")) <= 3)
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").cast("long").as("lo_s"),
+        (col("o_orderdate").cast("timestamp").cast("long") + lit(3L * 86400)).as("hi_s"))
+    Temporal.rangeJoin(points, "ship_s", intervals, "lo_s", "hi_s", 4L * 86400)
+      .groupBy("o_orderkey")
+      .agg(
+        count(lit(1)).as("n_ship"),
+        sum(col("l_quantity").cast("long")).as("qty_sum"))
+      .orderBy("o_orderkey")
+  }
+
+  private val qRangeJoinSparseSql: String =
+    """SELECT o.o_orderkey AS o_orderkey,
+      |       CAST(count(*) AS BIGINT) AS n_ship,
+      |       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+      |FROM orders o
+      |JOIN lineitem l
+      |  ON CAST(epoch(l.l_shipdate) AS BIGINT) >= CAST(epoch(o.o_orderdate) AS BIGINT)
+      | AND CAST(epoch(l.l_shipdate) AS BIGINT) <= CAST(epoch(o.o_orderdate) AS BIGINT) + 3 * 86400
+      |WHERE month(o.o_orderdate) = 3 AND day(o.o_orderdate) <= 3
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** JSON property extraction (`props` is a JSON string column):
@@ -6875,6 +6989,7 @@ object Queries {
     GraftQuery("q_frame_sample", qFrameSample, Some(qFrameSampleSql)),
     GraftQuery("q_profile", qProfile, Some(qProfileSql)),
     GraftQuery("q_split_leakage", qSplitLeakage, Some(qSplitLeakageSql)),
+    GraftQuery("q_split_leakage_scaled", qSplitLeakageScaled, Some(qSplitLeakageScaledSql)),
     GraftQuery("q_cms_counts", qCmsCounts, Some(qCmsCountsSql)),
     GraftQuery("q_phrase_search", qPhraseSearch, Some(qPhraseSearchSql)),
     GraftQuery("q_fuzzy_match", qFuzzyMatch, Some(qFuzzyMatchSql)),
@@ -6922,6 +7037,7 @@ object Queries {
     GraftQuery("q_event_pairs", qEventPairs, Some(qEventPairsSql)),
     GraftQuery("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
     GraftQuery("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
+    GraftQuery("q_range_join_sparse", qRangeJoinSparse, Some(qRangeJoinSparseSql)),
     GraftQuery("q_pricing_summary", qPricingSummary, Some(qPricingSummarySql)),
     GraftQuery("q_revenue_by_nation", qRevenueByNation, Some(qRevenueByNationSql)),
     GraftQuery("q_top_customers", qTopCustomers, Some(qTopCustomersSql)),

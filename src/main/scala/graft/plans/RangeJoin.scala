@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{BloomFilterAggregate, Max, Min}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -67,65 +67,114 @@ object ExpandRangeJoin extends Rule[LogicalPlan] {
   private def bucketOf(e: Expression, width: Long): Expression =
     IntegralDivide(e, Literal(width, LongType))
 
-  /** Runtime points-side prune (VERDICT r10 #1): without it the rewrite
-    * buckets and SHUFFLES every point even when the interval set covers
-    * a sliver of the domain — at sf10 that is 60M lineitems exchanged to
-    * match a 34-day window (~1% can match), and at 100 TB a corpus-scale
-    * exchange for metadata-scale selectivity the engine knows at run
-    * time. The fix is the `InjectRuntimeFilter` idiom: an uncorrelated
-    * scalar subquery computing `struct(min(lo), max(hi))` over the
-    * interval frame, applied as `pt BETWEEN …` on the points side BELOW
-    * the bucket exchange. The subquery is one metadata-scale aggregate
-    * job (executed once before the main stages; both struct fields read
-    * the same subquery instance, so `ReuseSubquery` dedups it); empty or
-    * all-NULL interval frames yield NULL bounds, whose null-rejecting
-    * comparison drops every point — exactly right, nothing could match.
-    * Inverted intervals only widen the bounds (prune stays a superset of
-    * the match set). Skipped when the interval plan is nondeterministic:
-    * the subquery would re-execute it and could prune against a
-    * different draw than the join sees. */
-  private def pointBoundsPrune(r: LogicalPlan, pt: Expression,
-      lo: Expression, hi: Expression): Option[Expression] = {
-    // diagnostic A/B knob (the SPARK_GRAFT_STREAM_MAX_FILES precedent):
-    // scale sweeps measure the prune's effect on the SAME fixture
-    // instead of arguing it; never set in production
-    if (sys.env.get("SPARK_GRAFT_RANGEJOIN_NOPRUNE").contains("1")) return None
+  /** The buckets an interval `[lo, hi]` overlaps, as a LONG array;
+    * NULL or inverted bounds yield a NULL array (Explode drops it).
+    * Sequence is TimeZoneAwareExpression — it is only `resolved` with
+    * a timeZoneId bound, even for LONG sequences. */
+  private def bucketSeqOf(lo: Expression, hi: Expression, width: Long): Expression =
+    If(
+      GreaterThanOrEqual(hi, lo),
+      new Sequence(
+        bucketOf(lo, width), bucketOf(hi, width),
+        Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone)),
+      Literal.create(null, ArrayType(LongType, containsNull = false)))
+
+  // diagnostic A/B knobs (the SPARK_GRAFT_STREAM_MAX_FILES precedent):
+  // scale sweeps measure a prune's effect on the SAME fixture instead
+  // of arguing it; never set in production. sys.props fallback lets
+  // in-JVM specs exercise both paths (env is frozen at JVM start).
+  private def knob(name: String): Boolean =
+    sys.env.get(name).orElse(sys.props.get(name)).contains("1")
+
+  /** Runtime points-side prune (VERDICT r10 #1, widened r12): without
+    * it the rewrite buckets and SHUFFLES every point even when the
+    * interval set covers a sliver of the domain — at sf10 that is 60M
+    * lineitems exchanged to match a 34-day window (~1% can match), and
+    * at 100 TB a corpus-scale exchange for metadata-scale selectivity
+    * the engine knows at run time. The fix is the `InjectRuntimeFilter`
+    * idiom: ONE uncorrelated scalar subquery over the EXPLODED interval
+    * frame computing `struct(min(lo), max(hi), bloom(xxhash64(bucket)))`
+    * — a single metadata-scale aggregate job (all three struct fields
+    * read the same subquery instance, so `ReuseSubquery` dedups it) —
+    * applied on the points side BELOW the bucket exchange as
+    *
+    *   `pt BETWEEN lo AND hi  AND  might_contain(bf, xxhash64(pt div w))`.
+    *
+    * The min/max BETWEEN alone is the r11 form, and it is global-only:
+    * two narrow interval clusters at opposite ends of the domain widen
+    * the bounds to cover everything and the prune goes inert (VERDICT
+    * r11 #3). The bloom over exploded bucket ids (≤ 2×|intervals| keys
+    * by the cost model above) prunes those interior gaps too: a point
+    * whose bucket id no interval overlaps cannot equi-join, and the
+    * bloom answers that map-side in O(1) per point. False positives
+    * only widen the prune (superset of the match set — exactness lives
+    * in the join's residual predicate); a saturated bloom degrades to
+    * pass-all, never to wrong results. Aggregating over the exploded
+    * frame (not the raw one) drops NULL/inverted intervals from min/max
+    * as well — rows that cannot match anything no longer widen the
+    * bounds; an empty or all-degenerate interval frame yields NULL
+    * bounds and a NULL bloom, whose null-rejecting predicates drop
+    * every point — exactly right, nothing could match. Skipped when
+    * the interval plan is nondeterministic: the subquery would
+    * re-execute it and could prune against a different draw than the
+    * join sees. */
+  private def pointPrune(r: LogicalPlan, pt: Expression,
+      lo: Expression, hi: Expression, width: Long): Option[Expression] = {
+    if (knob("SPARK_GRAFT_RANGEJOIN_NOPRUNE")) return None
     val deterministic = !r.exists(_.expressions.exists(!_.deterministic))
-    if (!deterministic) None
-    else {
+    if (!deterministic) return None
+    if (knob("SPARK_GRAFT_RANGEJOIN_NOBLOOM")) {
+      // r11 bounds-only form, kept as the A/B baseline for sweeps
       val bounds = Alias(CreateNamedStruct(Seq(
         Literal("lo"), Min(lo).toAggregateExpression(),
         Literal("hi"), Max(hi).toAggregateExpression())), "__rj_bounds")()
       val sub = ScalarSubquery(Aggregate(Nil, Seq(bounds), r))
-      Some(And(
+      return Some(And(
         GreaterThanOrEqual(pt, GetStructField(sub, 0, Some("lo"))),
         LessThanOrEqual(pt, GetStructField(sub, 1, Some("hi")))))
     }
+    // column-pruned interval side: the subquery job reads only lo/hi
+    val slim = Project((lo.references ++ hi.references).toSeq, r)
+    val bkt = AttributeReference("__rj_prune_bucket", LongType, nullable = false)()
+    val exploded = Generate(
+      Explode(bucketSeqOf(lo, hi, width)),
+      unrequiredChildIndex = Nil,
+      outer = false,
+      qualifier = None,
+      generatorOutput = Seq(bkt),
+      child = slim)
+    // min/max over the exploded frame duplicate per bucket row —
+    // harmless, min/max are duplication-idempotent
+    val agg = Alias(CreateNamedStruct(Seq(
+      Literal("lo"), Min(lo).toAggregateExpression(),
+      Literal("hi"), Max(hi).toAggregateExpression(),
+      Literal("bf"), new BloomFilterAggregate(new XxHash64(Seq(bkt)))
+        .toAggregateExpression())), "__rj_prune")()
+    val sub = ScalarSubquery(Aggregate(Nil, Seq(agg), exploded))
+    Some(And(
+      And(
+        GreaterThanOrEqual(pt, GetStructField(sub, 0, Some("lo"))),
+        LessThanOrEqual(pt, GetStructField(sub, 1, Some("hi")))),
+      BloomFilterMightContain(
+        GetStructField(sub, 2, Some("bf")),
+        new XxHash64(Seq(bucketOf(pt, width))))))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case rj @ RangeJoinPlan(l, r, pt, lo, hi, width) =>
-      // points side: runtime bounds prune below the exchange, then one
-      // bucket per surviving row
-      val lPruned = pointBoundsPrune(r, pt, lo, hi)
+      // points side: runtime bounds+bloom prune below the exchange,
+      // then one bucket per surviving row
+      val lPruned = pointPrune(r, pt, lo, hi, width)
         .map(Filter(_, l)).getOrElse(l)
       val ptBucket = Alias(bucketOf(pt, width), "__pt_bucket")()
       val lProj = Project(l.output :+ ptBucket, lPruned)
 
       // intervals side: explode to every overlapped bucket; NULL or
       // inverted bounds yield a NULL array, which Explode drops
-      val bucketSeq = If(
-        GreaterThanOrEqual(hi, lo),
-        // Sequence is TimeZoneAwareExpression — it is only `resolved`
-        // with a timeZoneId bound, even for LONG sequences
-        new Sequence(
-          bucketOf(lo, width), bucketOf(hi, width),
-          Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone)),
-        Literal.create(null, ArrayType(LongType, containsNull = false)))
       val ivBucket =
         AttributeReference("__iv_bucket", LongType, nullable = false)()
       val gen = Generate(
-        Explode(bucketSeq),
+        Explode(bucketSeqOf(lo, hi, width)),
         unrequiredChildIndex = Nil,
         outer = false,
         qualifier = None,

@@ -83,4 +83,43 @@ class RangeJoinSpec extends SparkSpec {
     assert(plan.contains("Generate"), plan)
     assert(plan.contains("Join"), plan)
   }
+
+  test("points-side prune carries the bucket-id bloom, not just global bounds") {
+    val df = Temporal.rangeJoin(points, "pt", intervals, "lo", "hi", 16)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("might_contain"), plan)
+    assert(plan.contains("bloom_filter_agg"), plan)
+  }
+
+  test("sparse-but-wide intervals (two clusters at opposite domain ends) stay exact") {
+    // the documented failure mode of the r11 global-min/max prune: the
+    // bounds widen to cover the whole domain; the bucket-id bloom must
+    // neither drop true matches nor duplicate pairs
+    val p = spark.range(0, 5000).select(col("id").as("pt"), col("id").as("pid"))
+    val iv = spark.sql(
+      """SELECT * FROM VALUES (0L, 30L, 1L), (10L, 45L, 2L),
+        |(4950L, 4980L, 3L), (4990L, 4999L, 4L) AS t(lo, hi, iid)""".stripMargin)
+    val got = Temporal.rangeJoin(p, "pt", iv, "lo", "hi", 64)
+      .select("pid", "iid").as[(Long, Long)].collect()
+    assert(got.length === got.toSet.size, "each matching pair must appear exactly once")
+    assert(got.toSet === naive(p, iv))
+  }
+
+  test("NOBLOOM / NOPRUNE knobs select the r11 bounds-only and unpruned forms") {
+    val expected = naive(points, intervals)
+    for (k <- Seq("SPARK_GRAFT_RANGEJOIN_NOBLOOM", "SPARK_GRAFT_RANGEJOIN_NOPRUNE")) {
+      sys.props(k) = "1"
+      try {
+        val df = Temporal.rangeJoin(points, "pt", intervals, "lo", "hi", 16)
+        val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+        assert(!plan.contains("might_contain"), s"$k should disable the bloom: $plan")
+        assert(df.select("pid", "iid").as[(Long, Long)].collect().toSet === expected)
+      } finally sys.props.remove(k)
+    }
+  }
+
+  test("empty interval frame prunes every point and returns zero rows") {
+    val emptyIv = intervals.filter(col("iid") < 0)
+    assert(viaRule(points, emptyIv, 16) === Set.empty)
+  }
 }
