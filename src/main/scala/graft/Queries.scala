@@ -2438,12 +2438,15 @@ object Queries {
        |    SELECT vec_id, nemb, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
        |    FROM n)
        |  WHERE rn <= (SELECT c FROM params)),
-       |asgn AS (
+       |sc AS (
+       |  SELECT v.vec_id, c.cid, $assign AS s
+       |  FROM n v CROSS JOIN c),
+       |asgn AS MATERIALIZED (
        |  SELECT vec_id, cid, rn FROM (
-       |    SELECT v.vec_id, c.cid,
-       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
-       |                              ORDER BY $assign DESC, c.cid ASC) AS rn
-       |    FROM n v CROSS JOIN c) WHERE rn <= 2),
+       |    SELECT vec_id, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                              ORDER BY s DESC, cid ASC) AS rn
+       |    FROM sc) WHERE rn <= 2),
        |da AS (
        |  SELECT v.vec_id, v.nemb, a.cid FROM n v
        |  JOIN asgn a ON a.vec_id = v.vec_id AND a.rn = 1),
@@ -4268,13 +4271,16 @@ object Queries {
        |    SELECT vec_id, nemb, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
        |    FROM n)
        |  WHERE rn <= (SELECT c FROM params)),
+       |sc AS (
+       |  SELECT v.vec_id, c.cid, $assign AS s
+       |  FROM n v CROSS JOIN c),
        |asgn AS (
        |  SELECT vec_id, cid FROM (
-       |    SELECT v.vec_id, c.cid,
-       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
-       |                              ORDER BY $assign DESC, c.cid ASC) AS rn
-       |    FROM n v CROSS JOIN c) WHERE rn = 1),
-       |da AS (
+       |    SELECT vec_id, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                              ORDER BY s DESC, cid ASC) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |da AS MATERIALIZED (
        |  SELECT v.vec_id, v.nemb, a.cid, ($bucket < $bound) AS is_train
        |  FROM n v JOIN asgn a ON a.vec_id = v.vec_id),
        |m AS (

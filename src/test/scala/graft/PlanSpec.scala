@@ -154,6 +154,11 @@ class PlanSpec extends SparkSpec {
     val pruned = """ship_s#\d+L >= Subquery subquery""".r.findFirstIn(p)
     assert(pruned.isDefined,
       s"points side lost the runtime min/max bounds prune:\n$p")
+    // the r12 bucket-id bloom (VERDICT r11 #3) rides the SAME subquery:
+    // sparse-but-wide interval sets defeat global bounds, so the filter
+    // must also probe might_contain against the exploded-bucket bloom
+    assert(p.contains("might_contain"),
+      s"points side lost the bucket-id bloom prune:\n$p")
   }
 
   test("q_ivfpq_search: serving scans the persisted code table, pruned by cell") {
