@@ -5498,6 +5498,50 @@ object Queries {
       |WHERE month(o.o_orderdate) = 3 AND day(o.o_orderdate) <= 3
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Interval-OVERLAP join ([[Temporal.overlapJoin]]) — the
+    * interval×interval join type the point-in-interval
+    * [[graft.plans.RangeJoinPlan]] cannot express: March-1995 order
+    * fulfillment windows `[o_date, o_date+3d]` overlapping lineitem
+    * shipment-activity windows `[ship−1d, ship+1d]`. Both sides explode
+    * to 4-day buckets, ONE equi-join on bucket id with the exact
+    * overlap predicate as residual, and duplicate pairs die by bucket
+    * OWNERSHIP (a pair counts only in bucket `max(lo_l, lo_r) div w`) —
+    * no distinct, so `count(*)` certifies the dedup through the hash
+    * gate: one extra or missing pair changes `n_overlap`. */
+  private def qOverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-03-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").cast("long").as("lo_l"),
+        (col("o_orderdate").cast("timestamp").cast("long") + lit(3L * 86400)).as("hi_l"))
+    val ships = Tables.lineitem(s, dir).select(
+      col("l_quantity"),
+      (col("l_shipdate").cast("timestamp").cast("long") - lit(86400L)).as("lo_r"),
+      (col("l_shipdate").cast("timestamp").cast("long") + lit(86400L)).as("hi_r"))
+    Temporal.overlapJoin(orders, "lo_l", "hi_l", ships, "lo_r", "hi_r", 4L * 86400)
+      .groupBy("o_orderkey")
+      .agg(
+        count(lit(1)).as("n_overlap"),
+        sum(col("l_quantity").cast("long")).as("qty_sum"))
+      .orderBy("o_orderkey")
+  }
+
+  private val qOverlapJoinSql: String =
+    """SELECT o.o_orderkey AS o_orderkey,
+      |       CAST(count(*) AS BIGINT) AS n_overlap,
+      |       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+      |FROM orders o
+      |JOIN lineitem l
+      |  ON CAST(epoch(o.o_orderdate) AS BIGINT)
+      |       <= CAST(epoch(l.l_shipdate) AS BIGINT) + 86400
+      | AND CAST(epoch(l.l_shipdate) AS BIGINT) - 86400
+      |       <= CAST(epoch(o.o_orderdate) AS BIGINT) + 3 * 86400
+      |WHERE o.o_orderdate >= TIMESTAMP '1995-03-01'
+      |  AND o.o_orderdate < TIMESTAMP '1995-04-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** JSON property extraction (`props` is a JSON string column):
     * per-event-type sum of the numeric `k` field. */
   private def qEventProps(s: SparkSession, dir: String): DataFrame =
@@ -7044,6 +7088,7 @@ object Queries {
     GraftQuery("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
     GraftQuery("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     GraftQuery("q_range_join_sparse", qRangeJoinSparse, Some(qRangeJoinSparseSql)),
+    GraftQuery("q_overlap_join", qOverlapJoin, Some(qOverlapJoinSql)),
     GraftQuery("q_pricing_summary", qPricingSummary, Some(qPricingSummarySql)),
     GraftQuery("q_revenue_by_nation", qRevenueByNation, Some(qRevenueByNationSql)),
     GraftQuery("q_top_customers", qTopCustomers, Some(qTopCustomersSql)),

@@ -182,6 +182,54 @@ object Temporal {
     PlanGlue.ofRows(spark, RangeJoinPlan(lPlan, rPlan, pt, lo, hi, bucketWidth))
   }
 
+  /** Interval-OVERLAP join: `a ⋈ b ON a.lo <= b.hi AND b.lo <= a.hi`
+    * (inclusive overlap, all four LONG) — the interval×interval join
+    * [[rangeJoin]]'s point-in-interval node cannot express. Spark
+    * again has no equi-key to extract, so the naive form plans as a
+    * nested-loop pair scan; this rewrite is the same bucket trick
+    * applied to BOTH sides: each interval explodes to every
+    * `bucketWidth` bucket it overlaps, the join is EQUI on the bucket
+    * id with the exact overlap predicate as residual, and duplicate
+    * pairs are eliminated WITHOUT a distinct by bucket OWNERSHIP —
+    * a truly-overlapping pair shares every bucket in the intersection
+    * of its bucket ranges, and exactly one of those is
+    * `max(a.lo, b.lo) div width` (truncating division is monotone, so
+    * that equals `greatest(a.lo div w, b.lo div w)`, computable
+    * per-side before the join); the join keeps a pair only in that
+    * bucket. No shuffle-wide dedup, no pair blow-up beyond bucket
+    * collision rate; each side's exploded size is
+    * `Σ ceil(len/width)+1` ≤ 2× its row count at `width ≥` max
+    * interval length. NULL or inverted (`hi < lo`) intervals on either
+    * side produce no bucket rows — they never match, mirroring
+    * [[rangeJoin]]'s semantics. Plain declarative ops: Catalyst picks
+    * broadcast vs shuffled hash vs sort-merge on the bucket key as
+    * usual, AQE re-plans on runtime sizes. */
+  def overlapJoin(
+      left: DataFrame,
+      lLoCol: String,
+      lHiCol: String,
+      right: DataFrame,
+      rLoCol: String,
+      rHiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"overlapJoin requires disjoint column names; both sides have: $overlap")
+    def buckets(lo: String, hi: String) = explode(when(
+      col(hi) >= col(lo),
+      sequence(expr(s"`$lo` div $bucketWidth"), expr(s"`$hi` div $bucketWidth"))))
+    val lb = left.withColumn("__l_bucket", buckets(lLoCol, lHiCol))
+    val rb = right.withColumn("__r_bucket", buckets(rLoCol, rHiCol))
+    lb.join(rb,
+        col("__l_bucket") === col("__r_bucket") &&
+          col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol) &&
+          col("__l_bucket") ===
+            greatest(expr(s"`$lLoCol` div $bucketWidth"),
+              expr(s"`$rLoCol` div $bucketWidth")))
+      .drop("__l_bucket", "__r_bucket")
+  }
+
   /** K-step first-touch funnel: a user converts step i when their
     * EARLIEST step-i event at-or-after their step-(i−1) conversion time
     * falls within `windowDays` of their FIRST-step time (the classic
