@@ -122,8 +122,14 @@ object Bench {
           ("q_ann_ivf_scaled_p4",
             (s: SparkSession, d: String) =>
               Queries.annIvfScaled(s, d, cScaled, nProbes = 4))
+        // named _csqrt since r12: the DECLARED row q_semantic_dedup_scaled
+        // (c = 2^ceil(bitLen(N)/2) from the corpus count, hash-certified
+        // at every scale) now owns the plain _scaled name and benches
+        // unsubstituted; this substitution re-points the fixture-constant
+        // q_semantic_dedup at the exact-ceil(sqrt(N)) cell count, a second
+        // operating point on the c curve
         case ("q_semantic_dedup", _) if annScaled =>
-          ("q_semantic_dedup_scaled",
+          ("q_semantic_dedup_csqrt",
             (s: SparkSession, d: String) => Queries.semanticDedupScaled(s, d, cScaled))
         case ("q_ann_recall", _) if annScaled =>
           ("q_ann_recall_scaled",

@@ -2343,6 +2343,57 @@ object Queries {
        |ORDER BY d.vec_id""".stripMargin
   }
 
+  /** [[qSemanticDedup]] at the SCALED operating point — the last
+    * fixture-c=16 row in the SemDeDup family without a self-sizing
+    * declared twin (q_split_leakage got its r12 twin the same round):
+    * `c = scaledIvfCells(count(embeddings))` in BOTH engines, so one
+    * row certifies the dedup at c=32 @ sf0.01, 256 @ sf1, 512 @ sf10 —
+    * within-cluster pair work stays ~N·√N-bounded along the scale
+    * curve instead of N²/16. Oracle assignment uses the r12
+    * skinny-window form (score in a projection CTE; the window input
+    * never carries the vector). */
+  private def qSemanticDedupScaled(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    semanticDedupScaled(s, dir, scaledIvfCells(emb.count()))
+  }
+
+  private val qSemanticDedupScaledSql: String = {
+    val assign = Oracle.dot("v.nemb", "c.cvec", EmbeddingDim)
+    val sim = Oracle.dot("a.nemb", "b.nemb", EmbeddingDim)
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |params AS (
+       |  SELECT GREATEST(16, LEAST(4096,
+       |           1 << ((length(bin(GREATEST(1, count(*)))) + 1) // 2))) AS c
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT vec_id AS cid, nemb AS cvec FROM (
+       |    SELECT vec_id, nemb, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+       |    FROM n)
+       |  WHERE rn <= (SELECT c FROM params)),
+       |sc AS (
+       |  SELECT v.vec_id, c.cid, $assign AS s
+       |  FROM n v CROSS JOIN c),
+       |asgn AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                              ORDER BY s DESC, cid ASC) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |da AS MATERIALIZED (
+       |  SELECT v.vec_id, v.nemb, a.cid
+       |  FROM n v JOIN asgn a ON a.vec_id = v.vec_id),
+       |p AS (
+       |  SELECT a.vec_id, max($sim) AS max_lower_sim
+       |  FROM da a JOIN da b ON a.cid = b.cid AND b.vec_id < a.vec_id
+       |  GROUP BY 1)
+       |SELECT d.vec_id, d.cid AS centroid_id, p.max_lower_sim,
+       |       (p.max_lower_sim IS NULL
+       |        OR p.max_lower_sim <= CAST($SemDedupTau AS DOUBLE)) AS keep
+       |FROM da d LEFT JOIN p ON d.vec_id = p.vec_id
+       |ORDER BY d.vec_id""".stripMargin
+  }
+
   /** Approximate batch knn via IVF (the second ANN scale path): 16
     * deterministic coarse centroids, per-row argmin assignment with no
     * shuffle, 2-probe queries, bucket equi-join. */
@@ -7023,6 +7074,7 @@ object Queries {
     GraftQuery("q_ann_ivf", qAnnIvf, Some(qAnnIvfSql)),
     GraftQuery("q_ann_ivf_scaled", qAnnIvfScaled, Some(qAnnIvfScaledSql)),
     GraftQuery("q_semantic_dedup", qSemanticDedup, Some(qSemanticDedupSql)),
+    GraftQuery("q_semantic_dedup_scaled", qSemanticDedupScaled, Some(qSemanticDedupScaledSql)),
     GraftQuery("q_pq_search", qPqSearch, Some(qPqSearchSql)),
     GraftQuery("q_ivfpq_search", qIvfPqSearch, Some(qIvfPqSearchSql)),
     GraftQuery("q_ivfpq_refine", qIvfPqRefine, Some(qIvfPqRefineSql)),
