@@ -200,8 +200,14 @@ object Temporal {
     * collision rate; each side's exploded size is
     * `Σ ceil(len/width)+1` ≤ 2× its row count at `width ≥` max
     * interval length. NULL or inverted (`hi < lo`) intervals on either
-    * side produce no bucket rows — they never match, mirroring
-    * [[rangeJoin]]'s semantics. Plain declarative ops: Catalyst picks
+    * side produce no bucket rows — they never match. NOTE this is a
+    * deliberate semantic choice, not a consequence of the predicate:
+    * unlike [[rangeJoin]]'s point predicate (unsatisfiable when
+    * `hi < lo`), the raw overlap theta `a.lo <= b.hi AND b.lo <= a.hi`
+    * IS satisfiable by an inverted interval nested inside the other
+    * side (a=[10,4] vs b=[0,20]) — here an inverted interval denotes
+    * the empty set and overlaps nothing (PropertySpec pins the
+    * divergence). Plain declarative ops: Catalyst picks
     * broadcast vs shuffled hash vs sort-merge on the bucket key as
     * usual, AQE re-plans on runtime sizes. */
   def overlapJoin(

@@ -89,6 +89,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("overlapJoin == naive theta-join on generated interval sets (ownership dedup at every width)") {
+    val ivGen = (n: Int, span: Long) => Gen.listOfN(n, for {
+      lo <- Gen.choose(-span, span)
+      len <- Gen.choose(-6L, 50L) // negative => inverted interval
+    } yield (lo, lo + len))
+    for ((seed, width) <- Seq((13L, 1L), (17L, 9L), (23L, 128L))) {
+      val as = samples(ivGen(70, 400L), 1, seed).head.zipWithIndex
+        .map { case ((lo, hi), i) => (lo, hi, i.toLong) }.toDF("a_lo", "a_hi", "aid")
+      val bs = samples(ivGen(90, 430L), 1, seed + 1000).head.zipWithIndex
+        .map { case ((lo, hi), i) => (lo, hi, i.toLong) }.toDF("b_lo", "b_hi", "bid")
+      // the naive model runs on VALID intervals only: the raw theta
+      // predicate `a.lo <= b.hi AND b.lo <= a.hi` is satisfiable by an
+      // INVERTED interval nested inside the other side (e.g. a=[10,4]
+      // vs b=[0,20]), but the operator's documented semantics drop
+      // inverted rows — they denote empty intervals, which overlap
+      // nothing (this property caught exactly that divergence when the
+      // model ran unfiltered)
+      val naive = as.filter(col("a_lo") <= col("a_hi"))
+        .join(bs.filter(col("b_lo") <= col("b_hi")),
+          col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+        .select("aid", "bid").as[(Long, Long)].collect().toSet
+      // the operator sees the UNFILTERED frames — inverted rows must
+      // die inside it, not in test preprocessing
+      val got = Temporal.overlapJoin(as, "a_lo", "a_hi", bs, "b_lo", "b_hi", width)
+        .select("aid", "bid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"duplicate pairs at width $width seed $seed")
+      assert(got.toSet == naive, s"mismatch at width $width seed $seed")
+    }
+  }
+
   test("chunk reassembly: concat(chunks) == text for generated unicode strings") {
     val textGen = for {
       n <- Gen.choose(0, 900)
