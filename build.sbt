@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Test JVMs only: lets specs flip diagnostic A/B knobs via sys.props
+// (see ExpandRangeJoin.knob — production JVMs ignore the properties).
+Test / javaOptions += "-Dgraft.test.knobs=1"

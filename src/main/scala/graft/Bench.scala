@@ -131,6 +131,16 @@ object Bench {
         case ("q_semantic_dedup", _) if annScaled =>
           ("q_semantic_dedup_csqrt",
             (s: SparkSession, d: String) => Queries.semanticDedupScaled(s, d, cScaled))
+        // same treatment for SemDeDup's leakage sibling (VERDICT r12
+        // #2: this row had no substitution, so the r11 sweep paid the
+        // fixture-c=16 N²/16 shape ~100s at sf10); the DECLARED
+        // q_split_leakage_scaled (c = 2^⌈bitLen(N)/2⌉, hash-certified
+        // sf0.01→sf10) benches unsubstituted, and this re-points the
+        // fixture-constant row at exact-⌈√N⌉ cells — the same second
+        // operating point on the c curve the _csqrt dedup row measures
+        case ("q_split_leakage", _) if annScaled =>
+          ("q_split_leakage_csqrt",
+            (s: SparkSession, d: String) => Queries.splitLeakageScaled(s, d, cScaled))
         case ("q_ann_recall", _) if annScaled =>
           ("q_ann_recall_scaled",
             (s: SparkSession, d: String) => Queries.annRecallScaled(s, d, evalMod))

@@ -2061,6 +2061,33 @@ object Queries {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
 
+  /** Fixture signature folded into every centroid/codebook cache key
+    * (VERDICT r12 #4): the caches memoize per-DIRECTORY index
+    * artifacts, so a fixture regenerated IN PLACE mid-session (a
+    * ScaleUp rerun, a rewritten test fixture) must cache-MISS — a bare
+    * `"$dir#$c"` key would serve every IVF-family row centroids built
+    * from the old data. The signature is (name, length, mtime) of each
+    * embeddings data file, hashed — one driver-side metadata listing,
+    * no data read, so the memoization still saves the index-build job
+    * it exists to save. */
+  private[graft] def fixtureSig(dir: String): String = {
+    val root = new java.io.File(s"$dir/embeddings.parquet")
+    val files =
+      if (root.isDirectory)
+        Option(root.listFiles()).getOrElse(Array.empty).toSeq.filter(_.isFile)
+      else Seq(root)
+    val desc = files.sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(desc))
+  }
+
+  /** Cache key for [[centroidCache]]: fixture dir + cell count + the
+    * staleness-guarding [[fixtureSig]]. */
+  private def centroidKey(dir: String, c: Int): String =
+    s"$dir#$c#${fixtureSig(dir)}"
+
   private val PqM = 8
   private val PqKsub = 16
 
@@ -2077,7 +2104,7 @@ object Queries {
     * oracle-replayable. */
   private def qPqSearch(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val cbs = pqCodebookCache.computeIfAbsent(dir, _ =>
+    val cbs = pqCodebookCache.computeIfAbsent(s"$dir#${fixtureSig(dir)}", _ =>
       VectorSearch.pqCodebooks(emb, "embedding", "vec_id", PqM, PqKsub, Metric.Cosine))
     VectorSearch.pqSearch(emb, "embedding", "vec_id",
       queryVecFrame(s, dir), "qvec", cbs, K, Metric.Cosine)
@@ -2160,9 +2187,9 @@ object Queries {
     * (LshSpec pins the equality through the parquet round-trip). */
   private def qIvfPqSearch(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val centroids = centroidCache.computeIfAbsent(s"$dir#16",
+    val centroids = centroidCache.computeIfAbsent(centroidKey(dir, 16),
       _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine))
-    val cbs = pqCodebookCache.computeIfAbsent(dir, _ =>
+    val cbs = pqCodebookCache.computeIfAbsent(s"$dir#${fixtureSig(dir)}", _ =>
       VectorSearch.pqCodebooks(emb, "embedding", "vec_id", PqM, PqKsub, Metric.Cosine))
     VectorSearch.ivfPqSearchIndexed(ivfPqIndexFrame(s, dir, emb, centroids, cbs),
       "vec_id",
@@ -2251,9 +2278,9 @@ object Queries {
     * LshSpec pins refined recall ≥ 0.8@10 against brute force. */
   private def qIvfPqRefine(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val centroids = centroidCache.computeIfAbsent(s"$dir#16",
+    val centroids = centroidCache.computeIfAbsent(centroidKey(dir, 16),
       _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine))
-    val cbs = pqCodebookCache.computeIfAbsent(dir, _ =>
+    val cbs = pqCodebookCache.computeIfAbsent(s"$dir#${fixtureSig(dir)}", _ =>
       VectorSearch.pqCodebooks(emb, "embedding", "vec_id", PqM, PqKsub, Metric.Cosine))
     VectorSearch.ivfPqSearchRefined(ivfPqIndexFrame(s, dir, emb, centroids, cbs),
       emb, "embedding", "vec_id", queryVecFrame(s, dir), "qvec",
@@ -2279,7 +2306,7 @@ object Queries {
   private def qIvfRefineGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val init = centroidCache.computeIfAbsent(s"$dir#16",
+    val init = centroidCache.computeIfAbsent(centroidKey(dir, 16),
       _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine))
     val refined = VectorSearch.ivfRefineCentroids(emb, "embedding", init,
       Metric.Cosine, iters = 2)
@@ -2313,7 +2340,7 @@ object Queries {
     * [[qAnnIvf]]. */
   private def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val centroids = centroidCache.computeIfAbsent(s"$dir#16",
+    val centroids = centroidCache.computeIfAbsent(centroidKey(dir, 16),
       _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine))
     VectorSearch.semanticDedup(emb, "embedding", "vec_id", Metric.Cosine,
       tau = SemDedupTau, c = 16, centroids = Some(centroids))
@@ -2399,7 +2426,7 @@ object Queries {
     * shuffle, 2-probe queries, bucket equi-join. */
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val centroids = centroidCache.computeIfAbsent(s"$dir#16",
+    val centroids = centroidCache.computeIfAbsent(centroidKey(dir, 16),
       _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine))
     VectorSearch.ivfKnnJoin(emb, emb, "embedding", "vec_id", Metric.Cosine,
       k = KnnJoinK, c = 16, nProbes = 2, centroids = Some(centroids))
@@ -2468,7 +2495,7 @@ object Queries {
   private def qAnnIvfScaled(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val c = scaledIvfCells(emb.count())
-    val centroids = centroidCache.computeIfAbsent(s"$dir#$c",
+    val centroids = centroidCache.computeIfAbsent(centroidKey(dir, c),
       _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", c, Metric.Cosine))
     VectorSearch.ivfKnnJoin(emb, emb, "embedding", "vec_id", Metric.Cosine,
       k = KnnJoinK, c = c, nProbes = 2, centroids = Some(centroids))
@@ -2587,7 +2614,7 @@ object Queries {
   def annIvfScaled(s: SparkSession, dir: String, c: Int,
       nProbes: Int = 2): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val centroids = centroidCache.computeIfAbsent(s"$dir#$c",
+    val centroids = centroidCache.computeIfAbsent(centroidKey(dir, c),
       _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", c, Metric.Cosine))
     VectorSearch.ivfKnnJoin(emb, emb, "embedding", "vec_id", Metric.Cosine,
       k = KnnJoinK, c = c, nProbes = nProbes, centroids = Some(centroids))
@@ -2596,10 +2623,30 @@ object Queries {
 
   def semanticDedupScaled(s: SparkSession, dir: String, c: Int): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val centroids = centroidCache.computeIfAbsent(s"$dir#$c",
+    val centroids = centroidCache.computeIfAbsent(centroidKey(dir, c),
       _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", c, Metric.Cosine))
     VectorSearch.semanticDedup(emb, "embedding", "vec_id", Metric.Cosine,
       tau = SemDedupTau, c = c, centroids = Some(centroids))
+      .orderBy("vec_id")
+  }
+
+  /** [[qSplitLeakage]] at an explicit cell count — the bench-sweep
+    * hook (VERDICT r12 #2): without it, sf ≥ 10 sweeps re-pay the
+    * fixture-c=16 row's N²/16 within-cell pair shape (~100s at sf10 in
+    * the r11 sweep) that the DECLARED self-sizing twin
+    * q_split_leakage_scaled exists to avoid. */
+  def splitLeakageScaled(s: SparkSession, dir: String, c: Int): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val centroids = centroidCache.computeIfAbsent(centroidKey(dir, c),
+      _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", c, Metric.Cosine))
+    val isTrain =
+      Splits.hashBucket(col("vec_id"), LeakSalt) <
+        math.round(LeakTrainFrac * Splits.Buckets)
+    VectorSearch.clusterMaxSim(
+      emb.filter(!isTrain), emb.filter(isTrain),
+      "embedding", "vec_id", Metric.Cosine, centroids)
+      .withColumn("leaked",
+        col("max_sim").isNotNull && col("max_sim") > LeakTau)
       .orderBy("vec_id")
   }
 
@@ -4231,7 +4278,7 @@ object Queries {
     * other IVF-family queries. */
   private def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val centroids = centroidCache.computeIfAbsent(s"$dir#16",
+    val centroids = centroidCache.computeIfAbsent(centroidKey(dir, 16),
       _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine))
     val isTrain =
       Splits.hashBucket(col("vec_id"), LeakSalt) <
@@ -4287,21 +4334,9 @@ object Queries {
     * never nemb), the restructuring that makes the N·c assignment
     * replayable at sf10 (~2.4 GB window spill instead of the r11
     * form's ~100 GB vector-cartesian). */
-  private def qSplitLeakageScaled(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val c = scaledIvfCells(emb.count())
-    val centroids = centroidCache.computeIfAbsent(s"$dir#$c",
-      _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", c, Metric.Cosine))
-    val isTrain =
-      Splits.hashBucket(col("vec_id"), LeakSalt) <
-        math.round(LeakTrainFrac * Splits.Buckets)
-    VectorSearch.clusterMaxSim(
-      emb.filter(!isTrain), emb.filter(isTrain),
-      "embedding", "vec_id", Metric.Cosine, centroids)
-      .withColumn("leaked",
-        col("max_sim").isNotNull && col("max_sim") > LeakTau)
-      .orderBy("vec_id")
-  }
+  private def qSplitLeakageScaled(s: SparkSession, dir: String): DataFrame =
+    splitLeakageScaled(s, dir,
+      scaledIvfCells(Tables.embeddings(s, dir).count()))
 
   private val qSplitLeakageScaledSql: String = {
     val p = Sketches.MinhashPrime
@@ -5040,7 +5075,7 @@ object Queries {
     * argmin assignment replayed relationally and bit-packed. */
   private def qStreamCodes(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val cbs = pqCodebookCache.computeIfAbsent(dir, _ =>
+    val cbs = pqCodebookCache.computeIfAbsent(s"$dir#${fixtureSig(dir)}", _ =>
       VectorSearch.pqCodebooks(emb, "embedding", "vec_id", PqM, PqKsub, Metric.Cosine))
     val landing = embLandingCache.computeIfAbsent(dir, _ => {
       val d = java.nio.file.Paths.get(

@@ -222,18 +222,27 @@ object Temporal {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"overlapJoin requires disjoint column names; both sides have: $overlap")
+    // Helper-column names are derived fresh against BOTH inputs:
+    // withColumn REPLACES a same-named existing column, so a fixed
+    // "__l_bucket" would silently clobber (then drop) user data.
+    val taken = left.columns.toSet ++ right.columns.toSet
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(!taken.contains(_)).get
+    val lBucket = fresh("__l_bucket")
+    val rBucket = fresh("__r_bucket")
     def buckets(lo: String, hi: String) = explode(when(
       col(hi) >= col(lo),
       sequence(expr(s"`$lo` div $bucketWidth"), expr(s"`$hi` div $bucketWidth"))))
-    val lb = left.withColumn("__l_bucket", buckets(lLoCol, lHiCol))
-    val rb = right.withColumn("__r_bucket", buckets(rLoCol, rHiCol))
+    val lb = left.withColumn(lBucket, buckets(lLoCol, lHiCol))
+    val rb = right.withColumn(rBucket, buckets(rLoCol, rHiCol))
     lb.join(rb,
-        col("__l_bucket") === col("__r_bucket") &&
+        col(lBucket) === col(rBucket) &&
           col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol) &&
-          col("__l_bucket") ===
+          col(lBucket) ===
             greatest(expr(s"`$lLoCol` div $bucketWidth"),
               expr(s"`$rLoCol` div $bucketWidth")))
-      .drop("__l_bucket", "__r_bucket")
+      .drop(lBucket, rBucket)
   }
 
   /** K-step first-touch funnel: a user converts step i when their

@@ -158,27 +158,50 @@ object Web {
     apexDomainPsl(hostCol, PslRules.parse(suffixes))
 
   def apexDomainPsl(hostCol: Column, rules: PslRules): Column = {
+    // PSL canonicalization: rules are stored lowercase, so the host
+    // must match lowercase too, and a trailing dot (the FQDN root
+    // form, real in crawl data) would otherwise poison every suffix
+    // in the chain. The apex RETURNED is the canonical form — the
+    // point of the apex is to be a grouping key, and "Example.CO.UK."
+    // vs "example.co.uk" splitting a rollup is exactly the bug class.
+    val hc = lower(regexp_replace(hostCol, "\\.$", ""))
     def inSet(c: Column, set: Seq[String]): Column =
       if (set.isEmpty) lit(false) else c.isInCollection(set)
-    // a suffix is a public suffix iff (listed plain OR its parent is a
-    // wildcard base) AND not excepted; single-label suffixes have no
-    // parent, so they never wildcard-match
+    // a suffix is a public suffix iff listed plain OR its parent is a
+    // wildcard base; single-label suffixes have no parent, so they
+    // never wildcard-match. No exception check needed here: an
+    // exception hit anywhere in the chain prevails outright (below),
+    // so this predicate is only consulted on exception-free chains.
     def isPublic(s: Column): Column = {
       val parent = regexp_replace(s, "^[^.]+\\.", "")
-      val hit = inSet(s, rules.plain) ||
+      inSet(s, rules.plain) ||
         (s.contains(".") && inSet(parent, rules.wildcardBases))
-      if (rules.exceptions.isEmpty) hit
-      else hit && !inSet(s, rules.exceptions)
     }
-    val sufs = hostSuffixes(hostCol)
+    val sufs = hostSuffixes(hc)
+    // Exception rules PREVAIL over every plain/wildcard match
+    // (publicsuffix.org algorithm step: "If more than one rule
+    // matches, the prevailing rule is the one which is an exception
+    // rule"), and the registrable domain is the exception itself
+    // (spec: public suffix = exception minus its leftmost label, apex
+    // = that + one label back = the exception). Resolving exceptions
+    // through the chain walk instead is subtly wrong on the REAL list:
+    // `jp` is listed plain alongside `!city.kawasaki.jp`, so a walk
+    // that merely skips the excepted suffix would resolve
+    // sub.city.kawasaki.jp through `jp` to kawasaki.jp — the spec
+    // says city.kawasaki.jp (WebSpec pins this on a real-list
+    // fragment).
+    val excHit =
+      if (rules.exceptions.isEmpty) lit(null).cast("string")
+      else try_element_at(filter(sufs, s => inSet(s, rules.exceptions)), lit(1))
     val matched = filter(sufs, isPublic _)
     // try_: an empty match list must yield NULL (-> heuristic fallback),
     // not an ANSI out-of-bounds error
     val ps = try_element_at(matched, lit(1))
     val pos = array_position(sufs, ps)
-    when(ps.isNull, apexDomain(hostCol))
-      .otherwise(when(pos === 1, hostCol)
-        .otherwise(element_at(sufs, (pos - 1).cast("int"))))
+    when(excHit.isNotNull, excHit)
+      .otherwise(when(ps.isNull, apexDomain(hc))
+        .otherwise(when(pos === 1, hc)
+          .otherwise(element_at(sufs, (pos - 1).cast("int")))))
   }
 
   /** Materialize a suffix TABLE (a maintained full-PSL relation) into

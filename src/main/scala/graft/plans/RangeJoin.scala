@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{BloomFilterAggregate
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, LongType}
 
 /** Custom logical operator: range join `points ⋈ intervals ON lo <= pt
@@ -81,10 +82,20 @@ object ExpandRangeJoin extends Rule[LogicalPlan] {
 
   // diagnostic A/B knobs (the SPARK_GRAFT_STREAM_MAX_FILES precedent):
   // scale sweeps measure a prune's effect on the SAME fixture instead
-  // of arguing it; never set in production. sys.props fallback lets
-  // in-JVM specs exercise both paths (env is frozen at JVM start).
+  // of arguing it; never set in production. The sys.props fallback
+  // exists only so in-JVM specs can exercise both paths (env is frozen
+  // at JVM start) — it is honored ONLY when the JVM was launched with
+  // -Dgraft.test.knobs=1 (build.sbt sets it for the forked test JVM),
+  // so a stray property in a production driver can never silently
+  // disable the prune. The knob specs mutate global sys.props; that is
+  // sound only while the suite runs serially in one forked JVM
+  // (Test/fork := true with sbt's default testForkedParallel = false —
+  // revisit RangeJoinSpec's try/finally if that ever changes).
+  private val testKnobs: Boolean =
+    sys.props.get("graft.test.knobs").contains("1")
   private def knob(name: String): Boolean =
-    sys.env.get(name).orElse(sys.props.get(name)).contains("1")
+    sys.env.get(name).contains("1") ||
+      (testKnobs && sys.props.get(name).contains("1"))
 
   /** Runtime points-side prune (VERDICT r10 #1, widened r12): without
     * it the rewrite buckets and SHUFFLES every point even when the
@@ -143,13 +154,30 @@ object ExpandRangeJoin extends Rule[LogicalPlan] {
       qualifier = None,
       generatorOutput = Seq(bkt),
       child = slim)
+    // Bloom capacity: the no-arg constructor defaults to ~1M expected
+    // items (spark.sql.optimizer.runtime.bloomFilter.expectedNumItems)
+    // — an interval frame exploding past capacity saturates the bloom
+    // toward pass-all, silently losing the prune while still paying
+    // the subquery cost. Size it instead: an explicit session conf
+    // wins; else 2× the interval side's CBO row count (the exploded
+    // frame is ≤ 2×|intervals| at the intended width); else Spark's
+    // default. BloomFilterAggregate itself clamps the estimate to
+    // runtime.bloomFilter.maxNumItems, so an over-estimate is safe.
+    val expectedItems: Long =
+      conf.getConfString("spark.graft.rangeJoin.bloom.expectedItems", "")
+        .toLongOption
+        .orElse(r.stats.rowCount.map(n =>
+          (n * 2).min(BigInt(Long.MaxValue)).toLong))
+        .getOrElse(conf.getConf(
+          SQLConf.RUNTIME_BLOOM_FILTER_EXPECTED_NUM_ITEMS))
+        .max(1L)
     // min/max over the exploded frame duplicate per bucket row —
     // harmless, min/max are duplication-idempotent
     val agg = Alias(CreateNamedStruct(Seq(
       Literal("lo"), Min(lo).toAggregateExpression(),
       Literal("hi"), Max(hi).toAggregateExpression(),
-      Literal("bf"), new BloomFilterAggregate(new XxHash64(Seq(bkt)))
-        .toAggregateExpression())), "__rj_prune")()
+      Literal("bf"), new BloomFilterAggregate(new XxHash64(Seq(bkt)),
+        expectedItems).toAggregateExpression())), "__rj_prune")()
     val sub = ScalarSubquery(Aggregate(Nil, Seq(agg), exploded))
     Some(And(
       And(

@@ -108,4 +108,36 @@ class FixtureContractSpec extends SparkSpec {
       "p_partkey" -> anyIntegral, "p_brand" -> isString,
       "p_size" -> anyIntegral, "p_retailprice" -> anyNumeric))
   }
+
+  test("centroid-cache fixture signature misses when a fixture is regenerated in place") {
+    // VERDICT r12 #4: the centroid/codebook caches key on the fixture
+    // DIRECTORY; without a content signature, regenerating a fixture
+    // mid-session serves stale centroids to every IVF-family row. The
+    // signature must move when a data file's length or mtime moves,
+    // and must be one metadata listing (works on a plain directory).
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig").toFile
+    try {
+      val emb = new java.io.File(dir, "embeddings.parquet")
+      assert(emb.mkdir())
+      val part = new java.io.File(emb, "part-00000.parquet")
+      java.nio.file.Files.write(part.toPath, Array[Byte](1, 2, 3))
+      part.setLastModified(1000000000000L)
+      val sig1 = Queries.fixtureSig(dir.getPath)
+      assert(sig1 === Queries.fixtureSig(dir.getPath), "signature must be stable")
+      // same length, newer mtime — an in-place rewrite
+      part.setLastModified(1000000005000L)
+      val sig2 = Queries.fixtureSig(dir.getPath)
+      assert(sig2 !== sig1, "mtime change must change the signature")
+      // longer file — appended/regenerated data
+      java.nio.file.Files.write(part.toPath, Array[Byte](1, 2, 3, 4))
+      part.setLastModified(1000000005000L)
+      assert(Queries.fixtureSig(dir.getPath) !== sig2,
+        "length change must change the signature")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }

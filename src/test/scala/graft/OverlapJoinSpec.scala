@@ -74,6 +74,23 @@ class OverlapJoinSpec extends SparkSpec {
     assert(got.toSet === naive(l, r))
   }
 
+  test("inputs owning the reserved helper names __l_bucket/__r_bucket survive intact") {
+    // withColumn REPLACES an existing same-named column, so a fixed
+    // helper name would clobber (then drop) user data — the helper
+    // names must be derived fresh against both inputs.
+    val l = lhs.withColumn("__l_bucket", col("aid") * 100)
+    val r = rhs.withColumn("__r_bucket", col("bid") * 100)
+    val got = Temporal.overlapJoin(l, "a_lo", "a_hi", r, "b_lo", "b_hi", 16)
+    assert(got.columns.count(_ == "__l_bucket") === 1)
+    assert(got.columns.count(_ == "__r_bucket") === 1)
+    val rows = got.select("aid", "bid", "__l_bucket", "__r_bucket")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (a, b, lv, rv) => lv == a * 100 && rv == b * 100 },
+      "user-owned __l_bucket/__r_bucket values were clobbered")
+    assert(rows.map(t => (t._1, t._2)).toSet === naive(lhs, rhs))
+  }
+
   test("plan is a bucketed equi-join: no nested-loop, no cartesian, two Generates") {
     val df = Temporal.overlapJoin(lhs, "a_lo", "a_hi", rhs, "b_lo", "b_hi", 16)
     val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

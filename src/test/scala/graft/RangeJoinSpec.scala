@@ -118,6 +118,21 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("bloom expected-items conf is honored without changing results (tiny and huge capacity)") {
+    val expected = naive(points, intervals)
+    // capacity only tunes the false-positive rate — exactness lives in
+    // the join residual, so results must be identical at any setting
+    for (cap <- Seq("4", "50000000")) {
+      spark.conf.set("spark.graft.rangeJoin.bloom.expectedItems", cap)
+      try {
+        val df = Temporal.rangeJoin(points, "pt", intervals, "lo", "hi", 16)
+        val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+        assert(plan.contains("might_contain"), plan)
+        assert(df.select("pid", "iid").as[(Long, Long)].collect().toSet === expected)
+      } finally spark.conf.unset("spark.graft.rangeJoin.bloom.expectedItems")
+    }
+  }
+
   test("empty interval frame prunes every point and returns zero rows") {
     val emptyIv = intervals.filter(col("iid") < 0)
     assert(viaRule(points, emptyIv, 16) === Set.empty)
