@@ -55,9 +55,10 @@ object GraftFunctions {
 }
 
 /** `spark.sql.extensions` entry point injecting the vector kernels and
-  * the [[graft.plans.ExpandRangeJoin]] optimizer rule (expands the
-  * custom [[graft.plans.RangeJoinPlan]] node into its bucketed
-  * equi-join form). */
+  * the [[graft.plans.ExpandRangeJoin]] / [[graft.plans.ExpandOverlapJoin]]
+  * optimizer rules (expand the custom [[graft.plans.RangeJoinPlan]] and
+  * [[graft.plans.OverlapJoinPlan]] nodes into their bucketed equi-join
+  * forms). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, arity, clazz, builder) =>
@@ -67,6 +68,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         checkedBuilder(name, arity, builder)))
     }
     ext.injectOptimizerRule(_ => graft.plans.ExpandRangeJoin)
+    ext.injectOptimizerRule(_ => graft.plans.ExpandOverlapJoin)
   }
 
   private def checkedBuilder(

@@ -5584,29 +5584,36 @@ object Queries {
       |WHERE month(o.o_orderdate) = 3 AND day(o.o_orderdate) <= 3
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Interval-OVERLAP join ([[Temporal.overlapJoin]]) — the
-    * interval×interval join type the point-in-interval
-    * [[graft.plans.RangeJoinPlan]] cannot express: March-1995 order
-    * fulfillment windows `[o_date, o_date+3d]` overlapping lineitem
-    * shipment-activity windows `[ship−1d, ship+1d]`. Both sides explode
-    * to 4-day buckets, ONE equi-join on bucket id with the exact
-    * overlap predicate as residual, and duplicate pairs die by bucket
+  /** Interval-OVERLAP join ([[Temporal.overlapJoin]], the custom
+    * [[graft.plans.OverlapJoinPlan]] node) — the interval×interval
+    * join type the point-in-interval [[graft.plans.RangeJoinPlan]]
+    * cannot express: lineitem shipment-activity windows
+    * `[ship−1d, ship+1d]` overlapping March-1995 order fulfillment
+    * windows `[o_date, o_date+3d]`. Both sides explode to 4-day
+    * buckets, ONE equi-join on bucket id with the exact overlap
+    * predicate as residual, and duplicate pairs die by bucket
     * OWNERSHIP (a pair counts only in bucket `max(lo_l, lo_r) div w`) —
     * no distinct, so `count(*)` certifies the dedup through the hash
-    * gate: one extra or missing pair changes `n_overlap`. */
+    * gate: one extra or missing pair changes `n_overlap`. The
+    * corpus-scale lineitem frame is the LEFT side (the operator's
+    * orientation contract): [[graft.plans.ExpandOverlapJoin]]'s
+    * runtime prune — hull bounds pre-explode + bucket-id bloom below
+    * the exchange, one metadata-scale subquery over the March orders —
+    * drops the ~99% of shipment windows that cannot overlap any March
+    * fulfillment window before they shuffle. */
   private def qOverlapJoin(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(s, dir)
       .filter(col("o_orderdate") >= lit("1995-03-01").cast("timestamp") &&
         col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
       .select(
         col("o_orderkey"),
-        col("o_orderdate").cast("timestamp").cast("long").as("lo_l"),
-        (col("o_orderdate").cast("timestamp").cast("long") + lit(3L * 86400)).as("hi_l"))
+        col("o_orderdate").cast("timestamp").cast("long").as("lo_r"),
+        (col("o_orderdate").cast("timestamp").cast("long") + lit(3L * 86400)).as("hi_r"))
     val ships = Tables.lineitem(s, dir).select(
       col("l_quantity"),
-      (col("l_shipdate").cast("timestamp").cast("long") - lit(86400L)).as("lo_r"),
-      (col("l_shipdate").cast("timestamp").cast("long") + lit(86400L)).as("hi_r"))
-    Temporal.overlapJoin(orders, "lo_l", "hi_l", ships, "lo_r", "hi_r", 4L * 86400)
+      (col("l_shipdate").cast("timestamp").cast("long") - lit(86400L)).as("lo_l"),
+      (col("l_shipdate").cast("timestamp").cast("long") + lit(86400L)).as("hi_l"))
+    Temporal.overlapJoin(ships, "lo_l", "hi_l", orders, "lo_r", "hi_r", 4L * 86400)
       .groupBy("o_orderkey")
       .agg(
         count(lit(1)).as("n_overlap"),
@@ -5626,6 +5633,51 @@ object Queries {
       |       <= CAST(epoch(o.o_orderdate) AS BIGINT) + 3 * 86400
       |WHERE o.o_orderdate >= TIMESTAMP '1995-03-01'
       |  AND o.o_orderdate < TIMESTAMP '1995-04-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** [[qOverlapJoin]] over a SPARSE-BUT-WIDE right set — the
+    * [[qRangeJoinSparse]] failure mode transplanted to the
+    * interval×interval node: fulfillment windows of orders placed in
+    * the OPENING 3 DAYS of any March (every fixture year contributes a
+    * cluster, so the right set's HULL spans the whole date axis — the
+    * pre-explode bounds prune goes inert) while covering ~2% of the
+    * 4-day buckets. [[graft.plans.ExpandOverlapJoin]]'s bucket-id
+    * bloom is the load-bearing prune: shipment windows in the ~98% of
+    * buckets no March-opening fulfillment window overlaps drop
+    * map-side, below the exchange. Calendar predicates survive
+    * [[ScaleUp]]'s axis extension, so the sparsity RATIO is
+    * scale-invariant and the A/B knobs measure the bloom on the same
+    * fixture at any sf. */
+  private def qOverlapJoinSparse(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+      .filter(month(col("o_orderdate")) === 3 && dayofmonth(col("o_orderdate")) <= 3)
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").cast("long").as("lo_r"),
+        (col("o_orderdate").cast("timestamp").cast("long") + lit(3L * 86400)).as("hi_r"))
+    val ships = Tables.lineitem(s, dir).select(
+      col("l_quantity"),
+      (col("l_shipdate").cast("timestamp").cast("long") - lit(86400L)).as("lo_l"),
+      (col("l_shipdate").cast("timestamp").cast("long") + lit(86400L)).as("hi_l"))
+    Temporal.overlapJoin(ships, "lo_l", "hi_l", orders, "lo_r", "hi_r", 4L * 86400)
+      .groupBy("o_orderkey")
+      .agg(
+        count(lit(1)).as("n_overlap"),
+        sum(col("l_quantity").cast("long")).as("qty_sum"))
+      .orderBy("o_orderkey")
+  }
+
+  private val qOverlapJoinSparseSql: String =
+    """SELECT o.o_orderkey AS o_orderkey,
+      |       CAST(count(*) AS BIGINT) AS n_overlap,
+      |       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+      |FROM orders o
+      |JOIN lineitem l
+      |  ON CAST(epoch(o.o_orderdate) AS BIGINT)
+      |       <= CAST(epoch(l.l_shipdate) AS BIGINT) + 86400
+      | AND CAST(epoch(l.l_shipdate) AS BIGINT) - 86400
+      |       <= CAST(epoch(o.o_orderdate) AS BIGINT) + 3 * 86400
+      |WHERE month(o.o_orderdate) = 3 AND day(o.o_orderdate) <= 3
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** JSON property extraction (`props` is a JSON string column):
@@ -7176,6 +7228,7 @@ object Queries {
     GraftQuery("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     GraftQuery("q_range_join_sparse", qRangeJoinSparse, Some(qRangeJoinSparseSql)),
     GraftQuery("q_overlap_join", qOverlapJoin, Some(qOverlapJoinSql)),
+    GraftQuery("q_overlap_join_sparse", qOverlapJoinSparse, Some(qOverlapJoinSparseSql)),
     GraftQuery("q_pricing_summary", qPricingSummary, Some(qPricingSummarySql)),
     GraftQuery("q_revenue_by_nation", qRevenueByNation, Some(qRevenueByNationSql)),
     GraftQuery("q_top_customers", qTopCustomers, Some(qTopCustomersSql)),

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftglue.PlanGlue
 import org.apache.spark.sql.types.{LongType, StructType}
 
-import graft.plans.{ExpandRangeJoin, RangeJoinPlan}
+import graft.plans.{ExpandOverlapJoin, ExpandRangeJoin, OverlapJoinPlan, RangeJoinPlan}
 
 /** Temporal joins Spark lacks as built-ins. */
 object Temporal {
@@ -184,22 +184,17 @@ object Temporal {
 
   /** Interval-OVERLAP join: `a ⋈ b ON a.lo <= b.hi AND b.lo <= a.hi`
     * (inclusive overlap, all four LONG) — the interval×interval join
-    * [[rangeJoin]]'s point-in-interval node cannot express. Spark
-    * again has no equi-key to extract, so the naive form plans as a
-    * nested-loop pair scan; this rewrite is the same bucket trick
-    * applied to BOTH sides: each interval explodes to every
-    * `bucketWidth` bucket it overlaps, the join is EQUI on the bucket
-    * id with the exact overlap predicate as residual, and duplicate
-    * pairs are eliminated WITHOUT a distinct by bucket OWNERSHIP —
-    * a truly-overlapping pair shares every bucket in the intersection
-    * of its bucket ranges, and exactly one of those is
-    * `max(a.lo, b.lo) div width` (truncating division is monotone, so
-    * that equals `greatest(a.lo div w, b.lo div w)`, computable
-    * per-side before the join); the join keeps a pair only in that
-    * bucket. No shuffle-wide dedup, no pair blow-up beyond bucket
-    * collision rate; each side's exploded size is
-    * `Σ ceil(len/width)+1` ≤ 2× its row count at `width ≥` max
-    * interval length. NULL or inverted (`hi < lo`) intervals on either
+    * [[rangeJoin]]'s point-in-interval node cannot express. Declares
+    * the custom [[graft.plans.OverlapJoinPlan]] node, which
+    * [[graft.plans.ExpandOverlapJoin]] rewrites to the bucket trick
+    * applied to BOTH sides (equi-join on bucket id, exact overlap as
+    * residual, duplicate pairs eliminated WITHOUT a distinct by bucket
+    * OWNERSHIP — see the node's scaladoc for the cost model) plus a
+    * runtime LEFT-side prune: hull bounds before the explode and a
+    * bucket-id bloom below the exchange, both fed by one metadata-scale
+    * subquery over the right side — so pass the CORPUS-SCALE frame as
+    * `left` and the smaller one as `right` (the [[rangeJoin]] points
+    * convention). NULL or inverted (`hi < lo`) intervals on either
     * side produce no bucket rows — they never match. NOTE this is a
     * deliberate semantic choice, not a consequence of the predicate:
     * unlike [[rangeJoin]]'s point predicate (unsatisfiable when
@@ -207,9 +202,9 @@ object Temporal {
     * IS satisfiable by an inverted interval nested inside the other
     * side (a=[10,4] vs b=[0,20]) — here an inverted interval denotes
     * the empty set and overlaps nothing (PropertySpec pins the
-    * divergence). Plain declarative ops: Catalyst picks
-    * broadcast vs shuffled hash vs sort-merge on the bucket key as
-    * usual, AQE re-plans on runtime sizes. */
+    * divergence). Catalyst picks broadcast vs shuffled hash vs
+    * sort-merge on the bucket key as usual, AQE re-plans on runtime
+    * sizes. */
   def overlapJoin(
       left: DataFrame,
       lLoCol: String,
@@ -219,30 +214,37 @@ object Temporal {
       rHiCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val spark = left.sparkSession
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"overlapJoin requires disjoint column names; both sides have: $overlap")
-    // Helper-column names are derived fresh against BOTH inputs:
-    // withColumn REPLACES a same-named existing column, so a fixed
-    // "__l_bucket" would silently clobber (then drop) user data.
-    val taken = left.columns.toSet ++ right.columns.toSet
-    def fresh(base: String): String =
-      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
-        .find(!taken.contains(_)).get
-    val lBucket = fresh("__l_bucket")
-    val rBucket = fresh("__r_bucket")
-    def buckets(lo: String, hi: String) = explode(when(
-      col(hi) >= col(lo),
-      sequence(expr(s"`$lo` div $bucketWidth"), expr(s"`$hi` div $bucketWidth"))))
-    val lb = left.withColumn(lBucket, buckets(lLoCol, lHiCol))
-    val rb = right.withColumn(rBucket, buckets(rLoCol, rHiCol))
-    lb.join(rb,
-        col(lBucket) === col(rBucket) &&
-          col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol) &&
-          col(lBucket) ===
-            greatest(expr(s"`$lLoCol` div $bucketWidth"),
-              expr(s"`$rLoCol` div $bucketWidth")))
-      .drop(lBucket, rBucket)
+
+    val lPlan = PlanGlue.analyzed(left)
+    // Fresh exprIds on the right side so a self-overlap-join (both
+    // frames derived from one source) cannot alias attributes across
+    // the two join inputs.
+    val rBase = PlanGlue.analyzed(right)
+    val rPlan = Project(rBase.output.map(a => Alias(a, a.name)()), rBase)
+
+    def resolve(out: Seq[Attribute], name: String, side: String): Attribute = {
+      val a = out.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"overlapJoin: no column '$name' on the $side side"))
+      require(a.dataType == LongType,
+        s"overlapJoin: column '$name' must be LONG, got ${a.dataType.sql}")
+      a
+    }
+    val lLo = resolve(lPlan.output, lLoCol, "left")
+    val lHi = resolve(lPlan.output, lHiCol, "left")
+    val rLo = resolve(rPlan.output, rLoCol, "right")
+    val rHi = resolve(rPlan.output, rHiCol, "right")
+
+    if (!spark.experimental.extraOptimizations.exists(_ eq ExpandOverlapJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ExpandOverlapJoin
+
+    PlanGlue.ofRows(spark,
+      OverlapJoinPlan(lPlan, rPlan, lLo, lHi, rLo, rHi, bucketWidth))
   }
 
   /** K-step first-touch funnel: a user converts step i when their

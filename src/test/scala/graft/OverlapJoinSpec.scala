@@ -98,4 +98,47 @@ class OverlapJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("Generate"), plan)
   }
+
+  test("left-side prune carries the hull bounds AND the bucket-id bloom") {
+    val df = Temporal.overlapJoin(lhs, "a_lo", "a_hi", rhs, "b_lo", "b_hi", 16)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("might_contain"), plan)
+    assert(plan.contains("bloom_filter_agg"), plan)
+  }
+
+  test("NOBLOOM / NOPRUNE knobs select the bounds-only and unpruned forms") {
+    val expected = naive(lhs, rhs)
+    for (k <- Seq("SPARK_GRAFT_OVERLAPJOIN_NOBLOOM", "SPARK_GRAFT_OVERLAPJOIN_NOPRUNE")) {
+      sys.props(k) = "1"
+      try {
+        val df = Temporal.overlapJoin(lhs, "a_lo", "a_hi", rhs, "b_lo", "b_hi", 16)
+        val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+        assert(!plan.contains("might_contain"), s"$k should disable the bloom: $plan")
+        val got = df.select("aid", "bid").as[(Long, Long)].collect()
+        assert(got.length === got.toSet.size)
+        assert(got.toSet === expected)
+      } finally sys.props.remove(k)
+    }
+  }
+
+  test("sparse-but-wide right set (two clusters at opposite domain ends) stays exact") {
+    // the hull-bounds failure mode: right intervals at both ends of the
+    // domain widen min/max to cover every left row; the bucket bloom
+    // must neither drop true matches nor duplicate pairs
+    val l = spark.range(0, 3000).select(
+      (col("id") * 2).as("a_lo"), (col("id") * 2 + 1).as("a_hi"),
+      col("id").as("aid"))
+    val r = spark.sql(
+      """SELECT * FROM VALUES (0L, 40L, 1L), (30L, 90L, 2L),
+        |(5900L, 5950L, 3L), (5980L, 5999L, 4L) AS t(b_lo, b_hi, bid)""".stripMargin)
+    val got = Temporal.overlapJoin(l, "a_lo", "a_hi", r, "b_lo", "b_hi", 64)
+      .select("aid", "bid").as[(Long, Long)].collect()
+    assert(got.length === got.toSet.size, "duplicate pairs")
+    assert(got.toSet === naive(l, r))
+  }
+
+  test("empty right frame prunes every left row and returns zero rows") {
+    val emptyR = rhs.filter(col("bid") < 0)
+    assert(via(lhs, emptyR, 16).isEmpty)
+  }
 }
