@@ -105,13 +105,17 @@ object Bench {
           ("q_ann_capped_scaled_2x",
             (s: SparkSession, d: String) =>
               Queries.annLshMultiScaled(s, d, bitsScaled, Some(2.0)))
-        // recall of the CAPPED scaled serving config against exact top-k
-        // on a fixed-count sample — the sweep's recall number for the
-        // capped row is measured, not argued
+        // recall at the 2x-cap operating point: the DECLARED
+        // q_ann_recall_capped_scaled (4x cap, count-derived bits/mod,
+        // the exact q_ann_capped_scaled config) benches unsubstituted
+        // since r13; this substitution re-points the fixture-constant
+        // row at the tighter cap, so MIGRATION's factor guidance pairs
+        // each timing point (q_ann_capped_scaled_2x) with a measured
+        // recall number
         case ("q_ann_recall_capped", _) if annScaled =>
-          ("q_ann_recall_capped_scaled",
+          ("q_ann_recall_capped_scaled_2x",
             (s: SparkSession, d: String) =>
-              Queries.annRecallCappedScaled(s, d, evalMod, bitsScaled, 4.0))
+              Queries.annRecallCappedScaled(s, d, evalMod, bitsScaled, 2.0))
         // second operating point on the PROBE curve (the capped row's
         // _2x precedent): the DECLARED q_ann_ivf_scaled (c = 2^⌈bits/2⌉
         // from the corpus count, probes=2, hash-certified at every
