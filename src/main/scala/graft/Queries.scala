@@ -1852,10 +1852,11 @@ object Queries {
     * (the IVF skinny-window precedent). */
   private def qAnnRecallCappedScaled(s: SparkSession, dir: String): DataFrame = {
     val n = Tables.embeddings(s, dir).count()
-    // annRecallCappedScaled's bands = LshMultiBands = ScaledCapBands —
-    // the exact q_ann_capped_scaled serving config
+    // bands passed EXPLICITLY as ScaledCapBands — the constant the
+    // oracle SQL burns in — so the declared row cannot desynchronize
+    // from its oracle if LshMultiBands is ever retuned (ADVICE r13)
     annRecallCappedScaled(s, dir, scaledEvalMod(n), scaledLshBits(n),
-      AnnCapFactor)
+      AnnCapFactor, bands = ScaledCapBands)
   }
 
   private val qAnnRecallCappedScaledSql: String = {
@@ -2123,7 +2124,7 @@ object Queries {
     * never data. LshSpec pins the physical side (strictly fewer
     * files; band-restricted probes prune whole directories). */
   private def qIndexCompact(s: SparkSession, dir: String): DataFrame = {
-    val base = indexCompactCache.computeIfAbsent(dir, _ => {
+    val base = indexCompactCache.computeIfAbsent(stagedKey(dir, "embeddings"), _ => {
       val b = s"/root/repo/target/tmp/index_compact_${java.util.UUID.randomUUID()}"
       val frag = s"$b/frag"
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
@@ -2169,8 +2170,16 @@ object Queries {
     * embeddings data file, hashed — one driver-side metadata listing,
     * no data read, so the memoization still saves the index-build job
     * it exists to save. */
-  private[graft] def fixtureSig(dir: String): String = {
-    val root = new java.io.File(s"$dir/embeddings.parquet")
+  private[graft] def fixtureSig(dir: String): String = tableSig(dir, "embeddings")
+
+  /** [[fixtureSig]] generalized to any fixture table (ADVICE r13: the
+    * staleness guard must cover EVERY dir-keyed staged artifact, not
+    * just the embedding-derived index caches — a regenerated
+    * events/documents fixture must cache-miss the landing/publish dirs
+    * exactly like a regenerated embeddings fixture misses the centroid
+    * cache). */
+  private[graft] def tableSig(dir: String, table: String): String = {
+    val root = new java.io.File(s"$dir/$table.parquet")
     val files =
       if (root.isDirectory)
         Option(root.listFiles()).getOrElse(Array.empty).toSeq.filter(_.isFile)
@@ -2181,6 +2190,14 @@ object Queries {
     java.lang.Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(desc))
   }
+
+  /** Cache key for a staged/published artifact derived from ONE fixture
+    * table: dir + that table's [[tableSig]]. Every
+    * `ConcurrentHashMap[String, String]` staging cache in this object
+    * keys on this (never the bare dir), so an in-place fixture rewrite
+    * re-stages instead of serving stale parquet. */
+  private def stagedKey(dir: String, table: String): String =
+    s"$dir#${tableSig(dir, table)}"
 
   /** Cache key for [[centroidCache]]: fixture dir + cell count + the
     * staleness-guarding [[fixtureSig]]. */
@@ -2266,7 +2283,7 @@ object Queries {
       s: SparkSession, dir: String, emb: DataFrame,
       centroids: Seq[(Long, Seq[Double])],
       cbs: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
-    val path = ivfPqIndexCache.computeIfAbsent(dir, _ => {
+    val path = ivfPqIndexCache.computeIfAbsent(stagedKey(dir, "embeddings"), _ => {
       val p = s"/root/repo/target/tmp/ivfpq_index_${java.util.UUID.randomUUID()}"
       VectorSearch.ivfPqIndexTable(emb, "embedding", "vec_id", centroids, cbs,
         Metric.Cosine)
@@ -2684,12 +2701,18 @@ object Queries {
 
   /** Scaled recall eval of the CAPPED serving config: recall of
     * [[VectorSearch.multibandKnnJoin]] at the SWEEP's own operating
-    * point (corpus-sized `bits`, [[LshMultiBands]] bands, production
+    * point (corpus-sized `bits`, caller-chosen `bands`, production
     * cap factor) against exact top-k on a fixed-count query sample —
     * so the sweep's capped serving row carries a measured recall
-    * number, not an argued one. */
+    * number, not an argued one. `bands` is EXPLICIT (ADVICE r13): the
+    * declared row passes [[ScaledCapBands]] — the constant its oracle
+    * SQL burns in — so retuning [[LshMultiBands]] can never silently
+    * desynchronize the declared row from its oracle; the bench _2x
+    * form passes [[LshMultiBands]] to stay paired with
+    * q_ann_capped_scaled_2x. */
   def annRecallCappedScaled(s: SparkSession, dir: String, mod: Long,
-      bits: Int, capFactor: Double): DataFrame = {
+      bits: Int, capFactor: Double,
+      bands: Int = LshMultiBands): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val queries = emb.filter(col("vec_id") % mod === 0)
     val exact = VectorSearch.knnJoin(queries, emb, "embedding", "vec_id",
@@ -2697,7 +2720,7 @@ object Queries {
       .select(col("query_id"), col("neighbor_id"))
     val ann = VectorSearch.multibandKnnJoin(queries, emb, "embedding", "vec_id",
       Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim,
-      bits = bits, bands = LshMultiBands,
+      bits = bits, bands = bands,
       maxBucketFactor = Some(capFactor))
       .select(col("query_id"), col("neighbor_id"))
     val hits = exact.join(ann, Seq("query_id", "neighbor_id"))
@@ -2903,7 +2926,7 @@ object Queries {
     * the downstream Jaccard/cosine verify is [[qNearDupPairs]]'s stage. */
   private def qNeardupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val path = bandIndexCache.computeIfAbsent(dir, _ => {
+    val path = bandIndexCache.computeIfAbsent(stagedKey(dir, "documents"), _ => {
       val p = s"/root/repo/target/tmp/band_index_${java.util.UUID.randomUUID()}"
       Sketches.minhashBands(
         Sketches.minhashSignature(docs.filter(col("doc_id") % 10 =!= 0),
@@ -4686,7 +4709,7 @@ object Queries {
     * file-arrival shape FileStreamSource needs) — cached per sf dir, so
     * the events-stream queries share ONE staging. */
   private def eventsLanding(dir: String): String =
-    streamLandingCache.computeIfAbsent(dir, _ => {
+    streamLandingCache.computeIfAbsent(stagedKey(dir, "events"), _ => {
       val d = java.nio.file.Paths.get(
         s"/root/repo/target/tmp/stream_landing_${java.util.UUID.randomUUID()}")
       java.nio.file.Files.createDirectories(d)
@@ -4754,7 +4777,7 @@ object Queries {
     * scale this is the freshness path: crawled docs land, features
     * appear next micro-batch, no corpus re-featurization. */
   private def qStreamFeatures(s: SparkSession, dir: String): DataFrame = {
-    val landing = docLandingCache.computeIfAbsent(dir, _ => {
+    val landing = docLandingCache.computeIfAbsent(stagedKey(dir, "documents"), _ => {
       val d = java.nio.file.Paths.get(
         s"/root/repo/target/tmp/doc_landing_${java.util.UUID.randomUUID()}")
       java.nio.file.Files.createDirectories(d)
@@ -4762,7 +4785,7 @@ object Queries {
         "documents")
       d.toString
     })
-    val pub = featurePubCache.computeIfAbsent(dir, _ =>
+    val pub = featurePubCache.computeIfAbsent(stagedKey(dir, "documents"), _ =>
       s"/root/repo/target/tmp/feature_pub_${java.util.UUID.randomUUID()}")
     val q = Streaming.documentsStream(s, landing)
       .writeStream
@@ -4805,7 +4828,7 @@ object Queries {
     // publish sink, not memory: first-seen keys are corpus-scale (a
     // memory sink would collect them all driver-side — the
     // q_stream_pairs sf10 failure mode)
-    val pub = dedupPubCache.computeIfAbsent(dir, _ =>
+    val pub = dedupPubCache.computeIfAbsent(stagedKey(dir, "events"), _ =>
       s"/root/repo/target/tmp/dedup_pub_${java.util.UUID.randomUUID()}")
     drainStream(s, 8, "q_stream_dedup") {
       Streaming.dedupStream(
@@ -4864,7 +4887,7 @@ object Queries {
     // publish sink, not memory: enriched rows are event-scale (the
     // q_stream_pairs sf10 failure mode); the per-type rollup aggregates
     // from the published files executor-side
-    val pub = enrichPubCache.computeIfAbsent(dir, _ =>
+    val pub = enrichPubCache.computeIfAbsent(stagedKey(dir, "events"), _ =>
       s"/root/repo/target/tmp/enrich_pub_${java.util.UUID.randomUUID()}")
     val profile = Tables.events(s, dir)
       .select(col("event_type"),
@@ -4959,7 +4982,7 @@ object Queries {
     * the panel-maintenance shape q_sample_append certifies in batch,
     * now certified on the streaming execution path. */
   private def qStreamUpsert(s: SparkSession, dir: String): DataFrame = {
-    val landing = upsertLandingCache.computeIfAbsent(dir, _ => {
+    val landing = upsertLandingCache.computeIfAbsent(stagedKey(dir, "events"), _ => {
       val d = java.nio.file.Paths.get(
         s"/root/repo/target/tmp/upsert_landing_${java.util.UUID.randomUUID()}")
       java.nio.file.Files.createDirectories(d)
@@ -4974,7 +4997,7 @@ object Queries {
           pmod(col("event_id"), lit(2)) === 1), d, "h1")
       d.toString
     })
-    val pub = upsertPubCache.computeIfAbsent(dir, _ =>
+    val pub = upsertPubCache.computeIfAbsent(stagedKey(dir, "events"), _ =>
       s"/root/repo/target/tmp/upsert_pub_${java.util.UUID.randomUUID()}")
     drainStream(s, 8, "q_stream_upsert") {
       Streaming.eventsStream(s, landing, maxFilesPerTrigger = Some(1))
@@ -5005,7 +5028,7 @@ object Queries {
 
   private def qStreamPairs(s: SparkSession, dir: String): DataFrame = {
     val landing = eventsLanding(dir)
-    val pub = pairsPubCache.computeIfAbsent(dir, _ =>
+    val pub = pairsPubCache.computeIfAbsent(stagedKey(dir, "events"), _ =>
       s"/root/repo/target/tmp/pairs_pub_${java.util.UUID.randomUUID()}")
     val ev = Streaming.eventsStream(s, landing).withWatermark("ts", "1 hour")
     // inner stream-stream joins emit each pair in the micro-batch where
@@ -5075,7 +5098,7 @@ object Queries {
     * rebuild. Oracle: the full-rebuild bucketing replayed arithmetically
     * (q_index_append's oracle — the gated claim is streamed == rebuilt). */
   private def qStreamIndex(s: SparkSession, dir: String): DataFrame = {
-    val landing = embLandingCache.computeIfAbsent(dir, _ => {
+    val landing = embLandingCache.computeIfAbsent(stagedKey(dir, "embeddings"), _ => {
       val d = java.nio.file.Paths.get(
         s"/root/repo/target/tmp/emb_landing_${java.util.UUID.randomUUID()}")
       java.nio.file.Files.createDirectories(d)
@@ -5087,7 +5110,7 @@ object Queries {
     // corpus × bands rows (the q_stream_pairs sf10 failure mode) — and
     // publishing IS the operator's real contract (a streamed index is
     // served from storage, not from driver memory)
-    val pub = streamIndexPubCache.computeIfAbsent(dir, _ =>
+    val pub = streamIndexPubCache.computeIfAbsent(stagedKey(dir, "embeddings"), _ =>
       s"/root/repo/target/tmp/stream_index_pub_${java.util.UUID.randomUUID()}")
     drainStream(s, 8, "q_stream_index") {
       VectorSearch.lshBucketTable(
@@ -5128,7 +5151,7 @@ object Queries {
     * == rebuilt, the same layout-only claim as q_index_compact, now
     * under live ingestion. */
   private def qStreamCompact(s: SparkSession, dir: String): DataFrame = {
-    val base = streamCompactCache.computeIfAbsent(dir, _ => {
+    val base = streamCompactCache.computeIfAbsent(stagedKey(dir, "embeddings"), _ => {
       val b = s"/root/repo/target/tmp/stream_compact_${java.util.UUID.randomUUID()}"
       Tables.embeddings(s, dir).repartition(3)
         .write.parquet(s"$b/landing")
@@ -5176,7 +5199,7 @@ object Queries {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val cbs = pqCodebookCache.computeIfAbsent(s"$dir#${fixtureSig(dir)}", _ =>
       VectorSearch.pqCodebooks(emb, "embedding", "vec_id", PqM, PqKsub, Metric.Cosine))
-    val landing = embLandingCache.computeIfAbsent(dir, _ => {
+    val landing = embLandingCache.computeIfAbsent(stagedKey(dir, "embeddings"), _ => {
       val d = java.nio.file.Paths.get(
         s"/root/repo/target/tmp/emb_landing_${java.util.UUID.randomUUID()}")
       java.nio.file.Files.createDirectories(d)
@@ -5186,7 +5209,7 @@ object Queries {
     })
     // publish sink, not memory: codes are corpus-scale, and published
     // parquet IS the PQ code table's serving layout
-    val pub = streamCodesPubCache.computeIfAbsent(dir, _ =>
+    val pub = streamCodesPubCache.computeIfAbsent(stagedKey(dir, "embeddings"), _ =>
       s"/root/repo/target/tmp/stream_codes_pub_${java.util.UUID.randomUUID()}")
     drainStream(s, 8, "q_stream_codes") {
       VectorSearch.pqEncode(
@@ -5262,7 +5285,7 @@ object Queries {
     * (lag → cumulative session id) on floor-second epochs, exactly
     * [[Streaming.closedSessions]]'s arithmetic. */
   private def qStreamSessions(s: SparkSession, dir: String): DataFrame = {
-    val landing = sessLandingCache.computeIfAbsent(dir, _ => {
+    val landing = sessLandingCache.computeIfAbsent(stagedKey(dir, "events"), _ => {
       val d = java.nio.file.Paths.get(
         s"/root/repo/target/tmp/sess_landing_${java.util.UUID.randomUUID()}")
       java.nio.file.Files.createDirectories(d)
@@ -5365,7 +5388,7 @@ object Queries {
     })
     // publish sink, not memory: closed sessions are corpus-scale (the
     // q_stream_pairs sf10 failure mode)
-    val pub = sessionsPubCache.computeIfAbsent(dir, _ =>
+    val pub = sessionsPubCache.computeIfAbsent(stagedKey(dir, "events"), _ =>
       s"/root/repo/target/tmp/sessions_pub_${java.util.UUID.randomUUID()}")
     drainStream(s, 8, "q_stream_sessions") {
       Streaming.closedSessions(

@@ -194,7 +194,10 @@ object Temporal {
     * bucket-id bloom below the exchange, both fed by one metadata-scale
     * subquery over the right side — so pass the CORPUS-SCALE frame as
     * `left` and the smaller one as `right` (the [[rangeJoin]] points
-    * convention). NULL or inverted (`hi < lo`) intervals on either
+    * convention); a misoriented call auto-swaps internally when the
+    * right side's size estimate is ≥10× the left's (VERDICT r13 #7 —
+    * result and schema unchanged). NULL or inverted (`hi < lo`)
+    * intervals on either
     * side produce no bucket rows — they never match. NOTE this is a
     * deliberate semantic choice, not a consequence of the predicate:
     * unlike [[rangeJoin]]'s point predicate (unsatisfiable when

@@ -36,7 +36,11 @@ import org.apache.spark.sql.types.LongType
   * Orientation contract (mirrors [[RangeJoinPlan]]'s points side):
   * pass the CORPUS-SCALE side as `left` — the runtime prune filters
   * the left side using one metadata-scale subquery over the right, so
-  * the right side should be the smaller frame. */
+  * the right side should be the smaller frame. A misoriented call is
+  * GUARDED, not trusted (VERDICT r13 #7): [[ExpandOverlapJoin]]
+  * auto-swaps the roles when the right side's size estimate is ≥10×
+  * the left's — legal because the predicate and ownership dedup are
+  * symmetric and the output projection restores column order. */
 final case class OverlapJoinPlan(
     left: LogicalPlan,
     right: LogicalPlan,
@@ -84,8 +88,20 @@ object ExpandOverlapJoin extends Rule[LogicalPlan] {
   import IntervalBuckets._
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case oj @ OverlapJoinPlan(l, r, lLo, lHi, rLo, rHi, width) =>
+    case oj @ OverlapJoinPlan(l0, r0, lLo0, lHi0, rLo0, rHi0, width) =>
       val tz = conf.sessionLocalTimeZone
+      // Misorientation guard (VERDICT r13 #7): the prune filters the
+      // LEFT side with one metadata-scale subquery over the RIGHT, so a
+      // swapped call (corpus passed as right) would ship the corpus
+      // through the unpruned explode. The overlap predicate and the
+      // ownership dedup are symmetric and the trailing Project restores
+      // `oj.output`, so when size estimates say the right side is ≥10×
+      // the left, swap the roles internally — result and schema are
+      // unchanged (OverlapJoinSpec pins both).
+      val swap = r0.stats.sizeInBytes > l0.stats.sizeInBytes * 10
+      val (l, r, lLo, lHi, rLo, rHi) =
+        if (swap) (r0, l0, rLo0, rHi0, lLo0, lHi0)
+        else (l0, r0, lLo0, lHi0, rLo0, rHi0)
       val stats =
         if (knob("SPARK_GRAFT_OVERLAPJOIN_NOPRUNE") || !isDeterministic(r)) None
         else Some(intervalStats(r, rLo, rHi, width, tz, conf,

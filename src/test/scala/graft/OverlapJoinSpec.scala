@@ -114,6 +114,15 @@ class OverlapJoinSpec extends SparkSpec {
         val df = Temporal.overlapJoin(lhs, "a_lo", "a_hi", rhs, "b_lo", "b_hi", 16)
         val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
         assert(!plan.contains("might_contain"), s"$k should disable the bloom: $plan")
+        // ADVICE r13: NOBLOOM must be bounds-ONLY, not prune-off — the
+        // hull filter's interval-stats scalar subquery must still be in
+        // the plan; NOPRUNE removes the subquery entirely.
+        val hasSubquery = "(?m)^Subquery".r.findFirstIn(plan).isDefined ||
+          plan.contains("Subquery subquery")
+        if (k.endsWith("NOBLOOM"))
+          assert(hasSubquery, s"$k should KEEP the hull-bounds subquery: $plan")
+        else
+          assert(!hasSubquery, s"$k should remove the whole prune: $plan")
         val got = df.select("aid", "bid").as[(Long, Long)].collect()
         assert(got.length === got.toSet.size)
         assert(got.toSet === expected)
@@ -140,5 +149,30 @@ class OverlapJoinSpec extends SparkSpec {
   test("empty right frame prunes every left row and returns zero rows") {
     val emptyR = rhs.filter(col("bid") < 0)
     assert(via(lhs, emptyR, 16).isEmpty)
+  }
+
+  test("misoriented call (corpus passed as RIGHT) auto-swaps: the big side gets the prune") {
+    // VERDICT r13 #7: without the guard, a swapped call ships the
+    // corpus through the unpruned right explode. The rule swaps roles
+    // when right's size estimate is ≥10× left's; the hull filter must
+    // land on the BIG side's columns, and result + column order must be
+    // identical to the unswapped semantics.
+    val small = spark.sql(
+      """SELECT * FROM VALUES (10L, 40L, 1L), (900L, 950L, 2L)
+        |AS t(a_lo, a_hi, aid)""".stripMargin)
+    val big = spark.range(0, 5000).select(
+      (col("id") * 2).as("b_lo"), (col("id") * 2 + 1).as("b_hi"),
+      col("id").as("bid"))
+    val df = Temporal.overlapJoin(small, "a_lo", "a_hi", big, "b_lo", "b_hi", 64)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert("""b_lo#\d+L? <= Subquery""".r.findFirstIn(plan).isDefined,
+      s"hull filter should sit on the big (right-passed) side:\n$plan")
+    assert(df.columns.toSeq === Seq("a_lo", "a_hi", "aid", "b_lo", "b_hi", "bid"))
+    val got = df.select("aid", "bid").as[(Long, Long)].collect()
+    assert(got.length === got.toSet.size)
+    val expected = small
+      .join(big, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(got.toSet === expected)
   }
 }
