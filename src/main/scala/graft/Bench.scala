@@ -83,18 +83,31 @@ object Bench {
         case ("q_ann_lsh", _) if annScaled =>
           ("q_ann_lsh_scaled",
             (s: SparkSession, d: String) => Queries.annLshScaled(s, d, bitsScaled))
+        // flips=1 second point on the PROBE curve (the _2x/_p4
+        // precedent): the DECLARED q_ann_multiprobe_scaled (flips=2,
+        // count-derived bits, hash-certified) benches unsubstituted
+        // since r14, so this substitution re-points the fixture row at
+        // 2 probes/query instead of 3 — MIGRATION's flips guidance
+        // carries two measured points
         case ("q_ann_multiprobe", _) if annScaled =>
-          ("q_ann_multiprobe_scaled",
-            (s: SparkSession, d: String) => Queries.annMultiprobeScaled(s, d, bitsScaled))
-        // the sweep's multiband serving row runs CAPPED (factor 4× mean
-        // bucket occupancy) — the r9 sweep measured the uncapped form
-        // spending 427s (19% of the whole sweep) in one 17×-mean hot
-        // bucket; the cap is the production shape (q_ann_capped is its
-        // oracle row, q_ann_recall_capped its recall certificate)
-        case ("q_ann_lsh_multi", _) if annScaled =>
-          ("q_ann_lsh_multi_capped",
+          ("q_ann_multiprobe_scaled_f1",
             (s: SparkSession, d: String) =>
-              Queries.annLshMultiScaled(s, d, bitsScaled, Some(4.0)))
+              Queries.annMultiprobeScaled(s, d, bitsScaled, flips = 1))
+        // UNCAPPED at the sweep's own bits — the missing point on the
+        // cap-factor curve (VERDICT r13 #4): the r13 sweep's 4×-capped
+        // substitution (321.8s) duplicated the DECLARED
+        // q_ann_capped_scaled config (297.8s, same bits/bands/cap,
+        // benches unsubstituted), so the sweep paid the same operating
+        // point twice and never measured what the cap BUYS at
+        // production bits. Now the factor curve reads uncapped (this
+        // row) / 4× (q_ann_capped_scaled) / 2× (q_ann_capped_scaled_2x)
+        // at identical bits×bands. Safe uncapped: at corpus-sized bits
+        // the mean bucket is ~50 rows — the r9 straggler lived at
+        // fixture bits=4 (mean N/16), a 256×-denser shape.
+        case ("q_ann_lsh_multi", _) if annScaled =>
+          ("q_ann_lsh_multi_scaled",
+            (s: SparkSession, d: String) =>
+              Queries.annLshMultiScaled(s, d, bitsScaled, None))
         // second operating point on the factor curve: a 2× cap trades
         // more tail recall for less pair work — benched so MIGRATION.md's
         // factor guidance carries two measured points, not one. Named
@@ -148,9 +161,14 @@ object Bench {
         case ("q_ann_recall", _) if annScaled =>
           ("q_ann_recall_scaled",
             (s: SparkSession, d: String) => Queries.annRecallScaled(s, d, evalMod))
+        // 2× anchor density second point: the DECLARED
+        // q_contrastive_pairs_scaled (~1000 anchors) benches
+        // unsubstituted since r14; this re-points the fixture row at
+        // ~2000 anchors — the mining-density knob a user actually turns
         case ("q_contrastive_pairs", _) if annScaled =>
-          ("q_contrastive_pairs_scaled",
-            (s: SparkSession, d: String) => Queries.contrastivePairsScaled(s, d, evalMod))
+          ("q_contrastive_pairs_scaled_2k",
+            (s: SparkSession, d: String) =>
+              Queries.contrastivePairsScaled(s, d, math.max(20L, evalMod / 2)))
         case ("q_knn_join", _) if knnSample.isDefined =>
           ("q_knn_join_sampled",
             (s: SparkSession, d: String) => Queries.knnJoinSampled(s, d, knnSample.get))

@@ -1748,7 +1748,7 @@ object Queries {
     * the gate machine's disk), while rounding UP halves it — the cheap
     * side of the trade, and the side the r9/r10 sweeps actually ran
     * (bits=12 at N=200k). Clamped to [1, 20]. */
-  private def scaledLshBits(n: Long): Int = {
+  private[graft] def scaledLshBits(n: Long): Int = {
     val m = math.max(1L, n / 50)
     math.max(1, math.min(20, 64 - java.lang.Long.numberOfLeadingZeros(m - 1)))
   }
@@ -1830,7 +1830,7 @@ object Queries {
     * corpus (a fixed-mod sample like [[RecallSampleMod]]'s N/20 makes
     * the exact ground-truth side Θ(N²/20) — the exclusion class that
     * kept the fixture recall rows out of the sf10 gate). */
-  private def scaledEvalMod(n: Long): Long = math.max(20L, n / 1000L)
+  private[graft] def scaledEvalMod(n: Long): Long = math.max(20L, n / 1000L)
 
   /** Recall certificate of [[qAnnCappedScaled]]'s exact serving config
     * at the SCALED operating point — closing the recall family's sf10
@@ -2069,6 +2069,79 @@ object Queries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** [[qAnnMultiprobe]] at the SCALED operating point (VERDICT r13 #1:
+    * the bench-only `q_ann_multiprobe_scaled` substitution promoted to
+    * a declared hash-gated row): `bits = max(2, scaledLshBits(N))` in
+    * BOTH engines (the floor exists because flips=2 needs at least two
+    * hyperplanes), so one row certifies bits=6 at sf0.01, 9 at sf1, 12
+    * at sf10 — per-bucket candidate work stays ~3·N·50 along the scale
+    * curve instead of 3·N²/256. The oracle replays the probe generation
+    * with `bits` a RUNTIME scalar: projections as (vec, plane) ROWS
+    * (the qAnnCappedScaledSql trick), bucket by conditional bit-sum,
+    * the two lowest-|margin| flip bits by a skinny ROW_NUMBER window —
+    * identical tie semantics (abs ASC, plane ASC) to the engine's
+    * staged first-match argmin. */
+  private def qAnnMultiprobeScaled(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    annMultiprobeScaled(s, dir, math.max(2, scaledLshBits(n)))
+  }
+
+  private val qAnnMultiprobeScaledSql: String = {
+    val score = Oracle.dot("a.nemb", "b.nemb", EmbeddingDim)
+    // plane weights with runtime plane index j (band 0 → jj = j + 1),
+    // the same integer formula Oracle.lshBucketBand burns into literals
+    // when bits is compile-time
+    val w = "(CAST((li * (j.j + 1) * 7919) % 193 AS DOUBLE) / 193.0 - 0.5)"
+    val pr = Oracle.foldSum(
+      s"list_transform(range(1, ${EmbeddingDim + 1}), li -> n.nemb[li] * $w)")
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |params AS (
+       |  SELECT GREATEST(2, GREATEST(1, LEAST(20,
+       |           length(bin(GREATEST(1, count(*) // 50) - 1))))) AS bits
+       |  FROM embeddings),
+       |jx AS (SELECT unnest(range(0, (SELECT bits FROM params))) AS j),
+       |proj AS (
+       |  SELECT n.vec_id, j.j, $pr AS pr
+       |  FROM n, jx j),
+       |buck AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN pr > 0.0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY 1),
+       |fr AS (
+       |  SELECT vec_id, j,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                            ORDER BY abs(pr) ASC, j ASC) AS rn
+       |  FROM proj),
+       |fb AS (
+       |  SELECT vec_id,
+       |         CAST(max(CASE WHEN rn = 1 THEN (1 << j) END) AS BIGINT) AS bv1,
+       |         CAST(max(CASE WHEN rn = 2 THEN (1 << j) END) AS BIGINT) AS bv2
+       |  FROM fr GROUP BY 1),
+       |pq AS (
+       |  SELECT vec_id, bucket AS probe FROM buck
+       |  UNION ALL
+       |  SELECT b.vec_id, xor(b.bucket, f.bv1) FROM buck b JOIN fb f USING (vec_id)
+       |  UNION ALL
+       |  SELECT b.vec_id, xor(b.bucket, f.bv2) FROM buck b JOIN fb f USING (vec_id)),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id
+       |  FROM pq q JOIN buck d ON q.probe = d.bucket AND q.vec_id <> d.vec_id
+       |  GROUP BY 1, 2),
+       |sco AS (
+       |  SELECT p.query_id, p.neighbor_id, $score AS score
+       |  FROM p JOIN n a ON p.query_id = a.vec_id
+       |         JOIN n b ON p.neighbor_id = b.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM sco)
+       |SELECT query_id, neighbor_id, score, rank
+       |FROM r WHERE rank <= $KnnJoinK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Split id for the incremental-index query: rows below are the
     * "existing" persisted index, rows at/above are the append batch.
     * 400 < every fixture's embedding count (500/500/2000), so both
@@ -2213,6 +2286,14 @@ object Queries {
   private val pqCodebookCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[(Int, Seq[Double])]]]()
 
+  /** Cache key for [[pqCodebookCache]]: fixture dir + the codebook
+    * PARAMETERS + [[fixtureSig]] — the scaled PQ rows build
+    * differently-sized codebooks over the same dir, so the parameters
+    * must be part of the identity exactly like [[centroidKey]]'s cell
+    * count. */
+  private def pqCodebookKey(dir: String, ksub: Int): String =
+    s"$dir#$PqM#$ksub#${fixtureSig(dir)}"
+
   /** North-star product quantization ([[VectorSearch.pqSearch]]): ADC
     * top-10 — the query scored against 32-bit PQ codes instead of
     * 512-byte vectors (the FAISS-IVFPQ serving layout). Deterministic
@@ -2220,7 +2301,7 @@ object Queries {
     * oracle-replayable. */
   private def qPqSearch(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val cbs = pqCodebookCache.computeIfAbsent(s"$dir#${fixtureSig(dir)}", _ =>
+    val cbs = pqCodebookCache.computeIfAbsent(pqCodebookKey(dir, PqKsub), _ =>
       VectorSearch.pqCodebooks(emb, "embedding", "vec_id", PqM, PqKsub, Metric.Cosine))
     VectorSearch.pqSearch(emb, "embedding", "vec_id",
       queryVecFrame(s, dir), "qvec", cbs, K, Metric.Cosine)
@@ -2283,7 +2364,11 @@ object Queries {
       s: SparkSession, dir: String, emb: DataFrame,
       centroids: Seq[(Long, Seq[Double])],
       cbs: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
-    val path = ivfPqIndexCache.computeIfAbsent(stagedKey(dir, "embeddings"), _ => {
+    // index identity = fixture data + BOTH index parameters (the scaled
+    // rows persist a second index over the same dir)
+    val key =
+      s"${stagedKey(dir, "embeddings")}#c${centroids.length}#k${cbs.head.length}"
+    val path = ivfPqIndexCache.computeIfAbsent(key, _ => {
       val p = s"/root/repo/target/tmp/ivfpq_index_${java.util.UUID.randomUUID()}"
       VectorSearch.ivfPqIndexTable(emb, "embedding", "vec_id", centroids, cbs,
         Metric.Cosine)
@@ -2305,7 +2390,7 @@ object Queries {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val centroids = centroidCache.computeIfAbsent(centroidKey(dir, 16),
       _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine))
-    val cbs = pqCodebookCache.computeIfAbsent(s"$dir#${fixtureSig(dir)}", _ =>
+    val cbs = pqCodebookCache.computeIfAbsent(pqCodebookKey(dir, PqKsub), _ =>
       VectorSearch.pqCodebooks(emb, "embedding", "vec_id", PqM, PqKsub, Metric.Cosine))
     VectorSearch.ivfPqSearchIndexed(ivfPqIndexFrame(s, dir, emb, centroids, cbs),
       "vec_id",
@@ -2396,7 +2481,7 @@ object Queries {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val centroids = centroidCache.computeIfAbsent(centroidKey(dir, 16),
       _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", 16, Metric.Cosine))
-    val cbs = pqCodebookCache.computeIfAbsent(s"$dir#${fixtureSig(dir)}", _ =>
+    val cbs = pqCodebookCache.computeIfAbsent(pqCodebookKey(dir, PqKsub), _ =>
       VectorSearch.pqCodebooks(emb, "embedding", "vec_id", PqM, PqKsub, Metric.Cosine))
     VectorSearch.ivfPqSearchRefined(ivfPqIndexFrame(s, dir, emb, centroids, cbs),
       emb, "embedding", "vec_id", queryVecFrame(s, dir), "qvec",
@@ -2444,6 +2529,238 @@ object Queries {
        |SELECT v.vec_id, ${Oracle.dot("v.nemb", "q.qemb", EmbeddingDim)} AS score
        |FROM n v JOIN cand USING (vec_id) CROSS JOIN q
        |ORDER BY score DESC, v.vec_id ASC LIMIT $K""".stripMargin
+
+  // ------------------------ PQ serving family, SCALED operating points ---
+
+  /** SQL form of [[scaledIvfCells]] (the qAnnIvfScaledSql expression,
+    * shared by every scaled oracle that sizes cells or codebooks from
+    * the corpus count). */
+  private val ScaledCellsSql =
+    "GREATEST(16, LEAST(4096, 1 << ((length(bin(GREATEST(1, count(*)))) + 1) // 2)))"
+
+  /** Codebook-size rule for the scaled PQ rows (VERDICT r13 #1 — the
+    * last ANN family certified only at fixture constants):
+    * `ksub = min(64, scaledIvfCells(N))` — per-subspace codebooks grow
+    * with the corpus on the same power-of-two-ceiling-of-√N curve as
+    * the IVF coarse cells (finer quantization as density grows), capped
+    * at 64 because (a) sub-codes must pack into the ONE BIGINT the
+    * persisted code table stores (6 bits × m=8 = 48 bits at the cap)
+    * and (b) the per-row encode is m·ksub codegen kernels — 512 at the
+    * cap. Integer-exact in both engines (LEAST over
+    * [[ScaledCellsSql]]); first-ksub-rows determinism makes the larger
+    * codebooks oracle-replayable exactly like the fixture ones. */
+  private[graft] def scaledPqKsub(n: Long): Int = math.min(64, scaledIvfCells(n))
+
+  /** [[qPqSearch]] at the SCALED operating point: flat ADC top-10 with
+    * `ksub = scaledPqKsub(count(embeddings))` in BOTH engines — one
+    * declared row certifies ksub=16 at sf0.001, 32 at sf0.01, 64 at
+    * sf0.1+ without touching a constant. The scan side still reads
+    * codes, never vectors; the encode stays a per-row projection. */
+  private def qPqSearchScaled(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val ksub = scaledPqKsub(emb.count())
+    val cbs = pqCodebookCache.computeIfAbsent(pqCodebookKey(dir, ksub), _ =>
+      VectorSearch.pqCodebooks(emb, "embedding", "vec_id", PqM, ksub, Metric.Cosine))
+    VectorSearch.pqSearch(emb, "embedding", "vec_id",
+      queryVecFrame(s, dir), "qvec", cbs, K, Metric.Cosine)
+  }
+
+  private val qPqSearchScaledSql: String = {
+    val s = EmbeddingDim / PqM
+    val subA = s"list_slice(v.nemb, gs.j * $s + 1, gs.j * $s + $s)"
+    val subC = s"list_slice(c.nemb, gs.j * $s + 1, gs.j * $s + $s)"
+    val dist = Oracle.euclideanDistance(subA, subC, s)
+    val qSub = s"list_slice(q.qemb, a.j * $s + 1, a.j * $s + $s)"
+    val cSub = s"list_slice(c.nemb, a.j * $s + 1, a.j * $s + $s)"
+    val subdot = Oracle.dot(qSub, cSub, s)
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |params AS (SELECT LEAST(64, $ScaledCellsSql) AS ksub FROM embeddings),
+       |cb AS (
+       |  SELECT CAST(rn - 1 AS BIGINT) AS code, nemb FROM (
+       |    SELECT vec_id, nemb, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+       |    FROM n)
+       |  WHERE rn <= (SELECT ksub FROM params)),
+       |d AS (
+       |  SELECT v.vec_id, gs.j, c.code, $dist AS dist
+       |  FROM n v CROSS JOIN cb c CROSS JOIN generate_series(0, ${PqM - 1}) gs(j)),
+       |a AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT vec_id, j, code,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, j
+       |                              ORDER BY dist ASC, code ASC) AS rn
+       |    FROM d) WHERE rn = 1),
+       |q AS (SELECT nemb AS qemb FROM n WHERE vec_id = 0),
+       |sub AS (
+       |  SELECT a.vec_id, a.j, $subdot AS sd
+       |  FROM a JOIN cb c ON a.code = c.code CROSS JOIN q),
+       |sc AS (
+       |  SELECT vec_id,
+       |         list_reduce(list_prepend(0.0, list(sd ORDER BY j)),
+       |                     (acc, x) -> acc + x) AS score
+       |  FROM sub GROUP BY vec_id)
+       |SELECT vec_id, score FROM sc
+       |ORDER BY score DESC, vec_id ASC LIMIT $K""".stripMargin
+  }
+
+  /** Shared scaled-oracle CTE chain for the IVF+PQ family —
+    * [[ivfPqAdcWith]] with BOTH index parameters count-derived
+    * (`c` by [[ScaledCellsSql]], `ksub` by its LEAST(64, ·) form) and
+    * the r12 skinny-window discipline: assignment scores live in their
+    * own projection CTE (`sca`) so the per-vector window never carries
+    * the 512-byte vector, and PQ sub-code assignment (`d`) is computed
+    * ONLY for rows in the query's probed cells (≈ nProbes·N/c rows),
+    * never the corpus. Ends at `sc(vec_id, score)` with `da`/`q` in
+    * scope, exactly like the fixture chain. */
+  private def ivfPqAdcScaledWith(nProbes: Int): String = {
+    val s = EmbeddingDim / PqM
+    val assign = Oracle.dot("v.nemb", "c.cvec", EmbeddingDim)
+    val subA = s"list_slice(v.nemb, gs.j * $s + 1, gs.j * $s + $s)"
+    val subC = s"list_slice(c.nemb, gs.j * $s + 1, gs.j * $s + $s)"
+    val dist = Oracle.euclideanDistance(subA, subC, s)
+    val qSub = s"list_slice(q.qemb, a.j * $s + 1, a.j * $s + $s)"
+    val cSub = s"list_slice(c.nemb, a.j * $s + 1, a.j * $s + $s)"
+    val subdot = Oracle.dot(qSub, cSub, s)
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |params AS (
+       |  SELECT $ScaledCellsSql AS c,
+       |         LEAST(64, $ScaledCellsSql) AS ksub
+       |  FROM embeddings),
+       |cc AS (
+       |  SELECT vec_id AS cid, nemb AS cvec FROM (
+       |    SELECT vec_id, nemb, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+       |    FROM n)
+       |  WHERE rn <= (SELECT c FROM params)),
+       |sca AS (
+       |  SELECT v.vec_id, c.cid, $assign AS s
+       |  FROM n v CROSS JOIN cc c),
+       |asgn AS MATERIALIZED (
+       |  SELECT vec_id, cid, rn FROM (
+       |    SELECT vec_id, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                              ORDER BY s DESC, cid ASC) AS rn
+       |    FROM sca) WHERE rn <= $nProbes),
+       |da AS (SELECT vec_id, cid FROM asgn WHERE rn = 1),
+       |qa AS (SELECT cid FROM asgn WHERE vec_id = 0),
+       |cb AS (
+       |  SELECT CAST(rn - 1 AS BIGINT) AS code, nemb FROM (
+       |    SELECT vec_id, nemb, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+       |    FROM n)
+       |  WHERE rn <= (SELECT ksub FROM params)),
+       |cand AS (SELECT da.vec_id FROM da JOIN qa ON da.cid = qa.cid),
+       |d AS (
+       |  SELECT v.vec_id, gs.j, c.code, $dist AS dist
+       |  FROM n v JOIN cand USING (vec_id)
+       |       CROSS JOIN cb c CROSS JOIN generate_series(0, ${PqM - 1}) gs(j)),
+       |a AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT vec_id, j, code,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, j
+       |                              ORDER BY dist ASC, code ASC) AS rn
+       |    FROM d) WHERE rn = 1),
+       |q AS (SELECT nemb AS qemb FROM n WHERE vec_id = 0),
+       |sub AS (
+       |  SELECT a.vec_id, a.j, $subdot AS sd
+       |  FROM a JOIN cb c ON a.code = c.code CROSS JOIN q),
+       |sc AS (
+       |  SELECT vec_id,
+       |         list_reduce(list_prepend(0.0, list(sd ORDER BY j)),
+       |                     (acc, x) -> acc + x) AS score
+       |  FROM sub GROUP BY vec_id)""".stripMargin
+  }
+
+  /** [[qIvfPqSearch]] at the SCALED operating point: the full persisted
+    * FAISS-IVFPQ serving path with `c = scaledIvfCells(N)` coarse cells
+    * and `ksub = scaledPqKsub(N)` codebook entries, both count-derived
+    * in BOTH engines — so one declared row certifies (c=32, ksub=32) at
+    * sf0.01, (256, 64) at sf1, (512, 64) at sf10. Probes stay at
+    * [[IvfPqProbes]]: the probe join scans ≈ nProbes·N/c code rows —
+    * ~2√N at the scaled c, the same sublinear curve as q_ann_ivf_scaled
+    * — and the persisted index prunes unprobed cell partitions to zero
+    * IO. */
+  private def qIvfPqSearchScaled(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val n = emb.count()
+    val c = scaledIvfCells(n)
+    val ksub = scaledPqKsub(n)
+    val centroids = centroidCache.computeIfAbsent(centroidKey(dir, c),
+      _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", c, Metric.Cosine))
+    val cbs = pqCodebookCache.computeIfAbsent(pqCodebookKey(dir, ksub), _ =>
+      VectorSearch.pqCodebooks(emb, "embedding", "vec_id", PqM, ksub, Metric.Cosine))
+    VectorSearch.ivfPqSearchIndexed(ivfPqIndexFrame(s, dir, emb, centroids, cbs),
+      "vec_id",
+      queryVecFrame(s, dir), "qvec", centroids, cbs,
+      nProbes = IvfPqProbes, k = K, metric = Metric.Cosine)
+  }
+
+  private val qIvfPqSearchScaledSql: String =
+    s"""${ivfPqAdcScaledWith(IvfPqProbes)}
+       |SELECT sc.vec_id, da.cid AS centroid_id, sc.score
+       |FROM sc JOIN da ON sc.vec_id = da.vec_id
+       |ORDER BY sc.score DESC, sc.vec_id ASC LIMIT $K""".stripMargin
+
+  /** [[qIvfPqRefine]] at the SCALED operating point: ADC shortlist of
+    * [[IvfPqRefineCandidates]] from [[IvfPqRefineProbes]] probed cells
+    * of the count-sized index, exact re-rank of only those vectors —
+    * the candidate pool stays a CONSTANT-size exact fetch at any corpus
+    * size (the Jégou §V-C shortlist), so the refine tier's cost curve
+    * is the ADC scan's, not the corpus's. */
+  private def qIvfPqRefineScaled(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val n = emb.count()
+    val c = scaledIvfCells(n)
+    val ksub = scaledPqKsub(n)
+    val centroids = centroidCache.computeIfAbsent(centroidKey(dir, c),
+      _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", c, Metric.Cosine))
+    val cbs = pqCodebookCache.computeIfAbsent(pqCodebookKey(dir, ksub), _ =>
+      VectorSearch.pqCodebooks(emb, "embedding", "vec_id", PqM, ksub, Metric.Cosine))
+    VectorSearch.ivfPqSearchRefined(ivfPqIndexFrame(s, dir, emb, centroids, cbs),
+      emb, "embedding", "vec_id", queryVecFrame(s, dir), "qvec",
+      centroids, cbs, nProbes = IvfPqRefineProbes,
+      nCandidates = IvfPqRefineCandidates, k = K, metric = Metric.Cosine)
+  }
+
+  private val qIvfPqRefineScaledSql: String =
+    s"""${ivfPqAdcScaledWith(IvfPqRefineProbes)},
+       |cand2 AS (
+       |  SELECT vec_id FROM sc
+       |  ORDER BY score DESC, vec_id ASC LIMIT $IvfPqRefineCandidates)
+       |SELECT v.vec_id, ${Oracle.dot("v.nemb", "q.qemb", EmbeddingDim)} AS score
+       |FROM n v JOIN cand2 USING (vec_id) CROSS JOIN q
+       |ORDER BY score DESC, v.vec_id ASC LIMIT $K""".stripMargin
+
+  /** [[qIvfRefineGate]] at the SCALED cell count: 2 Lloyd iterations
+    * over `c = scaledIvfCells(N)` first-c seeds must still raise the
+    * spherical k-means objective by > 0.01 — certifying that the
+    * quality path improves the index at the cell counts the scaled
+    * serving rows actually use (c=√N), not just at fixture c=16.
+    * Measured margins (SPARK_GRAFT_GATE_DEBUG=1): +0.098 at sf0.001
+    * (c=32, N=500), +0.097 at sf0.01 (c=32), +0.062 at sf0.1 (c=64,
+    * N=2000) — an order of magnitude above the 0.01 bar along the
+    * measured curve; the bar itself is three orders above the refined
+    * means' partition-order wobble (the fixture row's analysis). */
+  private def qIvfRefineGateScaled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val c = scaledIvfCells(emb.count())
+    val init = centroidCache.computeIfAbsent(centroidKey(dir, c),
+      _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", c, Metric.Cosine))
+    val refined = VectorSearch.ivfRefineCentroids(emb, "embedding", init,
+      Metric.Cosine, iters = 2)
+    val oInit = VectorSearch.ivfObjective(emb, "embedding", init, Metric.Cosine)
+    val oRef = VectorSearch.ivfObjective(emb, "embedding", refined, Metric.Cosine)
+    if (sys.env.contains("SPARK_GRAFT_GATE_DEBUG"))
+      System.err.println(
+        f"[gate] c=$c oInit=$oInit%.6f oRef=$oRef%.6f margin=${oRef - oInit}%.6f")
+    Seq((c.toLong, 2L, oRef > oInit + 0.01))
+      .toDF("n_centroids", "iters", "improved")
+  }
+
+  private val qIvfRefineGateScaledSql: String =
+    s"""WITH params AS (SELECT $ScaledCellsSql AS c FROM embeddings)
+       |SELECT CAST((SELECT c FROM params) AS BIGINT) AS n_centroids,
+       |       CAST(2 AS BIGINT) AS iters, TRUE AS improved""".stripMargin
 
   /** Similarity threshold for [[qSemanticDedup]]: within-cluster
     * max-lower-sim on the fixture spans ~0.06–0.49 (median 0.27), so
@@ -2589,7 +2906,7 @@ object Queries {
     * value at every fixture size. Clamped to [16, 4096]: the floor keeps
     * tiny fixtures on the declared q_ann_ivf shape, the cap bounds the
     * centroid broadcast (4096 × 64 doubles ≈ 2 MB, still model-sized). */
-  private def scaledIvfCells(n: Long): Int = {
+  private[graft] def scaledIvfCells(n: Long): Int = {
     val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))
     math.max(16L, math.min(4096L, 1L << ((bitLen + 1) / 2))).toInt
   }
@@ -2683,10 +3000,12 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
-  def annMultiprobeScaled(s: SparkSession, dir: String, bits: Int): DataFrame = {
+  def annMultiprobeScaled(s: SparkSession, dir: String, bits: Int,
+      flips: Int = 2): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     VectorSearch.multiProbeKnnJoin(emb, emb, "embedding", "vec_id",
-      Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim, bits = bits, flips = 2)
+      Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim, bits = bits,
+      flips = flips)
       .orderBy("query_id", "rank")
   }
 
@@ -3690,6 +4009,62 @@ object Queries {
        |  SELECT a.vec_id AS anchor_id, b.vec_id AS neighbor_id, $score AS score
        |  FROM n a CROSS JOIN n b
        |  WHERE a.vec_id % 10 = 0 AND a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT anchor_id, neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |                            ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM p),
+       |pos AS (SELECT anchor_id, neighbor_id, rank FROM r WHERE rank <= 1),
+       |hard AS (SELECT anchor_id, neighbor_id, rank FROM r
+       |         WHERE rank BETWEEN $PairsHardStart AND $hardEnd),
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |rnd AS (
+       |  SELECT a.anchor_id,
+       |         CAST('0x' || substr(md5(CAST(a.anchor_id AS VARCHAR) || ':'
+       |              || CAST(g.j AS VARCHAR)), 1, 15) AS BIGINT) % cnt.n AS other_id,
+       |         g.j
+       |  FROM pos a CROSS JOIN cnt
+       |       CROSS JOIN generate_series(1, $PairsNRandom) g(j)),
+       |rndf AS (
+       |  SELECT r.anchor_id, r.other_id, r.j
+       |  FROM rnd r JOIN pos p ON r.anchor_id = p.anchor_id
+       |  WHERE r.other_id <> r.anchor_id AND r.other_id <> p.neighbor_id),
+       |allp AS (
+       |  SELECT anchor_id, neighbor_id AS other_id, 'positive' AS pair_type,
+       |         CAST(rank AS BIGINT) AS pair_rank FROM pos
+       |  UNION ALL
+       |  SELECT anchor_id, neighbor_id,
+       |         'hard_negative', CAST(rank - ${PairsHardStart - 1} AS BIGINT) FROM hard
+       |  UNION ALL
+       |  SELECT anchor_id, other_id, 'random_negative', CAST(j AS BIGINT) FROM rndf)
+       |SELECT anchor_id, other_id, pair_type, pair_rank FROM allp
+       |ORDER BY anchor_id, pair_type, pair_rank""".stripMargin
+  }
+
+  /** [[qContrastivePairs]] at the SCALED anchor density (VERDICT r13
+    * #1: the bench-only `q_contrastive_pairs_scaled` substitution
+    * promoted to a declared hash-gated row): anchors every
+    * `scaledEvalMod(N)`-th vector — a FIXED-COUNT (~1000) anchor set at
+    * any corpus size, so the exact retrieval side stays anchors×corpus
+    * (2·10⁸ dots at sf10, the certified recall-row shape) instead of
+    * the fixture's N²/10. Same DPR rank windows, same md5 random
+    * negatives; `mod` is derived from `count(embeddings)` identically
+    * in both engines. */
+  private def qContrastivePairsScaled(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    contrastivePairsScaled(s, dir, scaledEvalMod(n))
+  }
+
+  private val qContrastivePairsScaledSql: String = {
+    val score = Oracle.dot("a.nemb", "b.nemb", EmbeddingDim)
+    val hardEnd = PairsHardStart + PairsNHard - 1
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |params AS (SELECT GREATEST(20, count(*) // 1000) AS mod FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS anchor_id, b.vec_id AS neighbor_id, $score AS score
+       |  FROM n a CROSS JOIN n b
+       |  WHERE a.vec_id % (SELECT mod FROM params) = 0 AND a.vec_id <> b.vec_id),
        |r AS (
        |  SELECT anchor_id, neighbor_id,
        |         ROW_NUMBER() OVER (PARTITION BY anchor_id
@@ -5197,7 +5572,7 @@ object Queries {
     * argmin assignment replayed relationally and bit-packed. */
   private def qStreamCodes(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val cbs = pqCodebookCache.computeIfAbsent(s"$dir#${fixtureSig(dir)}", _ =>
+    val cbs = pqCodebookCache.computeIfAbsent(pqCodebookKey(dir, PqKsub), _ =>
       VectorSearch.pqCodebooks(emb, "embedding", "vec_id", PqM, PqKsub, Metric.Cosine))
     val landing = embLandingCache.computeIfAbsent(stagedKey(dir, "embeddings"), _ => {
       val d = java.nio.file.Paths.get(
@@ -7280,6 +7655,8 @@ object Queries {
     GraftQuery("q_ann_recall_capped_scaled", qAnnRecallCappedScaled,
       Some(qAnnRecallCappedScaledSql)),
     GraftQuery("q_ann_multiprobe", qAnnMultiprobe, Some(qAnnMultiprobeSql)),
+    GraftQuery("q_ann_multiprobe_scaled", qAnnMultiprobeScaled,
+      Some(qAnnMultiprobeScaledSql)),
     GraftQuery("q_index_append", qIndexAppend, Some(qIndexAppendSql)),
     GraftQuery("q_index_compact", qIndexCompact, Some(qIndexCompactSql)),
     GraftQuery("q_ann_ivf", qAnnIvf, Some(qAnnIvfSql)),
@@ -7287,12 +7664,21 @@ object Queries {
     GraftQuery("q_semantic_dedup", qSemanticDedup, Some(qSemanticDedupSql)),
     GraftQuery("q_semantic_dedup_scaled", qSemanticDedupScaled, Some(qSemanticDedupScaledSql)),
     GraftQuery("q_pq_search", qPqSearch, Some(qPqSearchSql)),
+    GraftQuery("q_pq_search_scaled", qPqSearchScaled, Some(qPqSearchScaledSql)),
     GraftQuery("q_ivfpq_search", qIvfPqSearch, Some(qIvfPqSearchSql)),
+    GraftQuery("q_ivfpq_search_scaled", qIvfPqSearchScaled,
+      Some(qIvfPqSearchScaledSql)),
     GraftQuery("q_ivfpq_refine", qIvfPqRefine, Some(qIvfPqRefineSql)),
+    GraftQuery("q_ivfpq_refine_scaled", qIvfPqRefineScaled,
+      Some(qIvfPqRefineScaledSql)),
     GraftQuery("q_ivf_refine_gate", qIvfRefineGate, Some(qIvfRefineGateSql)),
+    GraftQuery("q_ivf_refine_gate_scaled", qIvfRefineGateScaled,
+      Some(qIvfRefineGateScaledSql)),
     GraftQuery("q_rerank", qRerank, Some(qRerankSql)),
     GraftQuery("q_bloom_prefilter", qBloomPrefilter, Some(qBloomPrefilterSql)),
     GraftQuery("q_contrastive_pairs", qContrastivePairs, Some(qContrastivePairsSql)),
+    GraftQuery("q_contrastive_pairs_scaled", qContrastivePairsScaled,
+      Some(qContrastivePairsScaledSql)),
     GraftQuery("q_mmr_diversify", qMmrDiversify, Some(qMmrDiversifySql)),
     GraftQuery("q_zorder_layout", qZorderLayout, Some(qZorderLayoutSql)),
     GraftQuery("q_funnel", qFunnel, Some(qFunnelSql)),
