@@ -15,7 +15,12 @@ object RecallDiag {
   private def force(df: DataFrame): Unit =
     df.queryExecution.toRdd.foreach(_ => ())
 
+  // SPARK_GRAFT_DIAG_ONLY=substr,substr — time only matching blocks
+  private val only = sys.env.get("SPARK_GRAFT_DIAG_ONLY")
+    .map(_.split(",").map(_.trim).toSeq)
+
   private def timed(name: String, runs: Int)(fn: => DataFrame): Unit = {
+    if (!only.forall(_.exists(name.contains))) return
     force(fn) // warmup
     val ts = (1 to runs).map { _ =>
       val t0 = System.nanoTime()
@@ -54,6 +59,65 @@ object RecallDiag {
       // join operator and codegen boundary
       VectorSearch.knnJoin(queries, emb, "embedding", "vec_id",
         Metric.Cosine, k = 5, excludeSelf = true, broadcastData = true)
+    }
+    timed("exact_bcastq", runs) {
+      // A/B: broadcast the ~1000-row QUERY sample instead — corpus
+      // becomes the streamed side, scanned once, never re-computed and
+      // never moved (the only orientation that survives 100 TB)
+      VectorSearch.knnJoin(queries, emb, "embedding", "vec_id",
+        Metric.Cosine, k = 5, excludeSelf = true, broadcastQueries = true)
+    }
+    timed("ann_index", runs) {
+      // corpus-side bucket table alone: 200k rows × bands×bits dots
+      VectorSearch.lshBucketTable(emb, "embedding", "vec_id",
+        Metric.Cosine, dim = 64, bits = bits, bands = 8)
+    }
+    timed("ann_index_dot", runs) {
+      // same bucket table WITHOUT the cosine normalize step — isolates
+      // whether the cost is the dots or a duplicated normalize/cast
+      VectorSearch.lshBucketTable(emb, "embedding", "vec_id",
+        Metric.Dot, dim = 64, bits = bits, bands = 8)
+    }
+    println(s"DIAG emb_partitions=${emb.rdd.getNumPartitions}")
+    timed("ann_index_b1", runs) {
+      // 1 band = 12 dots/row vs 8 bands = 96 dots/row: if wall time
+      // scales ~8× the cost is per-dot compute; if flat it's a fixed
+      // overhead (compilation, planning, scan)
+      VectorSearch.lshBucketTable(emb, "embedding", "vec_id",
+        Metric.Cosine, dim = 64, bits = bits, bands = 1)
+    }
+    timed("ann_index_b4", runs) {
+      VectorSearch.lshBucketTable(emb, "embedding", "vec_id",
+        Metric.Cosine, dim = 64, bits = bits, bands = 4)
+    }
+    timed("ann_index_spread", runs) {
+      // same bucket table over a round-robin-spread corpus: isolates
+      // task-parallelism starvation (few parquet splits on 32 cores)
+      VectorSearch.lshBucketTable(
+        graft.operators.Partitioning.spread(emb), "embedding", "vec_id",
+        Metric.Cosine, dim = 64, bits = bits, bands = 8)
+    }
+    timed("ann_index_mat", runs) {
+      // bucket table over a PRE-MATERIALIZED normalized corpus —
+      // if this is fast while ann_index is slow, the normalize/cast
+      // subtree is being re-evaluated per bucket expression
+      import graft.functions.VectorFunctions
+      val norm = emb.select(col("vec_id"),
+        VectorFunctions.l2Normalize(col("embedding")).as("embedding"))
+        .localCheckpoint()
+      VectorSearch.lshBucketTable(norm, "embedding", "vec_id",
+        Metric.Dot, dim = 64, bits = bits, bands = 8)
+    }
+    if (sys.env.contains("SPARK_GRAFT_DIAG_PLAN")) {
+      println("===== ann_index executedPlan =====")
+      println(VectorSearch.lshBucketTable(emb, "embedding", "vec_id",
+        Metric.Cosine, dim = 64, bits = bits, bands = 8)
+        .queryExecution.executedPlan.toString.take(8000))
+    }
+    timed("ann_nocap", runs) {
+      VectorSearch.multibandKnnJoin(queries, emb, "embedding", "vec_id",
+        Metric.Cosine, k = 5, dim = 64, bits = bits, bands = 8,
+        maxBucketFactor = None)
     }
     timed("ann_capped", runs) {
       VectorSearch.multibandKnnJoin(queries, emb, "embedding", "vec_id",

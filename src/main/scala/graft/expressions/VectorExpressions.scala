@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftglue.ColumnGlue
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** Native codegen vector kernels over `ARRAY<DOUBLE>` columns.
   *
@@ -419,6 +419,353 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Fused sign-LSH bucketing: the per-band bucket ids
+    * `bucket_b = Σ_j 2^j · [v · h_{(bandOffset+b)·bits+j} > 0]` for
+    * `bands` consecutive bands, as ONE kernel returning `ARRAY<BIGINT>`.
+    *
+    * Bit-identical to the composed form ([[graft.operators.VectorSearch
+    * .lshBucketBand]]'s bits× `vec_dot`-against-literal CASE sum, pinned
+    * by LshKernelSpec): the plane weights are precomputed with the exact
+    * [[graft.operators.VectorSearch.hyperplane]] arithmetic, each
+    * projection is the same ascending-index left fold from 0.0, and the
+    * bit tests accumulate in the same order — so every declared LSH row
+    * hashes the same against its oracle.
+    *
+    * Why fused: the composed form inlines `bands × bits` dot loops into
+    * one generated method. Past ~4 bands that method crosses HotSpot's
+    * huge-method limit (8 KB bytecode, `-XX:+DontCompileHugeMethods` is
+    * the JVM default) and the hottest loop of the ANN family runs in the
+    * bytecode INTERPRETER — measured at sf10: the 8-band bits=12 corpus
+    * bucketing took 76.3s composed vs 0.9s fused (and bands=4 alone
+    * replayed 46.2s → 0.5s under `-XX:-DontCompileHugeMethods`,
+    * confirming the cliff is JIT refusal, not the dots). This kernel
+    * emits one small triple loop over a precomputed plane matrix —
+    * JIT-compiled at any (bits, bands), no JVM flags required. */
+  case class VecSignLshBuckets(child: Expression, dim: Int, bits: Int,
+      bands: Int, bandOffset: Int) extends UnaryExpression {
+    require(dim > 0 && bits > 0 && bits <= 62 && bands > 0 && bandOffset >= 0,
+      s"vec_lsh_buckets: bad shape (dim=$dim bits=$bits bands=$bands offset=$bandOffset)")
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayDouble(prettyName, Seq(child.dataType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vec_lsh_buckets"
+
+    private def guard = mayContainNull(child.dataType)
+
+    /** Flat plane matrix [band][bit][i] — the exact [[graft.operators
+      * .VectorSearch.hyperplane]] doubles, so projections are
+      * bit-identical to dots against the literal-array planes. */
+    @transient private lazy val planes: Array[Double] = {
+      val out = new Array[Double](bands * bits * dim)
+      var b = 0
+      while (b < bands) {
+        var j = 0
+        while (j < bits) {
+          val p = (bandOffset + b) * bits + j
+          var i = 0
+          while (i < dim) {
+            out((b * bits + j) * dim + i) =
+              (((i + 1).toLong * (p + 1) * 7919L) % 193L).toDouble / 193.0 - 0.5
+            i += 1
+          }
+          j += 1
+        }
+        b += 1
+      }
+      out
+    }
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != dim) lengthMismatch(prettyName, n, dim)
+      val vec = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        if (guard && x.isNullAt(i)) nullElement(prettyName, i)
+        vec(i) = x.getDouble(i); i += 1
+      }
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var bucket = 0L
+        var j = 0
+        while (j < bits) {
+          val base = (b * bits + j) * dim
+          var acc = 0.0
+          i = 0
+          while (i < n) { acc += vec(i) * planes(base + i); i += 1 }
+          if (acc > 0.0) bucket += (1L << j)
+          j += 1
+        }
+        out(b) = bucket
+        b += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+      nullSafeCodeGen(ctx, ev, x => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val vec = ctx.freshName("vec")
+        val out = ctx.freshName("out")
+        val b = ctx.freshName("b")
+        val j = ctx.freshName("j")
+        val base = ctx.freshName("base")
+        val acc = ctx.freshName("acc")
+        val bucket = ctx.freshName("bucket")
+        s"""
+           |int $n = $x.numElements();
+           |${lengthCheckCode(prettyName, n, dim.toString)}
+           |double[] $vec = new double[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  ${guardCode(guard, prettyName, x, i)}
+           |  $vec[$i] = $x.getDouble($i);
+           |}
+           |long[] $out = new long[$bands];
+           |for (int $b = 0; $b < $bands; $b++) {
+           |  long $bucket = 0L;
+           |  for (int $j = 0; $j < $bits; $j++) {
+           |    int $base = ($b * $bits + $j) * $dim;
+           |    double $acc = 0.0;
+           |    for (int $i = 0; $i < $n; $i++) {
+           |      $acc += $vec[$i] * $planesRef[$base + $i];
+           |    }
+           |    if ($acc > 0.0) $bucket += (1L << $j);
+           |  }
+           |  $out[$b] = $bucket;
+           |}
+           |${ev.value} =
+           |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Negated-score modes for [[VecNearestCentroids]] — which float
+    * recipe fills the struct's `ns` field. Each replays the composed
+    * `negate(metric.scorePrenormalized(v, c))` (or, for `EuclidDist`,
+    * the raw PQ distance `d`) op-for-op, so results stay bit-identical
+    * to the `array_min`/`sort_array`-over-structs form. */
+  object CentroidScore {
+    /** `ns = −(v·c)` — Cosine (prepared inputs) and Dot. */
+    val Dot = "dot"
+    /** `ns = −1/(1+√Σ(v−c)²)` — the Euclidean similarity. */
+    val EuclidSim = "euclid_sim"
+    /** `ns = √Σ(v−c)²` — raw distance, ascending (the PQ argmin form). */
+    val EuclidDist = "euclid_dist"
+    val all: Set[String] = Set(Dot, EuclidSim, EuclidDist)
+  }
+
+  /** Fused nearest-centroid selection: the `n` centroids nearest to the
+    * input vector as `ARRAY<STRUCT<ns: DOUBLE, cid: BIGINT>>`, ascending
+    * by `(ns, cid)` — exactly the first `n` elements of
+    * `sort_array(array(struct(ns_0, cid_0), …, struct(ns_{c−1},
+    * cid_{c−1})))`, which is what the composed IVF/PQ assign paths
+    * compute ([[graft.operators.VectorSearch]]'s `centroidStructs` +
+    * `array_min`/`sort_array`+`slice`; equality pinned by
+    * LshKernelSpec).
+    *
+    * Why fused: the composed form inlines one score kernel PER centroid
+    * into the generated method — at the self-sizing operating points
+    * (c = 512 cells at sf10, ksub = 64 PQ codes) that is hundreds of
+    * unrolled dot/distance loops, far past HotSpot's 8 KB huge-method
+    * JIT limit, so the per-row assign runs interpreted (the same cliff
+    * [[VecSignLshBuckets]] documents, measured there at ~90×). Here the
+    * centroid matrix is ONE reference object and the scan is one small
+    * JIT-able loop; selection keeps the `n` best in insertion-sorted
+    * scratch arrays (n ≤ nProbes ≤ 4 in every caller).
+    *
+    * Ordering parity: ties on `ns` go to the lower cid (centroids are
+    * scanned in the given order with strict-improvement updates, and
+    * callers pass id-ascending centroid lists — the same tie the struct
+    * comparator breaks). NaN scores never displace non-NaN entries
+    * (Java `<` is false), matching NaN-sorts-last struct ordering. */
+  case class VecNearestCentroids(child: Expression, mode: String,
+      centroids: Seq[(Long, Seq[Double])], n: Int) extends UnaryExpression {
+    require(CentroidScore.all.contains(mode),
+      s"vec_nearest_centroids: unknown mode $mode")
+    require(centroids.nonEmpty, "vec_nearest_centroids: empty centroid set")
+    require(n > 0, s"vec_nearest_centroids: n must be positive, got $n")
+    require(centroids.map(_._2.length).distinct.size == 1,
+      "vec_nearest_centroids: ragged centroid dims")
+
+    private val cdim = centroids.head._2.length
+    private val m = math.min(n, centroids.size)
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayDouble(prettyName, Seq(child.dataType))
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("ns", DoubleType, nullable = false),
+        StructField("cid", LongType, nullable = false))),
+      containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vec_nearest_centroids"
+
+    private def guard = mayContainNull(child.dataType)
+
+    @transient private lazy val cents: Array[Double] = {
+      val out = new Array[Double](centroids.size * cdim)
+      var k = 0
+      while (k < centroids.size) {
+        val v = centroids(k)._2
+        var i = 0
+        while (i < cdim) { out(k * cdim + i) = v(i); i += 1 }
+        k += 1
+      }
+      out
+    }
+    @transient private lazy val cids: Array[Long] = centroids.map(_._1).toArray
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val nv = x.numElements()
+      if (nv != cdim) lengthMismatch(prettyName, nv, cdim)
+      val vec = new Array[Double](nv)
+      var i = 0
+      while (i < nv) {
+        if (guard && x.isNullAt(i)) nullElement(prettyName, i)
+        vec(i) = x.getDouble(i); i += 1
+      }
+      val bestNs = Array.fill(m)(Double.PositiveInfinity)
+      val bestCid = new Array[Long](m)
+      var filled = 0
+      val c = cids.length
+      var k = 0
+      while (k < c) {
+        val base = k * cdim
+        var ns = 0.0
+        if (mode == CentroidScore.Dot) {
+          var acc = 0.0
+          i = 0
+          while (i < nv) { acc += vec(i) * cents(base + i); i += 1 }
+          ns = -acc
+        } else {
+          var acc = 0.0
+          i = 0
+          while (i < nv) {
+            val d = vec(i) - cents(base + i); acc += d * d; i += 1
+          }
+          val dist = math.sqrt(acc)
+          ns = if (mode == CentroidScore.EuclidDist) dist
+               else -(1.0 / (1.0 + dist))
+        }
+        // insertion into the sorted scratch: strict improvement only, so
+        // equal-ns later (higher-cid) centroids never displace earlier
+        var pos = if (filled < m) filled else -1
+        var t = (if (filled < m) filled else m) - 1
+        while (t >= 0 && ns < bestNs(t)) { pos = t; t -= 1 }
+        if (pos >= 0) {
+          var s = math.min(filled, m - 1)
+          while (s > pos) {
+            bestNs(s) = bestNs(s - 1); bestCid(s) = bestCid(s - 1); s -= 1
+          }
+          bestNs(pos) = ns; bestCid(pos) = cids(k)
+          if (filled < m) filled += 1
+        }
+        k += 1
+      }
+      val rows = new Array[Any](filled)
+      var r = 0
+      while (r < filled) {
+        rows(r) = org.apache.spark.sql.catalyst.InternalRow(bestNs(r), bestCid(r))
+        r += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val centsRef = ctx.addReferenceObj("cents", cents, "double[]")
+      val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
+      val scoreBody = mode match {
+        case CentroidScore.Dot =>
+          (base: String, vec: String, i: String, acc: String, ns: String) =>
+            s"""double $acc = 0.0;
+               |for (int $i = 0; $i < $vec.length; $i++) {
+               |  $acc += $vec[$i] * $centsRef[$base + $i];
+               |}
+               |double $ns = -$acc;""".stripMargin
+        case CentroidScore.EuclidDist =>
+          (base: String, vec: String, i: String, acc: String, ns: String) =>
+            s"""double $acc = 0.0;
+               |for (int $i = 0; $i < $vec.length; $i++) {
+               |  double __d = $vec[$i] - $centsRef[$base + $i];
+               |  $acc += __d * __d;
+               |}
+               |double $ns = java.lang.Math.sqrt($acc);""".stripMargin
+        case CentroidScore.EuclidSim =>
+          (base: String, vec: String, i: String, acc: String, ns: String) =>
+            s"""double $acc = 0.0;
+               |for (int $i = 0; $i < $vec.length; $i++) {
+               |  double __d = $vec[$i] - $centsRef[$base + $i];
+               |  $acc += __d * __d;
+               |}
+               |double $ns = -(1.0 / (1.0 + java.lang.Math.sqrt($acc)));""".stripMargin
+      }
+      nullSafeCodeGen(ctx, ev, x => {
+        val i = ctx.freshName("i")
+        val nv = ctx.freshName("nv")
+        val vec = ctx.freshName("vec")
+        val bestNs = ctx.freshName("bestNs")
+        val bestCid = ctx.freshName("bestCid")
+        val filled = ctx.freshName("filled")
+        val k = ctx.freshName("k")
+        val base = ctx.freshName("base")
+        val acc = ctx.freshName("acc")
+        val ns = ctx.freshName("ns")
+        val pos = ctx.freshName("pos")
+        val t = ctx.freshName("t")
+        val s = ctx.freshName("s")
+        val rows = ctx.freshName("rows")
+        val r = ctx.freshName("r")
+        s"""
+           |int $nv = $x.numElements();
+           |${lengthCheckCode(prettyName, nv, cdim.toString)}
+           |double[] $vec = new double[$nv];
+           |for (int $i = 0; $i < $nv; $i++) {
+           |  ${guardCode(guard, prettyName, x, i)}
+           |  $vec[$i] = $x.getDouble($i);
+           |}
+           |double[] $bestNs = new double[$m];
+           |long[] $bestCid = new long[$m];
+           |java.util.Arrays.fill($bestNs, Double.POSITIVE_INFINITY);
+           |int $filled = 0;
+           |for (int $k = 0; $k < ${cids.length}; $k++) {
+           |  int $base = $k * $cdim;
+           |  ${scoreBody(base, vec, i, acc, ns)}
+           |  int $pos = ($filled < $m) ? $filled : -1;
+           |  for (int $t = (($filled < $m) ? $filled : $m) - 1;
+           |       $t >= 0 && $ns < $bestNs[$t]; $t--) { $pos = $t; }
+           |  if ($pos >= 0) {
+           |    for (int $s = java.lang.Math.min($filled, $m - 1); $s > $pos; $s--) {
+           |      $bestNs[$s] = $bestNs[$s - 1]; $bestCid[$s] = $bestCid[$s - 1];
+           |    }
+           |    $bestNs[$pos] = $ns; $bestCid[$pos] = $cidsRef[$k];
+           |    if ($filled < $m) $filled++;
+           |  }
+           |}
+           |Object[] $rows = new Object[$filled];
+           |for (int $r = 0; $r < $filled; $r++) {
+           |  $rows[$r] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+           |    new Object[]{ java.lang.Double.valueOf($bestNs[$r]),
+           |                  java.lang.Long.valueOf($bestCid[$r]) });
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($rows);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ------------------------------------------------------ Column surface ---
 
   def platformLn(x: Column): Column =
@@ -439,4 +786,14 @@ object VectorExpressions {
 
   def quantizeStatsCol(v: Column): Column =
     ColumnGlue.column(VecQuantizeStats(ColumnGlue.expression(v)))
+
+  def signLshBuckets(v: Column, dim: Int, bits: Int, bands: Int,
+      bandOffset: Int = 0): Column =
+    ColumnGlue.column(
+      VecSignLshBuckets(ColumnGlue.expression(v), dim, bits, bands, bandOffset))
+
+  def nearestCentroids(v: Column, mode: String,
+      centroids: Seq[(Long, Seq[Double])], n: Int): Column =
+    ColumnGlue.column(
+      VecNearestCentroids(ColumnGlue.expression(v), mode, centroids, n))
 }

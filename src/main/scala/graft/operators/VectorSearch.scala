@@ -100,13 +100,27 @@ object VectorSearch {
       k: Int,
       excludeSelf: Boolean = true,
       broadcastData: Boolean = false,
-      spreadQueries: Boolean = true): DataFrame = {
+      spreadQueries: Boolean = true,
+      broadcastQueries: Boolean = false): DataFrame = {
     // The O(N·M) pair work parallelizes over the streamed (query) side's
     // partitions; a small/single-file query table would otherwise pin the
     // whole join to a handful of tasks.
-    val spread = if (spreadQueries) Partitioning.spread(queries) else queries
-    val q = prepareColumn(spread, vecCol, metric)
+    val spread = if (spreadQueries && !broadcastQueries)
+      Partitioning.spread(queries) else queries
+    val q0 = prepareColumn(spread, vecCol, metric)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+    // broadcastQueries: the sample×corpus eval shape (recall rows — a
+    // fixed ~1000-row query sample vs the full corpus). Broadcasting the
+    // SAMPLE makes the corpus the streamed side of the
+    // BroadcastNestedLoopJoin: every corpus partition is scanned and
+    // metric-prepared exactly ONCE, where the default CartesianProduct
+    // recomputes each corpus partition once per query partition (the
+    // corpus subtree runs |qPartitions|×). The per-query top-k stays a
+    // row_number
+    // window, whose partial WindowGroupLimit keeps ≤k rows per query per
+    // corpus partition ahead of the exchange. At 100 TB this is the only
+    // orientation that never moves or re-reads the corpus.
+    val q = if (broadcastQueries) broadcast(q0) else q0
     val d = prepareColumn(data, vecCol, metric)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__dvec"))
     val dSide = if (broadcastData) broadcast(d) else d
@@ -150,10 +164,12 @@ object VectorSearch {
       VectorExpressions.dot(vec, hyperplane(j, dim))): _*)
 
   /** Deterministic sign-LSH bucket id over `bits` arithmetic hyperplanes:
-    * `bucket = Σ_j 2^j · [v·h_j > 0]`. Each projection is one codegen
-    * dot kernel against a foldable array literal — O(bits·dim) per row,
-    * constant-size expression tree (the round-1 form expanded dim·bits
-    * `element_at` nodes, which blew up analysis and codegen). */
+    * `bucket = Σ_j 2^j · [v·h_j > 0]`. Since r14 this is the fused
+    * [[VectorExpressions.VecSignLshBuckets]] kernel — one generated loop
+    * over a precomputed plane matrix, bit-identical to the per-plane
+    * `vec_dot`-against-literal composition (LshKernelSpec pins it) but
+    * immune to the HotSpot huge-method cliff the composition hit past ~4
+    * bands (see the kernel's scaladoc for the sf10 measurement). */
   def lshBucket(vecCol: Column, dim: Int, bits: Int): Column =
     lshBucketBand(vecCol, dim, bits, band = 0)
 
@@ -162,10 +178,9 @@ object VectorSearch {
     * `band·bits … band·bits+bits−1`), so the bands are independent hash
     * tables. Band 0 reproduces the single-band bucketing exactly. */
   def lshBucketBand(vecCol: Column, dim: Int, bits: Int, band: Int): Column =
-    (0 until bits).map { j =>
-      val proj = VectorExpressions.dot(vecCol, hyperplane(band * bits + j, dim))
-      when(proj > lit(0.0), lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    element_at(
+      VectorExpressions.signLshBuckets(vecCol, dim, bits, bands = 1,
+        bandOffset = band), 1)
 
   // ------------------------------------------------------------------ IVF ---
 
@@ -235,32 +250,42 @@ object VectorSearch {
       metric: Metric): Double = {
     val prepared = prepareColumn(data, vecCol, metric)
     prepared
-      .select(array_min(centroidStructs(col(vecCol), centroids, metric))
+      .select(element_at(probeStructs(col(vecCol), centroids, metric, 1), 1)
         .getField("ns").as("ns"))
       .agg(avg(negate(col("ns"))))
       .collect()(0).getDouble(0)
   }
 
-  /** Scored (−score, centroid_id) struct array for a prepared vector —
-    * `array_min` of it is the nearest centroid (score desc, id asc
-    * tie-break), computed per row with `c` codegen dot kernels: NO
-    * shuffle, NO window, stays inside whole-stage codegen. */
-  private def centroidStructs(
+  /** [[VectorExpressions.CentroidScore]] mode replaying
+    * `negate(metric.scorePrenormalized(v, c))` for each metric. */
+  private def centroidScoreMode(metric: Metric): String = metric match {
+    case Metric.Euclidean => VectorExpressions.CentroidScore.EuclidSim
+    case _ => VectorExpressions.CentroidScore.Dot
+  }
+
+  /** The `nProbes` nearest (−score, centroid_id) structs for a prepared
+    * vector, ascending — ONE fused codegen kernel
+    * ([[VectorExpressions.VecNearestCentroids]]): NO shuffle, NO window,
+    * and (unlike the pre-r14 `array_min`/`sort_array` over c inlined
+    * score kernels) one small JIT-able loop at ANY cell count — the
+    * composed form crossed HotSpot's 8 KB huge-method limit at the
+    * self-sizing operating points (c = 512 at sf10) and ran the per-row
+    * assign in the bytecode interpreter (see VecSignLshBuckets scaladoc
+    * for the measurement). */
+  private def probeStructs(
       prepared: Column,
       centroids: Seq[(Long, Seq[Double])],
-      metric: Metric): Column =
-    array(centroids.map { case (cid, cvec) =>
-      struct(
-        negate(metric.scorePrenormalized(prepared, typedlit(cvec))).as("ns"),
-        lit(cid).as("cid"))
-    }: _*)
+      metric: Metric,
+      nProbes: Int): Column =
+    VectorExpressions.nearestCentroids(
+      prepared, centroidScoreMode(metric), centroids, nProbes)
 
   /** Nearest-centroid id for a prepared vector column. */
   def ivfAssign(
       prepared: Column,
       centroids: Seq[(Long, Seq[Double])],
       metric: Metric): Column =
-    array_min(centroidStructs(prepared, centroids, metric)).getField("cid")
+    element_at(probeStructs(prepared, centroids, metric, 1), 1).getField("cid")
 
   /** Approximate knn join via IVF — the second scale path next to
     * [[bucketedKnnJoin]]: data rows live in exactly one centroid bucket;
@@ -285,8 +310,7 @@ object VectorSearch {
     val q = prepareColumn(Partitioning.spread(queries), vecCol, metric)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
       .withColumn("probe",
-        explode(slice(sort_array(centroidStructs(col("__qvec"), cents, metric)),
-          1, nProbes)))
+        explode(probeStructs(col("__qvec"), cents, metric, nProbes)))
       .withColumn("centroid_id", col("probe.cid"))
       .drop("probe")
     val pairs = q.join(d, Seq("centroid_id"))
@@ -332,20 +356,24 @@ object VectorSearch {
 
   /** Per-subspace code assignment columns `__code_0..__code_{m-1}` for a
     * metric-prepared vector column: argmin L2 distance to the subspace's
-    * centroids, ties → lowest code (struct-min, the [[ivfAssign]]
-    * pattern). Pure per-row projection over codegen kernels — zero
-    * shuffle, the index build of the PQ path. */
+    * centroids, ties → lowest code (the [[ivfAssign]] pattern, raw
+    * distance ordering — [[VectorExpressions.CentroidScore.EuclidDist]]
+    * replays the old struct-min over `vec_euclidean_distance` exactly).
+    * Pure per-row projection over ONE fused kernel per subspace — zero
+    * shuffle, the index build of the PQ path, JIT-able at any ksub
+    * (the composed struct-min inlined ksub distance loops per subspace
+    * and crossed the huge-method limit at the scaled ksub=64 point). */
   private def pqCodeColumns(
       vec: Column, codebooks: Seq[Seq[(Int, Seq[Double])]]): Seq[Column] = {
     val m = codebooks.length
     val s = codebooks.head.head._2.length
     (0 until m).map { j =>
       val sub = slice(vec, j * s + 1, s)
-      array_min(array(codebooks(j).map { case (code, cvec) =>
-        struct(
-          VectorExpressions.euclideanDistance(sub, typedlit(cvec)).as("d"),
-          lit(code.toLong).as("code"))
-      }: _*)).getField("code")
+      element_at(
+        VectorExpressions.nearestCentroids(sub,
+          VectorExpressions.CentroidScore.EuclidDist,
+          codebooks(j).map { case (code, cvec) => (code.toLong, cvec) },
+          n = 1), 1).getField("cid")
     }
   }
 
@@ -438,9 +466,7 @@ object VectorSearch {
     val mask = (1L << bits) - 1
     val q = prepareColumn(query, queryVecCol, metric)
       .withColumn("probe",
-        explode(slice(
-          sort_array(centroidStructs(col(queryVecCol), centroids, metric)),
-          1, nProbes)))
+        explode(probeStructs(col(queryVecCol), centroids, metric, nProbes)))
       .select(col(queryVecCol), col("probe.cid").as("centroid_id"))
     val score = adcScore(col(queryVecCol), codebooks,
       j => shiftrightunsigned(col("pq_code"), bits * j).bitwiseAND(lit(mask)))
@@ -516,9 +542,7 @@ object VectorSearch {
         codes.zipWithIndex.map { case (c, j) => c.as(s"__code_$j") }: _*)
     val q = prepareColumn(query, queryVecCol, metric)
       .withColumn("probe",
-        explode(slice(
-          sort_array(centroidStructs(col(queryVecCol), centroids, metric)),
-          1, nProbes)))
+        explode(probeStructs(col(queryVecCol), centroids, metric, nProbes)))
       .select(col(queryVecCol), col("probe.cid").as("centroid_id"))
     val score =
       adcScore(col(queryVecCol), codebooks, j => col(s"__code_$j"))
@@ -691,8 +715,11 @@ object VectorSearch {
       bands: Int = 1): DataFrame =
     prepareColumn(data, vecCol, metric).select(
       col(idCol),
-      posexplode(array((0 until bands).map(b =>
-        lshBucketBand(col(vecCol), dim, bits, b)): _*)).as(Seq("band", "bucket")))
+      // ONE fused kernel for all bands (posexplode pos == band id) —
+      // the per-band composition generated bands×bits inlined dot loops
+      // and fell off the JIT past ~4 bands (VecSignLshBuckets scaladoc)
+      posexplode(VectorExpressions.signLshBuckets(col(vecCol), dim, bits,
+        bands)).as(Seq("band", "bucket")))
 
   /** O12 batch analog (the reference's incremental `add`, ann.py:78-91):
     * bucket ONLY the appended rows and union with the persisted index —

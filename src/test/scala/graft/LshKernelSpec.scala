@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.expressions.VectorExpressions
+import graft.functions.Metric
+import graft.operators.VectorSearch
+
+/** The r14 fused kernels ([[VectorExpressions.VecSignLshBuckets]],
+  * [[VectorExpressions.VecNearestCentroids]]) vs the composed Catalyst
+  * forms they replaced — rebuilt here verbatim as the REFERENCE
+  * implementation. The fused kernels exist for JIT size, not semantics
+  * (the composition generated bands×bits / c inlined score loops in one
+  * method, crossed HotSpot's 8 KB huge-method limit past ~4 bands /
+  * ~tens of centroids, and ran the hottest ANN loop interpreted —
+  * measured 76.3s → sub-second on the sf10 8-band bucket build), so
+  * every declared LSH/IVF/PQ row's hash certificate transfers ONLY if
+  * the doubles are bit-identical. These tests pin exactly that, on
+  * adversarial generated vectors (zeros, denormal scales, mixed signs),
+  * real fixture vectors, and the error/null contracts.
+  */
+class LshKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = Tables.EmbeddingDim
+
+  /** Pre-r14 composed bucket construction (VectorSearch.scala @ r13):
+    * bits× `vec_dot` against literal hyperplanes, CASE sum. */
+  private def composedBucketBand(vecCol: Column, dim: Int, bits: Int,
+      band: Int): Column =
+    (0 until bits).map { j =>
+      val proj = VectorExpressions.dot(
+        vecCol, VectorSearch.hyperplane(band * bits + j, dim))
+      when(proj > lit(0.0), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Pre-r14 composed nearest-centroid struct array (`centroidStructs`):
+    * one negated score struct per centroid. */
+  private def composedStructs(prepared: Column,
+      centroids: Seq[(Long, Seq[Double])], metric: Metric): Column =
+    array(centroids.map { case (cid, cvec) =>
+      struct(
+        negate(metric.scorePrenormalized(prepared, typedlit(cvec))).as("ns"),
+        lit(cid).as("cid"))
+    }: _*)
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    LazyList.iterate(Seed(seed))(_.next).take(n)
+      .flatMap(s => g.apply(Gen.Parameters.default, s)).toList
+
+  private def vecFrame(dim: Int, n: Int, seed: Long): DataFrame = {
+    val gen = for {
+      mag <- Gen.oneOf(0.0, 1e-12, 1e-3, 1.0, 1e6)
+      vs <- Gen.listOfN(dim, Gen.choose(-1.0, 1.0))
+    } yield vs.map(_ * mag)
+    samples(gen, n, seed).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }.toDF("id", "v")
+  }
+
+  test("fused sign-LSH buckets == composed per-band CASE-sum form, all bands") {
+    for ((dim, bits, bands, seed) <- Seq((8, 4, 3, 11L), (17, 12, 8, 12L),
+        (64, 12, 8, 13L), (5, 1, 1, 14L), (3, 20, 2, 15L))) {
+      val df = vecFrame(dim, 80, seed)
+      val fused = df.select(col("id"),
+        VectorExpressions.signLshBuckets(col("v"), dim, bits, bands).as("bk"))
+      val composed = df.select(col("id") +: (0 until bands).map(b =>
+        composedBucketBand(col("v"), dim, bits, b).as(s"b$b")): _*)
+      val f = fused.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val c = composed.collect()
+        .map(r => r.getLong(0) -> (1 to bands).map(r.getLong(_))).toMap
+      assert(f.keySet == c.keySet)
+      f.foreach { case (id, bks) => assert(bks == c(id), s"id=$id") }
+    }
+  }
+
+  test("fused buckets with bandOffset == composed band at that absolute index") {
+    val df = vecFrame(Dim, 60, 21L)
+    for (band <- Seq(0, 1, 5, 7)) {
+      val f = df.select(col("id"),
+        VectorSearch.lshBucketBand(col("v"), Dim, 8, band).as("b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val c = df.select(col("id"),
+        composedBucketBand(col("v"), Dim, 8, band).as("b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(f == c, s"band=$band")
+    }
+  }
+
+  test("fused buckets on real fixture vectors (cosine-prepared), interpreted == codegen") {
+    val emb = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val prepared = emb.withColumn("embedding",
+      Metric.Cosine.prepare(col("embedding")))
+    val f = prepared.select(col("vec_id"),
+      VectorExpressions.signLshBuckets(col("embedding"), Dim, 12, 8).as("bk"))
+    val c = prepared.select(col("vec_id") +: (0 until 8).map(b =>
+      composedBucketBand(col("embedding"), Dim, 12, b).as(s"b$b")): _*)
+    val fm = f.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val cm = c.collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong(_))).toMap
+    assert(fm == cm)
+    // interpreted path (eval) == codegen path: force interpreted by
+    // turning whole-stage codegen off for one evaluation
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val fi = f.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(fi == fm)
+    }
+  }
+
+  test("fused nearest-centroids == sort_array(composed structs) slice, every metric") {
+    val centGen = vecFrame(16, 40, 31L).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq.sortBy(_._1)
+    val df = vecFrame(16, 80, 32L)
+    for (metric <- Metric.all; n <- Seq(1, 3, 45)) {
+      val mode = metric match {
+        case Metric.Euclidean => VectorExpressions.CentroidScore.EuclidSim
+        case _ => VectorExpressions.CentroidScore.Dot
+      }
+      val fused = df.select(col("id"),
+        VectorExpressions.nearestCentroids(col("v"), mode, centGen, n).as("p"))
+      val composed = df.select(col("id"),
+        slice(sort_array(composedStructs(col("v"), centGen, metric)), 1,
+          n).as("p"))
+      val fm = fused.collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x =>
+          (x.getDouble(0), x.getLong(1)))).toMap
+      val cm = composed.collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x =>
+          (x.getDouble(0), x.getLong(1)))).toMap
+      assert(fm.keySet == cm.keySet)
+      fm.foreach { case (id, ps) =>
+        assert(ps == cm(id), s"metric=${metric.name} n=$n id=$id") }
+    }
+  }
+
+  test("fused nearest-centroids EuclidDist == PQ struct-min distance ordering") {
+    val s = 8
+    val codebook = vecFrame(s, 16, 41L).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq.sortBy(_._1)
+    val df = vecFrame(s, 60, 42L)
+    val fused = df.select(col("id"),
+      element_at(VectorExpressions.nearestCentroids(col("v"),
+        VectorExpressions.CentroidScore.EuclidDist, codebook, 1), 1)
+        .getField("cid").as("code"))
+    val composed = df.select(col("id"),
+      array_min(array(codebook.map { case (code, cvec) =>
+        struct(
+          VectorExpressions.euclideanDistance(col("v"), typedlit(cvec)).as("d"),
+          lit(code).as("code"))
+      }: _*)).getField("code").as("code"))
+    val fm = fused.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cm = composed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fm == cm)
+  }
+
+  test("error contracts: length mismatch raises; null input → null; null element raises") {
+    val df = Seq((1L, Array(1.0, 2.0, 3.0))).toDF("id", "v")
+    val ex = intercept[Exception] {
+      df.select(VectorExpressions.signLshBuckets(col("v"), 8, 4, 2)).collect()
+    }
+    assert(ex.getMessage.contains("length mismatch") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("length mismatch"))
+    val exc = intercept[Exception] {
+      df.select(VectorExpressions.nearestCentroids(col("v"),
+        VectorExpressions.CentroidScore.Dot,
+        Seq(0L -> Seq(1.0, 0.0)), 1)).collect()
+    }
+    assert(exc.getMessage.contains("length mismatch") ||
+      exc.getCause != null && exc.getCause.getMessage.contains("length mismatch"))
+    // null array → null result (nullIntolerant), matching vec_dot
+    val withNull = Seq((1L, Option.empty[Array[Double]]),
+      (2L, Some(Array(1.0, 0.0)))).toDF("id", "v")
+    val out = withNull.select(col("id"),
+      VectorExpressions.signLshBuckets(col("v"), 2, 3, 1).as("b")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1)))
+      .toMap
+    assert(out(1L) == null && out(2L) != null)
+  }
+
+  private def withSQLConf[A](confs: (String, String)*)(body: => A): A = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
