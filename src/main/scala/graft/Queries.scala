@@ -220,7 +220,8 @@ object Queries {
   def knnJoinSampled(s: SparkSession, dir: String, m: Long): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     VectorSearch.knnJoin(emb.filter(col("vec_id") % m === 0), emb,
-      "embedding", "vec_id", Metric.Cosine, k = KnnJoinK, excludeSelf = true)
+      "embedding", "vec_id", Metric.Cosine, k = KnnJoinK, excludeSelf = true,
+      broadcastQueries = true)
   }
 
   private def qKnnJoin(s: SparkSession, dir: String): DataFrame = {
@@ -1565,7 +1566,11 @@ object Queries {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val queries = emb.filter(col("vec_id") % RecallSampleMod === 0)
     val exact = VectorSearch.knnJoin(queries, emb, "embedding", "vec_id",
-      Metric.Cosine, k = KnnJoinK, excludeSelf = true)
+      Metric.Cosine, k = KnnJoinK, excludeSelf = true,
+      // sample x corpus ground truth: broadcast the bounded sample so the
+      // corpus streams once (no per-query-partition recompute, no corpus
+      // movement) - the only orientation that survives 100 TB
+      broadcastQueries = true)
       .select(col("query_id"), col("neighbor_id"))
     val ann = VectorSearch.multibandKnnJoin(queries, emb, "embedding", "vec_id",
       Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim,
@@ -1935,7 +1940,11 @@ object Queries {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val queries = emb.filter(col("vec_id") % RecallSampleMod === 0)
     val exact = VectorSearch.knnJoin(queries, emb, "embedding", "vec_id",
-      Metric.Cosine, k = KnnJoinK, excludeSelf = true)
+      Metric.Cosine, k = KnnJoinK, excludeSelf = true,
+      // sample x corpus ground truth: broadcast the bounded sample so the
+      // corpus streams once (no per-query-partition recompute, no corpus
+      // movement) - the only orientation that survives 100 TB
+      broadcastQueries = true)
       .select(col("query_id"), col("neighbor_id"))
     val ann = VectorSearch.multibandKnnJoin(queries, emb, "embedding", "vec_id",
       Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim,
@@ -3035,7 +3044,11 @@ object Queries {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val queries = emb.filter(col("vec_id") % mod === 0)
     val exact = VectorSearch.knnJoin(queries, emb, "embedding", "vec_id",
-      Metric.Cosine, k = KnnJoinK, excludeSelf = true)
+      Metric.Cosine, k = KnnJoinK, excludeSelf = true,
+      // sample x corpus ground truth: broadcast the bounded sample so the
+      // corpus streams once (no per-query-partition recompute, no corpus
+      // movement) - the only orientation that survives 100 TB
+      broadcastQueries = true)
       .select(col("query_id"), col("neighbor_id"))
     val ann = VectorSearch.multibandKnnJoin(queries, emb, "embedding", "vec_id",
       Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim,
@@ -3095,7 +3108,11 @@ object Queries {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val queries = emb.filter(col("vec_id") % mod === 0)
     val exact = VectorSearch.knnJoin(queries, emb, "embedding", "vec_id",
-      Metric.Cosine, k = KnnJoinK, excludeSelf = true)
+      Metric.Cosine, k = KnnJoinK, excludeSelf = true,
+      // sample x corpus ground truth: broadcast the bounded sample so the
+      // corpus streams once (no per-query-partition recompute, no corpus
+      // movement) - the only orientation that survives 100 TB
+      broadcastQueries = true)
       .select(col("query_id"), col("neighbor_id"))
     val ann = VectorSearch.multibandKnnJoin(queries, emb, "embedding", "vec_id",
       Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim,
