@@ -766,6 +766,143 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Fused asymmetric-distance (ADC) score: `Σ_j dot(q_sub_j,
+    * codebook_j[code_j])` over all `m` PQ subspaces as ONE kernel, the
+    * sub-codes unpacked from the packed BIGINT (`code_j` in bits
+    * `bits·j .. bits·j+bits−1`, [[graft.operators.VectorSearch
+    * .pqEncode]]'s layout).
+    *
+    * Bit-identical to the composed form (m × `vec_dot(slice(q),
+    * element_at(literal_codebook, code+1))` terms under a 0.0-seeded
+    * left fold, pinned by LshKernelSpec): per subspace the same
+    * ascending-index dot from 0.0, subspace partials added in the same
+    * ascending-j order onto the same 0.0 seed — so every declared PQ
+    * row hashes the same against its oracle.
+    *
+    * Why fused (the MIGRATION "Fused per-row kernels" rule — the ADC
+    * tree grows with the tuning parameter m·ksub): the composed form
+    * inlines m slice+dot+element_at trees into the SAME whole-stage
+    * method as the m encode kernels below the serving join, and past
+    * ksub≈16 that method crosses HotSpot's 8 KB huge-method limit and
+    * runs INTERPRETED — measured at sf10 (200k codes, 32 cores): the
+    * 8-term composed score took 67.1s vs 0.4s with
+    * `-XX:-DontCompileHugeMethods`, a 167× JIT-refusal cliff, invisible
+    * in plans and logs. This kernel reads the codebook matrix from ONE
+    * reference object in a constant-size double loop — JIT-able at any
+    * (m, ksub, dim). */
+  case class VecPqAdcScore(left: Expression, right: Expression,
+      codebooks: Seq[Seq[(Int, Seq[Double])]]) extends BinaryExpression {
+    require(codebooks.nonEmpty, "vec_pq_adc: empty codebook set")
+    require(codebooks.map(_.length).distinct.size == 1,
+      "vec_pq_adc: ragged codebook sizes")
+    require(codebooks.flatMap(_.map(_._2.length)).distinct.size == 1,
+      "vec_pq_adc: ragged subspace dims")
+
+    private val m = codebooks.length
+    private val ksub = codebooks.head.length
+    private val sdim = codebooks.head.head._2.length
+    /** Packed sub-code width: ceil(log2(ksub)) — [[graft.operators
+      * .VectorSearch.pqCodeBits]]'s exact rule. */
+    private val bits =
+      (64 - java.lang.Long.numberOfLeadingZeros((ksub - 1).toLong)).toInt
+    private val mask = (1L << bits) - 1
+    require(m * bits <= 64, s"vec_pq_adc: $m × $bits-bit codes overflow one BIGINT")
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType.isInstanceOf[ArrayType] &&
+          checkArrayDouble(prettyName, Seq(left.dataType)) ==
+            TypeCheckResult.TypeCheckSuccess &&
+          right.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (ARRAY<DOUBLE>, BIGINT), got " +
+          s"${left.dataType}, ${right.dataType}")
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vec_pq_adc"
+
+    private def guard = mayContainNull(left.dataType)
+
+    /** Flat codebook matrix [j][code][i] — codebook entries laid out in
+      * (subspace, code) order so the inner dot is a contiguous read. */
+    @transient private lazy val cb: Array[Double] = {
+      val out = new Array[Double](m * ksub * sdim)
+      var j = 0
+      while (j < m) {
+        val entries = codebooks(j)
+        var c = 0
+        while (c < ksub) {
+          val v = entries(c)._2
+          var i = 0
+          while (i < sdim) { out((j * ksub + c) * sdim + i) = v(i); i += 1 }
+          c += 1
+        }
+        j += 1
+      }
+      out
+    }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val packed = b.asInstanceOf[Long]
+      val n = x.numElements()
+      if (n != m * sdim) lengthMismatch(prettyName, n, m * sdim)
+      var total = 0.0
+      var j = 0
+      while (j < m) {
+        val code = (packed >>> (bits * j)) & mask
+        if (code >= ksub)
+          throw new IllegalArgumentException(
+            s"$prettyName: sub-code $code out of range (ksub=$ksub)")
+        val base = (j * ksub + code.toInt) * sdim
+        var sub = 0.0
+        var i = 0
+        while (i < sdim) {
+          if (guard && x.isNullAt(j * sdim + i)) nullElement(prettyName, j * sdim + i)
+          sub += x.getDouble(j * sdim + i) * cb(base + i)
+          i += 1
+        }
+        total += sub
+        j += 1
+      }
+      total
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cbRef = ctx.addReferenceObj("cb", cb, "double[]")
+      nullSafeCodeGen(ctx, ev, (x, packed) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val j = ctx.freshName("j")
+        val code = ctx.freshName("code")
+        val base = ctx.freshName("base")
+        val sub = ctx.freshName("sub")
+        val total = ctx.freshName("total")
+        s"""
+           |int $n = $x.numElements();
+           |${lengthCheckCode(prettyName, n, (m * sdim).toString)}
+           |double $total = 0.0;
+           |for (int $j = 0; $j < $m; $j++) {
+           |  long $code = ($packed >>> ($bits * $j)) & ${mask}L;
+           |  if ($code >= $ksub) throw new IllegalArgumentException(
+           |    "$prettyName: sub-code " + $code + " out of range (ksub=$ksub)");
+           |  int $base = ($j * $ksub + (int) $code) * $sdim;
+           |  double $sub = 0.0;
+           |  for (int $i = 0; $i < $sdim; $i++) {
+           |    ${guardCode(guard, prettyName, x, s"($j * $sdim + $i)")}
+           |    $sub += $x.getDouble($j * $sdim + $i) * $cbRef[$base + $i];
+           |  }
+           |  $total += $sub;
+           |}
+           |${ev.value} = $total;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // ------------------------------------------------------ Column surface ---
 
   def platformLn(x: Column): Column =
@@ -796,4 +933,9 @@ object VectorExpressions {
       centroids: Seq[(Long, Seq[Double])], n: Int): Column =
     ColumnGlue.column(
       VecNearestCentroids(ColumnGlue.expression(v), mode, centroids, n))
+
+  def pqAdcScore(q: Column, packedCode: Column,
+      codebooks: Seq[Seq[(Int, Seq[Double])]]): Column =
+    ColumnGlue.column(VecPqAdcScore(
+      ColumnGlue.expression(q), ColumnGlue.expression(packedCode), codebooks))
 }

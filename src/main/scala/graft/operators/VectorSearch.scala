@@ -385,23 +385,25 @@ object VectorSearch {
     * as ONE fixed-order fold seeded 0.0 — the single shared
     * implementation behind [[pqSearch]], [[ivfPqSearch]] and
     * [[ivfPqSearchIndexed]], parameterized only on where sub-code j
-    * comes from (a materialized `__code_j` column vs a shift/mask unpack
-    * of the packed BIGINT). One body ⇒ the three paths' doubles stay
-    * bit-identical by construction (LshSpec pins the equalities the
-    * oracle depends on). */
+    * comes from. Since r14 the score is the fused
+    * [[VectorExpressions.VecPqAdcScore]] kernel over the PACKED code
+    * (the per-code columns are shift/or-packed first — a tiny integer
+    * tree): the old m-term composed form (slice + dot + element_at per
+    * subspace) inlined into the same whole-stage method as the encode
+    * kernels and crossed HotSpot's 8 KB huge-method JIT limit — the
+    * serving scan ran INTERPRETED, 67.1s vs 0.4s for 200k rows at
+    * ksub=64 (MIGRATION "Fused per-row kernels"). Same doubles in the
+    * same order by construction (LshSpec + LshKernelSpec pin the
+    * equalities the oracle depends on). */
   private def adcScore(
       queryVec: Column,
       codebooks: Seq[Seq[(Int, Seq[Double])]],
       codeFor: Int => Column): Column = {
-    val s = codebooks.head.head._2.length
-    codebooks.indices
-      .map { j =>
-        val qsub = slice(queryVec, j * s + 1, s)
-        val cvecs = typedlit(codebooks(j).map(_._2))
-        VectorExpressions.dot(qsub,
-          element_at(cvecs, (codeFor(j) + 1).cast("int")))
-      }
-      .foldLeft(lit(0.0))(_ + _)
+    val bits = pqCodeBits(codebooks)
+    val packed = codebooks.indices
+      .map(j => shiftleft(codeFor(j), bits * j))
+      .reduceLeft(_.bitwiseOR(_))
+    VectorExpressions.pqAdcScore(queryVec, packed, codebooks)
   }
 
   /** All m sub-codes packed into ONE BIGINT (code_j in bits 4j..4j+3 at
@@ -462,14 +464,14 @@ object VectorSearch {
       nProbes: Int,
       k: Int,
       metric: Metric = Metric.Cosine): DataFrame = {
-    val bits = pqCodeBits(codebooks)
-    val mask = (1L << bits) - 1
     val q = prepareColumn(query, queryVecCol, metric)
       .withColumn("probe",
         explode(probeStructs(col(queryVecCol), centroids, metric, nProbes)))
       .select(col(queryVecCol), col("probe.cid").as("centroid_id"))
-    val score = adcScore(col(queryVecCol), codebooks,
-      j => shiftrightunsigned(col("pq_code"), bits * j).bitwiseAND(lit(mask)))
+    // persisted codes are already packed — feed the fused ADC kernel
+    // directly, no unpack/repack round-trip
+    val score =
+      VectorExpressions.pqAdcScore(col(queryVecCol), col("pq_code"), codebooks)
     index.join(broadcast(q), Seq("centroid_id"))
       .withColumn("score", score)
       .select(col(idCol), col("centroid_id"), col("score"))

@@ -155,6 +155,96 @@ class LshKernelSpec extends SparkSpec {
     assert(fm == cm)
   }
 
+  /** Pre-r14 composed ADC score (VectorSearch.adcScore @ r13): m ×
+    * `vec_dot(slice(q), element_at(literal_codebook, code+1))` terms
+    * under a 0.0-seeded left fold, sub-code j from a shift/mask unpack
+    * of the packed BIGINT. */
+  private def composedAdcScore(queryVec: Column, packed: Column,
+      codebooks: Seq[Seq[(Int, Seq[Double])]]): Column = {
+    val s = codebooks.head.head._2.length
+    val bits = (64 - java.lang.Long.numberOfLeadingZeros(
+      (codebooks.head.length - 1).toLong)).toInt
+    val mask = (1L << bits) - 1
+    codebooks.indices.map { j =>
+      val qsub = slice(queryVec, j * s + 1, s)
+      val cvecs = typedlit(codebooks(j).map(_._2))
+      val code = shiftrightunsigned(packed, bits * j).bitwiseAND(lit(mask))
+      VectorExpressions.dot(qsub, element_at(cvecs, (code + 1).cast("int")))
+    }.foldLeft(lit(0.0))(_ + _)
+  }
+
+  test("fused ADC score == composed slice+dot+element_at fold, ksub 16 and 64") {
+    for ((ksub, seed) <- Seq((16, 51L), (64, 52L), (4, 53L))) {
+      val m = 8
+      val s = 8
+      val codebooks = (0 until m).map { j =>
+        vecFrame(s, ksub, seed + j).collect()
+          .map(r => r.getLong(0).toInt -> r.getSeq[Double](1)).toSeq
+          .sortBy(_._1)
+      }
+      val bits = (64 - java.lang.Long.numberOfLeadingZeros((ksub - 1).toLong)).toInt
+      // rows carry a full-dim query vector and a packed code whose
+      // sub-codes sweep the whole code range
+      val rows = samples(Gen.listOfN(m * s, Gen.choose(-1.0, 1.0)), 60, seed)
+        .zipWithIndex.map { case (v, i) =>
+          val packed = (0 until m)
+            .map(j => ((i * 7 + j * 13) % ksub).toLong << (bits * j))
+            .reduce(_ | _)
+          (i.toLong, v.toArray, packed)
+        }
+      val df = rows.toDF("id", "q", "packed")
+      val f = df.select(col("id"),
+        VectorExpressions.pqAdcScore(col("q"), col("packed"), codebooks)
+          .as("sc")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val c = df.select(col("id"),
+        composedAdcScore(col("q"), col("packed"), codebooks).as("sc"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(f.keySet == c.keySet)
+      f.foreach { case (id, sc) =>
+        assert(java.lang.Double.doubleToRawLongBits(sc) ==
+          java.lang.Double.doubleToRawLongBits(c(id)),
+          s"ksub=$ksub id=$id fused=$sc composed=${c(id)}") }
+      // interpreted path == codegen path
+      withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+        val fi = df.select(col("id"),
+          VectorExpressions.pqAdcScore(col("q"), col("packed"), codebooks)
+            .as("sc")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(fi == f, s"ksub=$ksub interpreted != codegen")
+      }
+    }
+  }
+
+  test("ADC error contracts: query length mismatch and out-of-range code raise; null code → null") {
+    val codebooks = (0 until 2).map { j =>
+      Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0), 2 -> Seq(0.5, 0.5))
+    }
+    // m=2, s=2 → query must be length 4
+    val bad = Seq((1L, Array(1.0, 2.0, 3.0), 0L)).toDF("id", "q", "packed")
+    val ex = intercept[Exception] {
+      bad.select(VectorExpressions.pqAdcScore(col("q"), col("packed"),
+        codebooks)).collect()
+    }
+    assert(ex.getMessage.contains("length mismatch") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("length mismatch"))
+    // ksub=3 packs in 2 bits → code 3 is representable but out of range
+    val oob = Seq((1L, Array(1.0, 0.0, 0.0, 1.0), 3L)).toDF("id", "q", "packed")
+    val exc = intercept[Exception] {
+      oob.select(VectorExpressions.pqAdcScore(col("q"), col("packed"),
+        codebooks)).collect()
+    }
+    assert(exc.getMessage.contains("out of range") ||
+      exc.getCause != null && exc.getCause.getMessage.contains("out of range"))
+    val withNull = Seq((1L, Array(1.0, 0.0, 0.0, 1.0), Option.empty[Long]),
+      (2L, Array(1.0, 0.0, 0.0, 1.0), Some(1L))).toDF("id", "q", "packed")
+    val out = withNull.select(col("id"),
+      VectorExpressions.pqAdcScore(col("q"), col("packed"), codebooks)
+        .as("sc")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out(1L).isEmpty && out(2L).nonEmpty)
+  }
+
   test("error contracts: length mismatch raises; null input → null; null element raises") {
     val df = Seq((1L, Array(1.0, 2.0, 3.0))).toDF("id", "v")
     val ex = intercept[Exception] {
