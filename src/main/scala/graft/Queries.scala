@@ -2151,6 +2151,177 @@ object Queries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** [[qAnnMultiprobeScaled]] with the production occupancy cap engaged
+    * (r15, VERDICT r14 #5: at sf10 the multiprobe row's cost is the
+    * candidate join and the probed buckets had no occupancy bound —
+    * flipping INTO a skew-hot bucket pays its full occupancy per
+    * probing query). Corpus-side buckets over [[AnnCapFactor]]× the
+    * mean occupancy drop BEFORE the probe join, the
+    * [[VectorSearch.multibandKnnJoin]] cap applied to the single-band
+    * index. The recall trade is sharper than multiband's (a dropped
+    * corpus vector has no other band), so the config carries its own
+    * measured recall certificate: [[qAnnRecallMultiprobeScaled]]. */
+  private def qAnnMultiprobeCappedScaled(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    annMultiprobeScaled(s, dir, math.max(2, scaledLshBits(n)),
+      capFactor = Some(AnnCapFactor))
+  }
+
+  private val qAnnMultiprobeCappedScaledSql: String = {
+    val score = Oracle.dot("a.nemb", "b.nemb", EmbeddingDim)
+    val w = "(CAST((li * (j.j + 1) * 7919) % 193 AS DOUBLE) / 193.0 - 0.5)"
+    val pr = Oracle.foldSum(
+      s"list_transform(range(1, ${EmbeddingDim + 1}), li -> n.nemb[li] * $w)")
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |params AS (
+       |  SELECT GREATEST(2, GREATEST(1, LEAST(20,
+       |           length(bin(GREATEST(1, count(*) // 50) - 1))))) AS bits
+       |  FROM embeddings),
+       |jx AS (SELECT unnest(range(0, (SELECT bits FROM params))) AS j),
+       |proj AS (
+       |  SELECT n.vec_id, j.j, $pr AS pr
+       |  FROM n, jx j),
+       |buck AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN pr > 0.0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY 1),
+       |bs AS (SELECT bucket, count(*) AS n FROM buck GROUP BY 1),
+       |thr AS (SELECT avg(n) AS meanb FROM bs),
+       |kept AS (
+       |  SELECT b.vec_id, b.bucket
+       |  FROM buck b JOIN bs USING (bucket) CROSS JOIN thr
+       |  WHERE CAST(bs.n AS DOUBLE) <= $AnnCapFactor * thr.meanb),
+       |fr AS (
+       |  SELECT vec_id, j,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                            ORDER BY abs(pr) ASC, j ASC) AS rn
+       |  FROM proj),
+       |fb AS (
+       |  SELECT vec_id,
+       |         CAST(max(CASE WHEN rn = 1 THEN (1 << j) END) AS BIGINT) AS bv1,
+       |         CAST(max(CASE WHEN rn = 2 THEN (1 << j) END) AS BIGINT) AS bv2
+       |  FROM fr GROUP BY 1),
+       |pq AS (
+       |  SELECT vec_id, bucket AS probe FROM buck
+       |  UNION ALL
+       |  SELECT b.vec_id, xor(b.bucket, f.bv1) FROM buck b JOIN fb f USING (vec_id)
+       |  UNION ALL
+       |  SELECT b.vec_id, xor(b.bucket, f.bv2) FROM buck b JOIN fb f USING (vec_id)),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id
+       |  FROM pq q JOIN kept d ON q.probe = d.bucket AND q.vec_id <> d.vec_id
+       |  GROUP BY 1, 2),
+       |sco AS (
+       |  SELECT p.query_id, p.neighbor_id, $score AS score
+       |  FROM p JOIN n a ON p.query_id = a.vec_id
+       |         JOIN n b ON p.neighbor_id = b.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM sco)
+       |SELECT query_id, neighbor_id, score, rank
+       |FROM r WHERE rank <= $KnnJoinK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Recall certificate of [[qAnnMultiprobeCappedScaled]]'s exact
+    * serving config — the cap re-certification the single-band index
+    * demands MORE than multiband does (a dropped corpus bucket removes
+    * its vectors from every query's candidate pool, not from one of
+    * `bands` chances). Everything self-sizes from `count(embeddings)`
+    * in BOTH engines: `bits` by the multiprobe rule
+    * (`max(2, scaledLshBits(N))`), the query sample by
+    * [[scaledEvalMod]] (~1000 probes, fixed COUNT), the cap the same
+    * [[AnnCapFactor]] the serving row pins — so one declared row
+    * measures the capped-multiprobe recall at every sf through the
+    * hash gate. */
+  private def qAnnRecallMultiprobeScaled(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    annRecallMultiprobeScaled(s, dir, scaledEvalMod(n),
+      math.max(2, scaledLshBits(n)), AnnCapFactor)
+  }
+
+  private val qAnnRecallMultiprobeScaledSql: String = {
+    val score = Oracle.dot("a.nemb", "b.nemb", EmbeddingDim)
+    val w = "(CAST((li * (j.j + 1) * 7919) % 193 AS DOUBLE) / 193.0 - 0.5)"
+    val pr = Oracle.foldSum(
+      s"list_transform(range(1, ${EmbeddingDim + 1}), li -> n.nemb[li] * $w)")
+    s"""WITH ${Oracle.embeddingsCte},
+       |${Oracle.normalizedCte},
+       |params AS (
+       |  SELECT GREATEST(2, GREATEST(1, LEAST(20,
+       |           length(bin(GREATEST(1, count(*) // 50) - 1))))) AS bits,
+       |         GREATEST(20, count(*) // 1000) AS mod
+       |  FROM embeddings),
+       |q AS (SELECT * FROM n WHERE vec_id % (SELECT mod FROM params) = 0),
+       |exs AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $score AS s
+       |  FROM q a CROSS JOIN n b WHERE a.vec_id <> b.vec_id),
+       |ex AS (
+       |  SELECT query_id, neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY s DESC, neighbor_id ASC) AS rank
+       |  FROM exs),
+       |exk AS (SELECT query_id, neighbor_id FROM ex WHERE rank <= $KnnJoinK),
+       |jx AS (SELECT unnest(range(0, (SELECT bits FROM params))) AS j),
+       |proj AS (
+       |  SELECT n.vec_id, j.j, $pr AS pr
+       |  FROM n, jx j),
+       |buck AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN pr > 0.0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY 1),
+       |bs AS (SELECT bucket, count(*) AS n FROM buck GROUP BY 1),
+       |thr AS (SELECT avg(n) AS meanb FROM bs),
+       |kept AS (
+       |  SELECT b.vec_id, b.bucket
+       |  FROM buck b JOIN bs USING (bucket) CROSS JOIN thr
+       |  WHERE CAST(bs.n AS DOUBLE) <= $AnnCapFactor * thr.meanb),
+       |fr AS (
+       |  SELECT vec_id, j,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                            ORDER BY abs(pr) ASC, j ASC) AS rn
+       |  FROM proj WHERE vec_id % (SELECT mod FROM params) = 0),
+       |fb AS (
+       |  SELECT vec_id,
+       |         CAST(max(CASE WHEN rn = 1 THEN (1 << j) END) AS BIGINT) AS bv1,
+       |         CAST(max(CASE WHEN rn = 2 THEN (1 << j) END) AS BIGINT) AS bv2
+       |  FROM fr GROUP BY 1),
+       |qbk AS (SELECT * FROM buck WHERE vec_id % (SELECT mod FROM params) = 0),
+       |pq AS (
+       |  SELECT vec_id, bucket AS probe FROM qbk
+       |  UNION ALL
+       |  SELECT b.vec_id, xor(b.bucket, f.bv1) FROM qbk b JOIN fb f USING (vec_id)
+       |  UNION ALL
+       |  SELECT b.vec_id, xor(b.bucket, f.bv2) FROM qbk b JOIN fb f USING (vec_id)),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id
+       |  FROM pq q JOIN kept d ON q.probe = d.bucket AND q.vec_id <> d.vec_id
+       |  GROUP BY 1, 2),
+       |sco AS (
+       |  SELECT p.query_id, p.neighbor_id, $score AS score
+       |  FROM p JOIN n a ON p.query_id = a.vec_id
+       |         JOIN n b ON p.neighbor_id = b.vec_id),
+       |annk AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                              ORDER BY score DESC, neighbor_id ASC) AS rank
+       |    FROM sco) WHERE rank <= $KnnJoinK),
+       |h AS (
+       |  SELECT query_id, count(*) AS n_hits
+       |  FROM exk JOIN annk USING (query_id, neighbor_id) GROUP BY 1)
+       |SELECT e.query_id,
+       |       CAST(count(*) AS BIGINT) AS n_exact,
+       |       CAST(COALESCE(max(h.n_hits), 0) AS BIGINT) AS n_hits,
+       |       CAST((COALESCE(max(h.n_hits), 0) * 1000) // count(*) AS BIGINT)
+       |         AS recall_milli
+       |FROM exk e LEFT JOIN h USING (query_id)
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+  }
+
   /** Split id for the incremental-index query: rows below are the
     * "existing" persisted index, rows at/above are the append batch.
     * 400 < every fixture's embedding count (500/500/2000), so both
@@ -3010,20 +3181,21 @@ object Queries {
   }
 
   def annMultiprobeScaled(s: SparkSession, dir: String, bits: Int,
-      flips: Int = 2): DataFrame = {
+      flips: Int = 2, capFactor: Option[Double] = None): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     VectorSearch.multiProbeKnnJoin(emb, emb, "embedding", "vec_id",
       Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim, bits = bits,
-      flips = flips)
+      flips = flips, maxBucketFactor = capFactor)
       .orderBy("query_id", "rank")
   }
 
   def annLshMultiScaled(s: SparkSession, dir: String, bits: Int,
-      capFactor: Option[Double] = None): DataFrame = {
+      capFactor: Option[Double] = None,
+      bands: Int = LshMultiBands): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     VectorSearch.multibandKnnJoin(emb, emb, "embedding", "vec_id",
       Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim,
-      bits = bits, bands = LshMultiBands, maxBucketFactor = capFactor)
+      bits = bits, bands = bands, maxBucketFactor = capFactor)
       .orderBy("query_id", "rank")
   }
 
@@ -3054,6 +3226,32 @@ object Queries {
       Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim,
       bits = bits, bands = bands,
       maxBucketFactor = Some(capFactor))
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(ann, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("__h"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("__h"), lit(0L)))
+      .withColumn("recall_milli", expr("(n_hits * 1000) div n_exact"))
+      .select("query_id", "n_exact", "n_hits", "recall_milli")
+      .orderBy("query_id")
+  }
+
+  /** Recall eval of the CAPPED multiprobe serving config
+    * ([[VectorSearch.multiProbeKnnJoin]] with `maxBucketFactor`) vs
+    * exact top-k on a fixed-count query sample — the single-band cap's
+    * recall certificate ([[annRecallCappedScaled]]'s eval shape). */
+  def annRecallMultiprobeScaled(s: SparkSession, dir: String, mod: Long,
+      bits: Int, capFactor: Double, flips: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % mod === 0)
+    val exact = VectorSearch.knnJoin(queries, emb, "embedding", "vec_id",
+      Metric.Cosine, k = KnnJoinK, excludeSelf = true,
+      broadcastQueries = true)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = VectorSearch.multiProbeKnnJoin(queries, emb, "embedding", "vec_id",
+      Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim, bits = bits,
+      flips = flips, maxBucketFactor = Some(capFactor))
       .select(col("query_id"), col("neighbor_id"))
     val hits = exact.join(ann, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("__h"))
@@ -5128,7 +5326,19 @@ object Queries {
       s: SparkSession, n: Int, name: String,
       extraConfs: Map[String, String] = Map.empty)(
       start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    val confs = Map("spark.sql.shuffle.partitions" -> n.toString) ++ extraConfs
+    // At sf ≥ 10 the fixture-tuned width is the wrong trade for the
+    // stream-stream join: ONE AvailableNow batch inserts 20M rows into
+    // the symmetric-hash-join state, so per-batch commit overhead (what
+    // the width=8 cap minimizes) is paid once while state-update
+    // parallelism is paid on every row — StreamDiag r15 measured 93% of
+    // q_stream_pairs' wall inside addBatch's state updates at width 8.
+    // Results are width-independent (state partitioning never changes
+    // the pair set; the publish sink is idempotent per batch id), so
+    // scale sweeps override via env — the MIGRATION "state width is
+    // sized to state volume" rule made operable, like STREAM_MAX_FILES.
+    val width = sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTS")
+      .map(_.toInt).getOrElse(n)
+    val confs = Map("spark.sql.shuffle.partitions" -> width.toString) ++ extraConfs
     val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
     confs.foreach { case (k, v) => s.conf.set(k, v) }
     try {
@@ -7674,6 +7884,10 @@ object Queries {
     GraftQuery("q_ann_multiprobe", qAnnMultiprobe, Some(qAnnMultiprobeSql)),
     GraftQuery("q_ann_multiprobe_scaled", qAnnMultiprobeScaled,
       Some(qAnnMultiprobeScaledSql)),
+    GraftQuery("q_ann_multiprobe_capped_scaled", qAnnMultiprobeCappedScaled,
+      Some(qAnnMultiprobeCappedScaledSql)),
+    GraftQuery("q_ann_recall_multiprobe_scaled", qAnnRecallMultiprobeScaled,
+      Some(qAnnRecallMultiprobeScaledSql)),
     GraftQuery("q_index_append", qIndexAppend, Some(qIndexAppendSql)),
     GraftQuery("q_index_compact", qIndexCompact, Some(qIndexCompactSql)),
     GraftQuery("q_ann_ivf", qAnnIvf, Some(qAnnIvfSql)),

@@ -32,6 +32,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, St
 object VectorExpressions {
   val Eps = 1e-12
 
+  /** Bits per packed PQ sub-code: `ceil(log2(ksub))` (4 at ksub=16).
+    * THE single definition of the packed-code bit layout — shared by
+    * [[VecPqAdcScore]] (unpack side) and
+    * [[graft.operators.VectorSearch]]'s pack side (ADVICE r14: the
+    * rule was duplicated with only a comment tying the two sites). */
+  def packedCodeBits(ksub: Int): Int = {
+    require(ksub >= 1, s"packedCodeBits: ksub must be >= 1, got $ksub")
+    (64 - java.lang.Long.numberOfLeadingZeros((ksub - 1).toLong)).toInt
+  }
+
   /** Accept ARRAY<DOUBLE> regardless of element nullability flag.
     * (`ExpectsInputTypes` is not implementable outside the sql package in
     * Spark 4 — `AbstractDataType` is `private[sql]` — so the check is
@@ -797,14 +807,18 @@ object VectorExpressions {
       "vec_pq_adc: ragged codebook sizes")
     require(codebooks.flatMap(_.map(_._2.length)).distinct.size == 1,
       "vec_pq_adc: ragged subspace dims")
+    // the kernel indexes the codebook matrix POSITIONALLY (cb[j][code]);
+    // the pack side assigns codes from each entry's Int key — they agree
+    // only when position == code, so reject unsorted/gapped codebooks
+    // loudly instead of misindexing silently (ADVICE r14)
+    require(codebooks.forall(_.zipWithIndex.forall { case ((c, _), i) => c == i }),
+      "vec_pq_adc: codebook codes must be 0..ksub-1 in position order")
 
     private val m = codebooks.length
     private val ksub = codebooks.head.length
     private val sdim = codebooks.head.head._2.length
-    /** Packed sub-code width: ceil(log2(ksub)) — [[graft.operators
-      * .VectorSearch.pqCodeBits]]'s exact rule. */
-    private val bits =
-      (64 - java.lang.Long.numberOfLeadingZeros((ksub - 1).toLong)).toInt
+    /** Packed sub-code width — [[packedCodeBits]], the one shared rule. */
+    private val bits = packedCodeBits(ksub)
     private val mask = (1L << bits) - 1
     require(m * bits <= 64, s"vec_pq_adc: $m × $bits-bit codes overflow one BIGINT")
 

@@ -377,9 +377,11 @@ object VectorSearch {
     }
   }
 
-  /** Bits per packed sub-code for a codebook set (4 at ksub=16). */
+  /** Bits per packed sub-code for a codebook set (4 at ksub=16) —
+    * delegates to [[VectorExpressions.packedCodeBits]], the ONE
+    * definition of the packed layout shared with the unpack side. */
   private def pqCodeBits(codebooks: Seq[Seq[(Int, Seq[Double])]]): Int =
-    (64 - java.lang.Long.numberOfLeadingZeros((codebooks.head.length - 1).toLong)).toInt
+    VectorExpressions.packedCodeBits(codebooks.head.length)
 
   /** The asymmetric-distance score `Σ_j dot(q_sub_j, centroid_j[code_j])`
     * as ONE fixed-order fold seeded 0.0 — the single shared
@@ -485,7 +487,14 @@ object VectorSearch {
     * fixed subspace order seeded with 0.0, so the double is
     * deterministic and oracle-replayable. Per-row projection + one
     * `TakeOrderedAndProject`: the scan reads codes, not vectors —
-    * PQ's 100 TB story. */
+    * PQ's 100 TB story.
+    *
+    * Config limit (since the r14 packed-code kernel): the m sub-codes
+    * pack into ONE BIGINT, so `m × ceil(log2(ksub)) ≤ 64` — the
+    * fused [[VectorExpressions.VecPqAdcScore]] requires it at plan
+    * construction. m=8/ksub≤256 and m=16/ksub≤16 fit; wider configs
+    * need a second code word (not a composed-score fallback — that
+    * form re-crosses the JIT huge-method cliff this kernel removed). */
   def pqSearch(
       data: DataFrame,
       vecCol: String,
@@ -525,7 +534,10 @@ object VectorSearch {
     * partitioned by `centroid_id` the same join prunes partitions, so
     * unprobed cells cost zero IO and zero tasks. Scoring and
     * tie-breaks are bit-identical to [[pqSearch]] (same fixed-order
-    * ADC fold), so the whole path replays in the SQL oracle. */
+    * ADC fold), so the whole path replays in the SQL oracle.
+    *
+    * Same packed-code config limit as [[pqSearch]]:
+    * `m × ceil(log2(ksub)) ≤ 64`, enforced at plan construction. */
   def ivfPqSearch(
       data: DataFrame,
       vecCol: String,
@@ -927,7 +939,23 @@ object VectorSearch {
     * index via first-match CASE semantics identical in Spark and SQL —
     * so the oracle replays the full probe generation. Candidate sets
     * strictly contain the single-probe ones, so recall ≥
-    * [[bucketedKnnJoin]]'s at the same (bits) — pinned in LshSpec. */
+    * [[bucketedKnnJoin]]'s at the same (bits) — pinned in LshSpec.
+    *
+    * `maxBucketFactor` — the [[multibandKnnJoin]] occupancy cap applied
+    * to the single-band corpus index (r15, VERDICT r14 #5: at sf10 the
+    * row's cost is the candidate join, and probing has no bound on the
+    * probed buckets' occupancy — flipping INTO a skew-hot bucket costs
+    * its full occupancy per probing query). Corpus-side (bucket) groups
+    * whose occupancy exceeds `factor × mean` are dropped BEFORE the
+    * probe join. The recall trade is SHARPER than multiband's: the
+    * index is single-band, so a corpus vector in a dropped bucket has
+    * no other band to be found in — it leaves the candidate pool for
+    * every query. (Queries in dropped home buckets still probe their
+    * flip buckets — only the corpus side is capped.) Hot sign-LSH
+    * buckets are the crowded, least-selective regions, so the measured
+    * recall stays high — certified through the
+    * q_ann_recall_multiprobe_scaled oracle row, same treatment as the
+    * multiband cap's recall rows. */
   def multiProbeKnnJoin(
       queries: DataFrame,
       data: DataFrame,
@@ -938,12 +966,29 @@ object VectorSearch {
       dim: Int,
       bits: Int = 8,
       flips: Int = 2,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      maxBucketFactor: Option[Double] = None): DataFrame = {
     require(flips == 1 || flips == 2, s"1 or 2 probe flips supported, got $flips")
     val qSpread = Partitioning.spread(queries)
-    val di = prepareColumn(data, vecCol, metric)
+    val diRaw = prepareColumn(data, vecCol, metric)
       .select(col(idCol).as("neighbor_id"),
         lshBucketBand(col(vecCol), dim, bits, band = 0).as("bucket"))
+    val di = maxBucketFactor match {
+      case None => diRaw
+      case Some(f) =>
+        // lazy checkpoint: the sizing aggregate and the probe join feed
+        // from ONE execution of the bucketing subtree (the multiband
+        // cap's exact shape, minus the band key)
+        val idx = diRaw.localCheckpoint(eager = false)
+        val thr = idx.groupBy("bucket")
+          .agg(count(lit(1)).as("__n"))
+          .agg(avg(col("__n")).as("__meanb"))
+        val wB = Window.partitionBy("bucket")
+        idx.withColumn("__bsz", count(lit(1)).over(wB))
+          .crossJoin(broadcast(thr))
+          .filter(col("__bsz").cast("double") <= lit(f) * col("__meanb"))
+          .drop("__bsz", "__meanb")
+    }
     // Probe generation is STAGED through aliased projections so each
     // subexpression is computed once and referenced as an attribute.
     // Composing it as one Column tree re-expands bv1 inside every

@@ -183,6 +183,31 @@ class LshSpec extends SparkSpec {
       f"bucket cap broke the HNSW-replacement recall floor: $recall%.3f")
   }
 
+  test("capped multi-probe candidates are a subset of uncapped and a huge factor is a no-op") {
+    // r15 (VERDICT r14 #5): the occupancy cap applied to the single-band
+    // probe join. Two pins: (a) whole corpus buckets drop, nothing is
+    // added; (b) a factor above the max/mean ratio keeps every bucket —
+    // the capped plan must be result-identical to the uncapped one (the
+    // fused==composed treatment for the cap's plan rewrite).
+    val uncapped = pairsOf(VectorSearch.multiProbeKnnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = 1000, dim = Dim, bits = 4, flips = 2))
+    val capped = pairsOf(VectorSearch.multiProbeKnnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = 1000, dim = Dim, bits = 4, flips = 2,
+      maxBucketFactor = Some(2.0)))
+    assert(capped.subsetOf(uncapped),
+      s"cap invented candidates (${(capped -- uncapped).size} not in uncapped)")
+    // at bits=4 the fixture's occupancy skew (max ~71 vs mean 31.25 —
+    // the multiband cap test's measured numbers, same bucketing at
+    // band 0) makes a 2x cap bite
+    assert(capped.size < uncapped.size,
+      s"cap dropped nothing (${capped.size} == ${uncapped.size} pairs)")
+    val noop = pairsOf(VectorSearch.multiProbeKnnJoin(emb, emb, "embedding", "vec_id",
+      Metric.Cosine, k = 1000, dim = Dim, bits = 4, flips = 2,
+      maxBucketFactor = Some(1e9)))
+    assert(noop == uncapped,
+      s"huge-factor cap is not a no-op (${(noop diff uncapped).size} + ${(uncapped diff noop).size} differing pairs)")
+  }
+
   test("multiband top-1 agreement with brute force (the reference's own ANN contract)") {
     // test_v3_features.py:29-46 pins HNSW top-1 == brute-force top-1;
     // the batch replacement should agree for MOST queries (argmax
