@@ -5322,20 +5322,31 @@ object Queries {
     * scale the state partition count is sized to state volume ÷
     * executor memory — here state is fixture-sized, so a handful of
     * partitions is the honest shape. */
+  /** State width for a STATE-HEAVY stream (the stream-stream join),
+    * self-sized from the corpus row count — MIGRATION's "state
+    * partition count is sized to state volume" rule as code, the
+    * scaledLshBits pattern: every stateful operator commits one state
+    * store per partition per micro-batch, so SMALL state wants few
+    * partitions (commit overhead dominates — the fixture-tuned 8),
+    * while corpus-sized state wants per-row update parallelism
+    * (StreamDiag r15 at sf10: 20M state rows, 93% of wall in state
+    * updates; width 8 = 112.0s vs width 32 = 50.2s idle). One step per
+    * ~1M state rows between the two tuned endpoints; results are
+    * width-independent. The first r15 attempt was a GLOBAL env width —
+    * measured backfiring on every small-state stream row at sf10
+    * (sessions 9.2→15.0s, dedup 2.8→4.3s: 32 stores' commit overhead
+    * for KB-sized state), which is why the sizing is per-volume here,
+    * not per-sweep. */
+  private def streamStateWidth(stateRows: Long): Int =
+    math.max(8, math.min(32, 8 * (1 + (stateRows / 2500000L)).toInt))
+
   private def drainStream(
       s: SparkSession, n: Int, name: String,
       extraConfs: Map[String, String] = Map.empty)(
       start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    // At sf ≥ 10 the fixture-tuned width is the wrong trade for the
-    // stream-stream join: ONE AvailableNow batch inserts 20M rows into
-    // the symmetric-hash-join state, so per-batch commit overhead (what
-    // the width=8 cap minimizes) is paid once while state-update
-    // parallelism is paid on every row — StreamDiag r15 measured 93% of
-    // q_stream_pairs' wall inside addBatch's state updates at width 8.
-    // Results are width-independent (state partitioning never changes
-    // the pair set; the publish sink is idempotent per batch id), so
-    // scale sweeps override via env — the MIGRATION "state width is
-    // sized to state volume" rule made operable, like STREAM_MAX_FILES.
+    // SPARK_GRAFT_STREAM_STATE_PARTS: explicit A/B override of the
+    // caller's width (diagnosis tool, not the sizing path — the sizing
+    // lives in streamStateWidth and the callers' tuned defaults).
     val width = sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTS")
       .map(_.toInt).getOrElse(n)
     val confs = Map("spark.sql.shuffle.partitions" -> width.toString) ++ extraConfs
@@ -5645,7 +5656,14 @@ object Queries {
     // of serialized pairs) after GC-thrashing the 600s drain guard. The
     // downstream (a_type, b_type) rollup aggregates from the published
     // files, executor-side.
-    drainStream(s, 8, "q_stream_pairs",
+    //
+    // Width self-sizes from state volume (both join sides insert every
+    // event): 8 at fixture scale, 32 at sf10's 20M state rows — the
+    // one stream row whose state is corpus-sized (sf10: 92.6s → 30.3s
+    // measured in the r15 sweep).
+    val stateWidth = streamStateWidth(
+      2L * Tables.events(s, dir).count())
+    drainStream(s, stateWidth, "q_stream_pairs",
         Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) {
       Streaming.correlatedPairs(ev, ev, withinSeconds = 86400)
         .writeStream
