@@ -23,7 +23,11 @@ import org.apache.spark.sql.SparkSession
   *    of the capped multiband join (q_ann_capped, q_ann_capped_scaled,
   *    q_ann_recall_capped
   *    — multibandKnnJoin's maxBucketFactor crossJoins a 1-row avg
-  *    over the scalar index); anything else needs a key
+  *    over the scalar index; since r15 the same 1-row threshold frame
+  *    appears in the capped multiprobe join —
+  *    q_ann_multiprobe_capped_scaled, and q_ann_recall_multiprobe_scaled
+  *    which also carries the broadcast sample×corpus exact side);
+  *    anything else needs a key
   *  - `GLOBALWIN`: a Window with an EMPTY partition spec — the whole
   *    input funnels through one task (allowed only on already-cut ≤k-row
   *    frames, e.g. hybrid-search rank-10)
