@@ -113,7 +113,27 @@ object Bench {
           else
             ("q_ann_lsh_multi_scaled_b4",
               (s: SparkSession, d: String) =>
-                Queries.annLshMultiScaled(s, d, bitsScaled, Some(4.0), bands = 4))
+                Queries.annLshMultiScaled(s, d, bitsScaled,
+                  Some(Queries.AnnCapFactor), bands = Queries.ScaledCapBandsB4))
+        // The UNCAPPED multiprobe baseline follows the multiband
+        // baseline's r15 retirement (VERDICT r15 #4): its capped twin
+        // (q_ann_multiprobe_capped_scaled, declared + sf10-certified)
+        // and recall certificate (q_ann_recall_multiprobe_scaled) now
+        // carry what the 108.7s uncapped point measured, so the default
+        // sweep re-points this row at the multiprobe cap-FACTOR curve's
+        // second point — 2× (the multiband _2x precedent), same
+        // count-derived bits as the declared capped row so the factor
+        // is the only variable. The same
+        // SPARK_GRAFT_BENCH_UNCAPPED_BASELINE=1 knob restores the
+        // uncapped point for a once-per-retune curve re-measurement of
+        // BOTH the multiband and multiprobe baselines.
+        case ("q_ann_multiprobe_scaled", _) if annScaled &&
+            !sys.env.get("SPARK_GRAFT_BENCH_UNCAPPED_BASELINE").contains("1") =>
+          ("q_ann_multiprobe_capped_scaled_2x",
+            (s: SparkSession, d: String) =>
+              Queries.annMultiprobeScaled(s, d,
+                math.max(2, Queries.scaledLshBits(nVec)),
+                capFactor = Some(2.0)))
         // second operating point on the factor curve: a 2× cap trades
         // more tail recall for less pair work — benched so MIGRATION.md's
         // factor guidance carries two measured points, not one. Named

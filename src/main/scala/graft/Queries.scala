@@ -1674,7 +1674,10 @@ object Queries {
     * bucket's pair work) — so the oracle row certifies the DROP path,
     * not just the pass-through, at every fixture scale, because the cap
     * is RELATIVE and self-sizes. */
-  private val AnnCapFactor = 4.0
+  // private[graft] so Bench's bands-curve rows reference the SAME cap
+  // the declared rows pin instead of a drift-prone 4.0 literal
+  // (ADVICE r15) — a retune here re-points every consumer at once.
+  private[graft] val AnnCapFactor = 4.0
 
   /** Tighter factor for [[qAnnRecallCapped]]: at the recall operating
     * point (4-bit × 16-band) the measured occupancy is mean 31.25 at
@@ -1741,6 +1744,13 @@ object Queries {
     * MIGRATION's own rule (size `bits` from N FIRST so per-bucket work
     * stays bounded, then buy recall with `bands`). */
   private val ScaledCapBands = 8
+
+  /** The bands-curve CHEAP point (half the hash tables at identical
+    * bits/cap — Bench's `q_ann_lsh_multi_scaled_b4` timing point, r15:
+    * 42.2s vs bands=8's 167.5s at sf10). private[graft] so Bench and
+    * the declared recall row `q_ann_recall_capped_scaled_b4` pin the
+    * SAME constant — the timing and recall points cannot desync. */
+  private[graft] val ScaledCapBandsB4 = 4
 
   /** MIGRATION's serving-config rule `bits ≈ log2(N / target_bucket_rows)`
     * (target 50 rows/bucket) applied at RUNTIME from the corpus count —
@@ -1864,7 +1874,12 @@ object Queries {
       AnnCapFactor, bands = ScaledCapBands)
   }
 
-  private val qAnnRecallCappedScaledSql: String = {
+  /** Oracle SQL for the scaled capped-recall row, parameterized by the
+    * band count so the bands-CURVE points (8 = the declared serving
+    * config, 4 = the measured cheap point) replay the identical eval
+    * from one builder — the two certificates cannot drift apart
+    * structurally (VERDICT r15 #1). */
+  private def annRecallCappedScaledSqlFor(bands: Int): String = {
     val score = Oracle.dot("a.nemb", "b.nemb", EmbeddingDim)
     val w = "(CAST((li * (b.band * pp.bits + j.j + 1) * 7919) % 193 AS DOUBLE) / 193.0 - 0.5)"
     val pr = Oracle.foldSum(
@@ -1886,7 +1901,7 @@ object Queries {
        |                            ORDER BY s DESC, neighbor_id ASC) AS rank
        |  FROM exs),
        |exk AS (SELECT query_id, neighbor_id FROM ex WHERE rank <= $KnnJoinK),
-       |bx AS (SELECT unnest(range(0, $ScaledCapBands)) AS band),
+       |bx AS (SELECT unnest(range(0, $bands)) AS band),
        |jx AS (SELECT unnest(range(0, (SELECT bits FROM params))) AS j),
        |proj AS (
        |  SELECT n.vec_id, b.band, j.j, $pr AS pr
@@ -1927,6 +1942,30 @@ object Queries {
        |FROM exk e LEFT JOIN h USING (query_id)
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
   }
+
+  private val qAnnRecallCappedScaledSql: String =
+    annRecallCappedScaledSqlFor(ScaledCapBands)
+
+  /** Recall certificate at the bands=[[ScaledCapBandsB4]] capped
+    * operating point (VERDICT r15 #1): the bands curve's COST side has
+    * two measured sf10 points (bands=8: 167.5s — the sweep's top row;
+    * bands=4: 42.2s at identical bits/cap) but only bands=8 carried a
+    * recall certificate, so the operating-point decision the curve
+    * exists to inform could not be made. Identical eval to
+    * [[qAnnRecallCappedScaled]] — same count-derived bits/mod, same
+    * [[AnnCapFactor]] — differing ONLY in bands, so the recall delta
+    * between the two declared rows is attributable to bands alone.
+    * Reference anchor: test_v3_features.py:29–46 (the ANN-vs-exact
+    * differential bar — serving configs are chosen on measured recall,
+    * not cost alone). */
+  private def qAnnRecallCappedScaledB4(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    annRecallCappedScaled(s, dir, scaledEvalMod(n), scaledLshBits(n),
+      AnnCapFactor, bands = ScaledCapBandsB4)
+  }
+
+  private val qAnnRecallCappedScaledB4Sql: String =
+    annRecallCappedScaledSqlFor(ScaledCapBandsB4)
 
   /** Recall of the CAPPED multiband ANN vs exact top-k — the
     * re-certification the cap demands ([[qAnnRecall]]'s eval shape with
@@ -5330,9 +5369,11 @@ object Queries {
     * partitions (commit overhead dominates — the fixture-tuned 8),
     * while corpus-sized state wants per-row update parallelism
     * (StreamDiag r15 at sf10: 20M state rows, 93% of wall in state
-    * updates; width 8 = 112.0s vs width 32 = 50.2s idle). One step per
-    * ~1M state rows between the two tuned endpoints; results are
-    * width-independent. The first r15 attempt was a GLOBAL env width —
+    * updates; width 8 = 112.0s vs width 32 = 50.2s idle). The sizing
+    * curve between the two tuned endpoints is
+    * `width = clamp(8, 32, 8 · (1 + stateRows/2.5M))` — i.e. +8 width
+    * per 2.5M state rows, so the only values are 8/16/24/32; results
+    * are width-independent. The first r15 attempt was a GLOBAL env width —
     * measured backfiring on every small-state stream row at sf10
     * (sessions 9.2→15.0s, dedup 2.8→4.3s: 32 stores' commit overhead
     * for KB-sized state), which is why the sizing is per-volume here,
@@ -5346,9 +5387,18 @@ object Queries {
       start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     // SPARK_GRAFT_STREAM_STATE_PARTS: explicit A/B override of the
     // caller's width (diagnosis tool, not the sizing path — the sizing
-    // lives in streamStateWidth and the callers' tuned defaults).
-    val width = sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTS")
-      .map(_.toInt).getOrElse(n)
+    // lives in streamStateWidth and the callers' tuned defaults; a
+    // sweep must NOT export it, or every KB-state stream row pays the
+    // measured global-width regression the per-volume sizing fixed).
+    // toIntOption + loud error: a malformed value would otherwise
+    // throw a bare NumberFormatException inside every stream row
+    // (ADVICE r15).
+    val width = sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTS") match {
+      case Some(v) => v.trim.toIntOption.filter(_ > 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_STREAM_STATE_PARTS must be a positive int, got '$v'"))
+      case None => n
+    }
     val confs = Map("spark.sql.shuffle.partitions" -> width.toString) ++ extraConfs
     val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
     confs.foreach { case (k, v) => s.conf.set(k, v) }
@@ -7899,6 +7949,8 @@ object Queries {
     GraftQuery("q_ann_recall_capped", qAnnRecallCapped, Some(qAnnRecallCappedSql)),
     GraftQuery("q_ann_recall_capped_scaled", qAnnRecallCappedScaled,
       Some(qAnnRecallCappedScaledSql)),
+    GraftQuery("q_ann_recall_capped_scaled_b4", qAnnRecallCappedScaledB4,
+      Some(qAnnRecallCappedScaledB4Sql)),
     GraftQuery("q_ann_multiprobe", qAnnMultiprobe, Some(qAnnMultiprobeSql)),
     GraftQuery("q_ann_multiprobe_scaled", qAnnMultiprobeScaled,
       Some(qAnnMultiprobeScaledSql)),

@@ -807,12 +807,16 @@ object VectorExpressions {
       "vec_pq_adc: ragged codebook sizes")
     require(codebooks.flatMap(_.map(_._2.length)).distinct.size == 1,
       "vec_pq_adc: ragged subspace dims")
-    // the kernel indexes the codebook matrix POSITIONALLY (cb[j][code]);
-    // the pack side assigns codes from each entry's Int key — they agree
-    // only when position == code, so reject unsorted/gapped codebooks
-    // loudly instead of misindexing silently (ADVICE r14)
-    require(codebooks.forall(_.zipWithIndex.forall { case ((c, _), i) => c == i }),
-      "vec_pq_adc: codebook codes must be 0..ksub-1 in position order")
+    // the kernel indexes the codebook matrix POSITIONALLY (cb[j][code])
+    // while the pack side assigns codes from each entry's Int KEY — so
+    // the flat-matrix build below sorts each subspace by key first
+    // (honoring the documented keyed (code, centroid) contract on
+    // pqSearch/ivfPqSearch: caller ORDER is immaterial) and only gapped
+    // or duplicated keys — which no sort can repair and WOULD misindex
+    // silently — are a loud construction-time failure (ADVICE r14/r15)
+    require(codebooks.forall(b => b.map(_._1).sorted == b.indices),
+      "vec_pq_adc: codebook codes must be exactly 0..ksub-1 per subspace " +
+        "(keyed entries may arrive in any order; gaps/duplicates misindex)")
 
     private val m = codebooks.length
     private val ksub = codebooks.head.length
@@ -842,7 +846,7 @@ object VectorExpressions {
       val out = new Array[Double](m * ksub * sdim)
       var j = 0
       while (j < m) {
-        val entries = codebooks(j)
+        val entries = codebooks(j).sortBy(_._1)
         var c = 0
         while (c < ksub) {
           val v = entries(c)._2

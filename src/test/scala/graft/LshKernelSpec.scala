@@ -245,6 +245,28 @@ class LshKernelSpec extends SparkSpec {
     assert(out(1L).isEmpty && out(2L).nonEmpty)
   }
 
+  test("ADC codebook contract is KEYED: unsorted entries score identically; gaps/dups raise") {
+    // pqSearch/ivfPqSearch are public and take caller-supplied keyed
+    // codebooks — order must be immaterial (ADVICE r15)
+    val sorted = (0 until 2).map { _ =>
+      Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0), 2 -> Seq(0.5, 0.5),
+        3 -> Seq(0.25, 0.75))
+    }
+    val shuffled = sorted.map(b => Seq(b(2), b(0), b(3), b(1)))
+    val df = Seq((1L, Array(1.0, 2.0, 3.0, 4.0), 9L),
+      (2L, Array(-0.5, 0.25, 1.5, -2.0), 14L)).toDF("id", "q", "packed")
+    def scores(cbs: Seq[Seq[(Int, Seq[Double])]]) =
+      df.select(col("id"), VectorExpressions.pqAdcScore(col("q"), col("packed"),
+        cbs).as("sc")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(shuffled) == scores(sorted))
+    val gapped = sorted.map(_.map { case (c, v) => (if (c == 2) 7 else c, v) })
+    val exg = intercept[IllegalArgumentException] { scores(gapped) }
+    assert(exg.getMessage.contains("0..ksub-1"))
+    val duped = sorted.map(_.map { case (c, v) => (math.min(c, 2), v) })
+    val exd = intercept[IllegalArgumentException] { scores(duped) }
+    assert(exd.getMessage.contains("0..ksub-1"))
+  }
+
   test("error contracts: length mismatch raises; null input → null; null element raises") {
     val df = Seq((1L, Array(1.0, 2.0, 3.0))).toDF("id", "v")
     val ex = intercept[Exception] {
