@@ -21,7 +21,8 @@ import org.apache.spark.sql.SparkSession
   *    the two 1-row distribution totals inside dsirWeights
   *    (q_dsir_weights), and the 1-row mean-occupancy threshold frame
   *    of the capped multiband join (q_ann_capped, q_ann_capped_scaled,
-  *    q_ann_recall_capped
+  *    q_ann_recall_capped, and since r16 the bands=4 recall twin
+  *    q_ann_recall_capped_scaled_b4
   *    — multibandKnnJoin's maxBucketFactor crossJoins a 1-row avg
   *    over the scalar index; since r15 the same 1-row threshold frame
   *    appears in the capped multiprobe join —

@@ -3371,7 +3371,14 @@ object Queries {
       "embedding", "vec_id", Metric.Cosine,
       anchorFilter = col("vec_id") % mod === 0,
       nPos = 1, hardStart = PairsHardStart, nHard = PairsNHard,
-      nRandom = PairsNRandom)
+      nRandom = PairsNRandom,
+      // the scaled rows' anchor set is a FIXED-COUNT sample (~1000 at
+      // mod = scaledEvalMod, ~2000 at the _2k bench point) — exactly
+      // the bounded-sample case broadcastAnchors exists for. PairsDiag
+      // at sf10 (r16): default orientation 137.1s vs broadcast 94.6s;
+      // the fixture row (anchors = N/10, corpus-fraction) keeps the
+      // default.
+      broadcastAnchors = true)
       .orderBy("anchor_id", "pair_type", "pair_rank")
 
   // ------------------------------------------------------------ sketches ---

@@ -7,12 +7,22 @@ import org.apache.spark.sql.SparkSession
 object StreamDiag {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B knob (VERDICT r15 #7): SPARK_GRAFT_STATE_PROVIDER=rocksdb
+    // swaps the state-store provider so the width-32 q_stream_pairs
+    // bottleneck can be attributed between the HDFS-backed in-memory
+    // store and RocksDB on the same fixture.
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach {
+      case "rocksdb" => builder.config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case other => System.err.println(s"[diag] unknown provider '$other', using default")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._

@@ -42,10 +42,31 @@ object Contrastive {
       nPos: Int = 1,
       hardStart: Int = 6,
       nHard: Int = 5,
-      nRandom: Int = 5): DataFrame = {
+      nRandom: Int = 5,
+      broadcastAnchors: Boolean = false): DataFrame = {
     val anchors = emb.filter(anchorFilter)
+    // broadcastAnchors: the recall rows' sample×corpus orientation —
+    // broadcast the bounded anchor set so the corpus is the STREAMED
+    // side of the exact retrieval (scanned + metric-prepared once)
+    // instead of the default CartesianProduct re-evaluating the corpus
+    // subtree once per anchor partition. Pass true when the anchor set
+    // is a bounded SAMPLE (the scaled rows' fixed ~1000–2000 anchors);
+    // leave false when anchors are a large corpus fraction (the
+    // fixture's every-10th rule) — a broadcast side must stay
+    // driver/executor-memory bounded. Results are orientation-
+    // independent: the pair set and the per-anchor window are
+    // identical either way.
+    // localCheckpoint: the ranked frame feeds FOUR consumers (positives,
+    // hard, the posOf candidate key-join, and the anti-join build side)
+    // and the union would otherwise re-execute the anchors×corpus
+    // retrieval subtree per branch — PairsDiag at sf10 measured the
+    // tail at 64.7s of a 137.1s row, most of it subtree recompute. The
+    // checkpointed frame is ≤ hardEnd rows per anchor of 24-byte ids —
+    // bounded at any corpus size by construction.
     val ranked = VectorSearch.knnJoin(anchors, emb, vecCol, idCol, metric,
-      k = hardStart + nHard - 1, excludeSelf = true)
+      k = hardStart + nHard - 1, excludeSelf = true,
+      broadcastQueries = broadcastAnchors)
+      .localCheckpoint(eager = false)
     val positives = ranked.filter(col("rank") <= nPos)
       .select(col("query_id").as("anchor_id"), col("neighbor_id").as("other_id"),
         lit("positive").as("pair_type"), col("rank").cast("long").as("pair_rank"))
