@@ -858,6 +858,37 @@ object VectorSearch {
     * touches vectors. Whole buckets drop (never a row sample): the
     * predicate is a pure function of the bucket, so an oracle replays
     * it exactly and incremental rebuilds stay deterministic. */
+  /** Ceiling for BROADCASTING a prepared (id, vector) table into the
+    * candidate re-attach joins of [[multibandKnnJoin]] /
+    * [[multiProbeKnnJoin]]. CappedDiag (r16, sf10) attributed ~90% of
+    * the capped-multiband serving row to the re-attach stage: the
+    * sort-merge form exchanges the CANDIDATE volume with a 512-byte
+    * vector riding every row (the join after the first re-attach
+    * shuffles |candidates| × (pair + qvec) to meet the neighbor side —
+    * ~10⁸ × 536 B at sf10), while the vector table itself is only
+    * `N · (8·dim + 24)` bytes — 104 MB at N = 200k, above Spark's
+    * 10 MB auto-broadcast threshold so Catalyst never tries it.
+    * Measured: 182.4s sort-merge vs 23.9s broadcast, identical rows.
+    * The branch is self-sizing from a count (the established sizing-
+    * pass pattern): broadcast while the table fits the ceiling, fall
+    * back to the shuffled re-attach beyond it — at 100 TB (N ≥ 10⁸,
+    * tens of GB of vectors) the re-attach is inherently a shuffle and
+    * the scalar-candidates design keeps it `bands`-independent. 256 MB
+    * stays well inside a production executor heap while covering any
+    * single-node corpus this engine will meet. */
+  private[graft] val ReattachBroadcastMaxBytes: Long = 256L << 20
+
+  /** Estimated serialized bytes of an (id, Array[Double] vector)
+    * re-attach table: 8·dim data + ~24 B of id/offsets per row. */
+  private def vecTableBytes(rows: Long, dim: Int): Long =
+    rows * (8L * dim + 24L)
+
+  /** Wrap a prepared vector table for re-attach: explicit broadcast
+    * when the measured row count says it fits [[ReattachBroadcastMaxBytes]]. */
+  private def reattachSide(vecs: DataFrame, rows: Long, dim: Int): DataFrame =
+    if (vecTableBytes(rows, dim) <= ReattachBroadcastMaxBytes) broadcast(vecs)
+    else vecs
+
   def multibandKnnJoin(
       queries: DataFrame,
       data: DataFrame,
@@ -908,10 +939,14 @@ object VectorSearch {
       else joined
     // OR-dedup while scalar: the shuffle key is the id pair, no payload
     val candidates = nonSelf.select("query_id", "neighbor_id").distinct()
-    val qv = prepareColumn(qSpread, vecCol, metric)
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
-    val dv = prepareColumn(data, vecCol, metric)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__dvec"))
+    // re-attach sizing pass: one count per side (the self path reads it
+    // off the already-materialized index — rows/bands — for free)
+    val nD = if (self) sharedIdx.count() / bands else data.count()
+    val nQ = if (self) nD else queries.count()
+    val qv = reattachSide(prepareColumn(qSpread, vecCol, metric)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec")), nQ, dim)
+    val dv = reattachSide(prepareColumn(data, vecCol, metric)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__dvec")), nD, dim)
     val scored = candidates
       .join(qv, Seq("query_id"))
       .join(dv, Seq("neighbor_id"))
@@ -1041,10 +1076,14 @@ object VectorSearch {
       if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
       else joined
     val candidates = nonSelf.select("query_id", "neighbor_id").distinct()
-    val qv = prepareColumn(qSpread, vecCol, metric)
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
-    val dv = prepareColumn(data, vecCol, metric)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__dvec"))
+    // re-attach sizing pass (the multiband shape): count once per
+    // distinct side, broadcast while the vector table fits the ceiling
+    val nD = data.count()
+    val nQ = if (queries eq data) nD else queries.count()
+    val qv = reattachSide(prepareColumn(qSpread, vecCol, metric)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec")), nQ, dim)
+    val dv = reattachSide(prepareColumn(data, vecCol, metric)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__dvec")), nD, dim)
     val scored = candidates
       .join(qv, Seq("query_id"))
       .join(dv, Seq("neighbor_id"))
