@@ -213,9 +213,13 @@ object Bench {
       // EITHER the original or the substituted name (r9 ADVICE: filtering
       // by the honest substituted row names — q_ann_ivf_scaled,
       // q_knn_join_sampled, … — silently selected nothing because the
-      // filter ran on the pre-substitution names).
+      // filter ran on the pre-substitution names). Matching is EXACT
+      // set membership of the comma-split env names (ADVICE r16 asked
+      // for exactness — `names(x)` is Set#contains, equality-based, so
+      // ONLY=q_ann_lsh_multi_scaled_b4 selects that one row and never a
+      // name-prefix sibling like q_ann_lsh).
       .filter { case (origName, (name, _)) =>
-        only.forall(s => s.contains(origName) || s.contains(name)) }
+        only.forall(names => names(origName) || names(name)) }
       .map(_._2)
 
     // untimed warmup: plan + execute each query once. The per-query

@@ -764,7 +764,7 @@ object Queries {
   /** Greedy merge rounds for the BPE-apply queries — small enough that
     * the oracle's unrolled round CTEs stay readable, large enough that
     * per-language fertility discriminates. */
-  private val BpeMerges = 8
+  private[graft] val BpeMerges = 8
 
   /** DuckDB replay of [[TextOps.bpeLearnMerges]]'s greedy rounds as
     * program-generated CTEs: `bwords` (the (lang, word) stream), `v0`
@@ -1299,7 +1299,7 @@ object Queries {
     * subdomain, casing, TLD, port, path and query string all vary by
     * `doc_id` arithmetic, so [[Web.host]] faces every extraction edge
     * the FineWeb URL-filtering stage faces on real crawl URLs. */
-  private def syntheticUrl(docId: Column, source: Column): Column = concat(
+  private[graft] def syntheticUrl(docId: Column, source: Column): Column = concat(
     when(docId % 3 === 0, lit("https")).otherwise(lit("http")), lit("://"),
     when(docId % 11 === 0, lit("user:pw@")).otherwise(lit("")),
     element_at(array(lit("www."), lit("cdn."), lit(""), lit("a.b.")),
@@ -1381,7 +1381,7 @@ object Queries {
 
   /** The q_url_filter blocklist: two apex domains (subdomains inherit
     * the block) and one exact subdomain host (its siblings survive). */
-  private val BlockedHosts = Seq("src3.org", "src7.net", "cdn.src1.io")
+  private[graft] val BlockedHosts = Seq("src3.org", "src7.net", "cdn.src1.io")
 
   /** Blocklist URL filtering ([[Web.urlFilter]]) — the FineWeb "URL
     * filtering" gate that runs before every text heuristic: drop docs
@@ -1574,7 +1574,11 @@ object Queries {
       .select(col("query_id"), col("neighbor_id"))
     val ann = VectorSearch.multibandKnnJoin(queries, emb, "embedding", "vec_id",
       Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim,
-      bits = RecallBits, bands = RecallBands)
+      bits = RecallBits, bands = RecallBands,
+      // hints: plan-choice only (re-attach broadcast decision); the
+      // query side is ~N/mod by construction of the % filter
+      dataCountHint = Some(embCount(s, dir)),
+      queriesCountHint = Some(math.max(1L, embCount(s, dir) / RecallSampleMod)))
       .select(col("query_id"), col("neighbor_id"))
     val hits = exact.join(ann, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("__h"))
@@ -1636,7 +1640,8 @@ object Queries {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     VectorSearch.multibandKnnJoin(emb, emb, "embedding", "vec_id",
       Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim,
-      bits = LshMultiBits, bands = LshMultiBands)
+      bits = LshMultiBits, bands = LshMultiBands,
+      dataCountHint = Some(embCount(s, dir)))
       .orderBy("query_id", "rank")
   }
 
@@ -1705,7 +1710,8 @@ object Queries {
     VectorSearch.multibandKnnJoin(emb, emb, "embedding", "vec_id",
       Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim,
       bits = LshMultiBits, bands = LshMultiBands,
-      maxBucketFactor = Some(AnnCapFactor))
+      maxBucketFactor = Some(AnnCapFactor),
+      dataCountHint = Some(embCount(s, dir)))
       .orderBy("query_id", "rank")
   }
 
@@ -1782,11 +1788,13 @@ object Queries {
     * exactly the sizing pass a production deployment runs. */
   private def qAnnCappedScaled(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val bits = scaledLshBits(emb.count())
+    val n = embCount(s, dir)
+    val bits = scaledLshBits(n)
     VectorSearch.multibandKnnJoin(emb, emb, "embedding", "vec_id",
       Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim,
       bits = bits, bands = ScaledCapBands,
-      maxBucketFactor = Some(AnnCapFactor))
+      maxBucketFactor = Some(AnnCapFactor),
+      dataCountHint = Some(n))
       .orderBy("query_id", "rank")
   }
 
@@ -1866,7 +1874,7 @@ object Queries {
     * the per-query top-k window carries 24-byte rows, never vectors
     * (the IVF skinny-window precedent). */
   private def qAnnRecallCappedScaled(s: SparkSession, dir: String): DataFrame = {
-    val n = Tables.embeddings(s, dir).count()
+    val n = embCount(s, dir)
     // bands passed EXPLICITLY as ScaledCapBands — the constant the
     // oracle SQL burns in — so the declared row cannot desynchronize
     // from its oracle if LshMultiBands is ever retuned (ADVICE r13)
@@ -1959,7 +1967,7 @@ object Queries {
     * differential bar — serving configs are chosen on measured recall,
     * not cost alone). */
   private def qAnnRecallCappedScaledB4(s: SparkSession, dir: String): DataFrame = {
-    val n = Tables.embeddings(s, dir).count()
+    val n = embCount(s, dir)
     annRecallCappedScaled(s, dir, scaledEvalMod(n), scaledLshBits(n),
       AnnCapFactor, bands = ScaledCapBandsB4)
   }
@@ -1988,7 +1996,9 @@ object Queries {
     val ann = VectorSearch.multibandKnnJoin(queries, emb, "embedding", "vec_id",
       Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim,
       bits = RecallBits, bands = RecallBands,
-      maxBucketFactor = Some(RecallCapFactor))
+      maxBucketFactor = Some(RecallCapFactor),
+      dataCountHint = Some(embCount(s, dir)),
+      queriesCountHint = Some(math.max(1L, embCount(s, dir) / RecallSampleMod)))
       .select(col("query_id"), col("neighbor_id"))
     val hits = exact.join(ann, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("__h"))
@@ -2058,7 +2068,8 @@ object Queries {
   private def qAnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     VectorSearch.multiProbeKnnJoin(emb, emb, "embedding", "vec_id",
-      Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim, bits = 8, flips = 2)
+      Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim, bits = 8, flips = 2,
+      dataCountHint = Some(embCount(s, dir)))
       .orderBy("query_id", "rank")
   }
 
@@ -2130,7 +2141,7 @@ object Queries {
     * identical tie semantics (abs ASC, plane ASC) to the engine's
     * staged first-match argmin. */
   private def qAnnMultiprobeScaled(s: SparkSession, dir: String): DataFrame = {
-    val n = Tables.embeddings(s, dir).count()
+    val n = embCount(s, dir)
     annMultiprobeScaled(s, dir, math.max(2, scaledLshBits(n)))
   }
 
@@ -2201,7 +2212,7 @@ object Queries {
     * corpus vector has no other band), so the config carries its own
     * measured recall certificate: [[qAnnRecallMultiprobeScaled]]. */
   private def qAnnMultiprobeCappedScaled(s: SparkSession, dir: String): DataFrame = {
-    val n = Tables.embeddings(s, dir).count()
+    val n = embCount(s, dir)
     annMultiprobeScaled(s, dir, math.max(2, scaledLshBits(n)),
       capFactor = Some(AnnCapFactor))
   }
@@ -2277,7 +2288,7 @@ object Queries {
     * measures the capped-multiprobe recall at every sf through the
     * hash gate. */
   private def qAnnRecallMultiprobeScaled(s: SparkSession, dir: String): DataFrame = {
-    val n = Tables.embeddings(s, dir).count()
+    val n = embCount(s, dir)
     annRecallMultiprobeScaled(s, dir, scaledEvalMod(n),
       math.max(2, scaledLshBits(n)), AnnCapFactor)
   }
@@ -2452,6 +2463,21 @@ object Queries {
     * with the index (like the [[VectorTable]] sidecar). */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
+
+  /** Memoized `count(embeddings)` per fixture dir (VERDICT r16 #5: the
+    * r16 re-attach branch added 1–2 sizing count() jobs per serving
+    * ANN call, and the ~20 ANN rows each ALSO count the corpus for
+    * bits/cells sizing — at sf0.1 that is pure fixed job overhead
+    * repeated per row). The count is an index-build-time fact a real
+    * deployment stores with the index (the [[centroidCache]]
+    * rationale); keyed by dir + [[fixtureSig]] so an in-place fixture
+    * rewrite re-counts. */
+  private val embCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def embCount(s: SparkSession, dir: String): Long =
+    embCountCache.computeIfAbsent(s"$dir#${fixtureSig(dir)}",
+      _ => Tables.embeddings(s, dir).count())
 
   /** Fixture signature folded into every centroid/codebook cache key
     * (VERDICT r12 #4): the caches memoize per-DIRECTORY index
@@ -2777,7 +2803,7 @@ object Queries {
     * codes, never vectors; the encode stays a per-row projection. */
   private def qPqSearchScaled(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val ksub = scaledPqKsub(emb.count())
+    val ksub = scaledPqKsub(embCount(s, dir))
     val cbs = pqCodebookCache.computeIfAbsent(pqCodebookKey(dir, ksub), _ =>
       VectorSearch.pqCodebooks(emb, "embedding", "vec_id", PqM, ksub, Metric.Cosine))
     VectorSearch.pqSearch(emb, "embedding", "vec_id",
@@ -2900,7 +2926,7 @@ object Queries {
     * IO. */
   private def qIvfPqSearchScaled(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val n = emb.count()
+    val n = embCount(s, dir)
     val c = scaledIvfCells(n)
     val ksub = scaledPqKsub(n)
     val centroids = centroidCache.computeIfAbsent(centroidKey(dir, c),
@@ -2927,7 +2953,7 @@ object Queries {
     * is the ADC scan's, not the corpus's. */
   private def qIvfPqRefineScaled(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val n = emb.count()
+    val n = embCount(s, dir)
     val c = scaledIvfCells(n)
     val ksub = scaledPqKsub(n)
     val centroids = centroidCache.computeIfAbsent(centroidKey(dir, c),
@@ -2962,7 +2988,7 @@ object Queries {
   private def qIvfRefineGateScaled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val c = scaledIvfCells(emb.count())
+    val c = scaledIvfCells(embCount(s, dir))
     val init = centroidCache.computeIfAbsent(centroidKey(dir, c),
       _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", c, Metric.Cosine))
     val refined = VectorSearch.ivfRefineCentroids(emb, "embedding", init,
@@ -3033,7 +3059,7 @@ object Queries {
     * never carries the vector). */
   private def qSemanticDedupScaled(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    semanticDedupScaled(s, dir, scaledIvfCells(emb.count()))
+    semanticDedupScaled(s, dir, scaledIvfCells(embCount(s, dir)))
   }
 
   private val qSemanticDedupScaledSql: String = {
@@ -3146,7 +3172,7 @@ object Queries {
     * broadcast-centroid per-row projection, never a shuffle. */
   private def qAnnIvfScaled(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val c = scaledIvfCells(emb.count())
+    val c = scaledIvfCells(embCount(s, dir))
     val centroids = centroidCache.computeIfAbsent(centroidKey(dir, c),
       _ => VectorSearch.ivfCentroids(emb, "embedding", "vec_id", c, Metric.Cosine))
     VectorSearch.ivfKnnJoin(emb, emb, "embedding", "vec_id", Metric.Cosine,
@@ -3224,7 +3250,8 @@ object Queries {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     VectorSearch.multiProbeKnnJoin(emb, emb, "embedding", "vec_id",
       Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim, bits = bits,
-      flips = flips, maxBucketFactor = capFactor)
+      flips = flips, maxBucketFactor = capFactor,
+      dataCountHint = Some(embCount(s, dir)))
       .orderBy("query_id", "rank")
   }
 
@@ -3234,7 +3261,8 @@ object Queries {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     VectorSearch.multibandKnnJoin(emb, emb, "embedding", "vec_id",
       Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim,
-      bits = bits, bands = bands, maxBucketFactor = capFactor)
+      bits = bits, bands = bands, maxBucketFactor = capFactor,
+      dataCountHint = Some(embCount(s, dir)))
       .orderBy("query_id", "rank")
   }
 
@@ -3264,7 +3292,9 @@ object Queries {
     val ann = VectorSearch.multibandKnnJoin(queries, emb, "embedding", "vec_id",
       Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim,
       bits = bits, bands = bands,
-      maxBucketFactor = Some(capFactor))
+      maxBucketFactor = Some(capFactor),
+      dataCountHint = Some(embCount(s, dir)),
+      queriesCountHint = Some(math.max(1L, embCount(s, dir) / mod)))
       .select(col("query_id"), col("neighbor_id"))
     val hits = exact.join(ann, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("__h"))
@@ -3290,7 +3320,9 @@ object Queries {
       .select(col("query_id"), col("neighbor_id"))
     val ann = VectorSearch.multiProbeKnnJoin(queries, emb, "embedding", "vec_id",
       Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim, bits = bits,
-      flips = flips, maxBucketFactor = Some(capFactor))
+      flips = flips, maxBucketFactor = Some(capFactor),
+      dataCountHint = Some(embCount(s, dir)),
+      queriesCountHint = Some(math.max(1L, embCount(s, dir) / mod)))
       .select(col("query_id"), col("neighbor_id"))
     val hits = exact.join(ann, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("__h"))
@@ -3353,7 +3385,9 @@ object Queries {
       .select(col("query_id"), col("neighbor_id"))
     val ann = VectorSearch.multibandKnnJoin(queries, emb, "embedding", "vec_id",
       Metric.Cosine, k = KnnJoinK, dim = EmbeddingDim,
-      bits = RecallBits, bands = RecallBands)
+      bits = RecallBits, bands = RecallBands,
+      dataCountHint = Some(embCount(s, dir)),
+      queriesCountHint = Some(math.max(1L, embCount(s, dir) / mod)))
       .select(col("query_id"), col("neighbor_id"))
     val hits = exact.join(ann, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("__h"))
@@ -4312,7 +4346,7 @@ object Queries {
     * negatives; `mod` is derived from `count(embeddings)` identically
     * in both engines. */
   private def qContrastivePairsScaled(s: SparkSession, dir: String): DataFrame = {
-    val n = Tables.embeddings(s, dir).count()
+    val n = embCount(s, dir)
     contrastivePairsScaled(s, dir, scaledEvalMod(n))
   }
 
@@ -5094,7 +5128,7 @@ object Queries {
     * form's ~100 GB vector-cartesian). */
   private def qSplitLeakageScaled(s: SparkSession, dir: String): DataFrame =
     splitLeakageScaled(s, dir,
-      scaledIvfCells(Tables.embeddings(s, dir).count()))
+      scaledIvfCells(embCount(s, dir)))
 
   private val qSplitLeakageScaledSql: String = {
     val p = Sketches.MinhashPrime
@@ -6982,8 +7016,8 @@ object Queries {
        |ORDER BY vec_id, pos""".stripMargin
   }
 
-  private val SplitSalt = "exp1"
-  private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private[graft] val SplitSalt = "exp1"
+  private[graft] val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   /** Deterministic train/val/test split (training-pipeline op): assign
     * every document by `md5(salt:id)` bucket — reproducible across runs,

@@ -879,7 +879,13 @@ object VectorSearch {
   private[graft] val ReattachBroadcastMaxBytes: Long = 256L << 20
 
   /** Estimated serialized bytes of an (id, Array[Double] vector)
-    * re-attach table: 8·dim data + ~24 B of id/offsets per row. */
+    * re-attach table: 8·dim data + ~24 B of id/offsets per row. The row
+    * count fed in is allowed to UNDER-count when rows carry null
+    * vectors (posexplode drops them from the index but prepareColumn
+    * keeps them in the re-attach side) — the fixtures have no null
+    * embeddings, a null vector can never score anyway, and the only
+    * consequence of an under-estimate is broadcasting a table slightly
+    * above the ceiling, so the sizing stays count-based. */
   private def vecTableBytes(rows: Long, dim: Int): Long =
     rows * (8L * dim + 24L)
 
@@ -900,7 +906,17 @@ object VectorSearch {
       bits: Int = 8,
       bands: Int = 8,
       excludeSelf: Boolean = true,
-      maxBucketFactor: Option[Double] = None): DataFrame = {
+      maxBucketFactor: Option[Double] = None,
+      // Row-count hints for the re-attach broadcast decision ONLY (plan
+      // choice, never results). Without them this method is EAGER: it
+      // runs a count() job per distinct side at DataFrame-construction
+      // time (re-executing arbitrary caller subtrees in the non-self
+      // path, and incompatible with streaming inputs) — callers that
+      // already know their sizes (every Queries ANN site counts the
+      // corpus for bits sizing anyway) pass them to keep construction
+      // lazy. An estimate is fine: it only gates broadcast-vs-shuffle.
+      dataCountHint: Option[Long] = None,
+      queriesCountHint: Option[Long] = None): DataFrame = {
     // self-knn fast path: when both sides are the same frame, bucket the
     // corpus ONCE and materialize the scalar index (24-byte rows) — the
     // two join sides are differently-named projections, so Catalyst
@@ -939,10 +955,13 @@ object VectorSearch {
       else joined
     // OR-dedup while scalar: the shuffle key is the id pair, no payload
     val candidates = nonSelf.select("query_id", "neighbor_id").distinct()
-    // re-attach sizing pass: one count per side (the self path reads it
-    // off the already-materialized index — rows/bands — for free)
-    val nD = if (self) sharedIdx.count() / bands else data.count()
-    val nQ = if (self) nD else queries.count()
+    // re-attach sizing pass: hints first, else one count per side (the
+    // self path reads it off the already-materialized index —
+    // rows/bands — for free)
+    val nD = dataCountHint.getOrElse(
+      if (self) sharedIdx.count() / bands else data.count())
+    val nQ =
+      if (self) nD else queriesCountHint.getOrElse(queries.count())
     val qv = reattachSide(prepareColumn(qSpread, vecCol, metric)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qvec")), nQ, dim)
     val dv = reattachSide(prepareColumn(data, vecCol, metric)
@@ -1002,7 +1021,12 @@ object VectorSearch {
       bits: Int = 8,
       flips: Int = 2,
       excludeSelf: Boolean = true,
-      maxBucketFactor: Option[Double] = None): DataFrame = {
+      maxBucketFactor: Option[Double] = None,
+      // re-attach sizing hints — see [[multibandKnnJoin]]: estimates
+      // that gate ONLY the broadcast decision; omitting them makes
+      // construction eager (a count() job per distinct side)
+      dataCountHint: Option[Long] = None,
+      queriesCountHint: Option[Long] = None): DataFrame = {
     require(flips == 1 || flips == 2, s"1 or 2 probe flips supported, got $flips")
     val qSpread = Partitioning.spread(queries)
     val diRaw = prepareColumn(data, vecCol, metric)
@@ -1076,10 +1100,11 @@ object VectorSearch {
       if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
       else joined
     val candidates = nonSelf.select("query_id", "neighbor_id").distinct()
-    // re-attach sizing pass (the multiband shape): count once per
-    // distinct side, broadcast while the vector table fits the ceiling
-    val nD = data.count()
-    val nQ = if (queries eq data) nD else queries.count()
+    // re-attach sizing pass (the multiband shape): hints first, else
+    // count once per distinct side; broadcast while the table fits
+    val nD = dataCountHint.getOrElse(data.count())
+    val nQ =
+      if (queries eq data) nD else queriesCountHint.getOrElse(queries.count())
     val qv = reattachSide(prepareColumn(qSpread, vecCol, metric)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qvec")), nQ, dim)
     val dv = reattachSide(prepareColumn(data, vecCol, metric)

@@ -105,16 +105,21 @@ def main():
         cur = json.load(f)
     queries = dict(cur.get("queries", {}))
 
-    prev_q = {}
+    prev_q, prev_modes = {}, {}
     if args.previous:
         with open(args.previous) as f:
             prev = json.load(f)
         prev_q = dict(prev.get("queries", {}))
+        # measurement modes (VERDICT r16 #4): rows without a stamped
+        # mode predate mode bookkeeping -- treat them as sweep singles,
+        # the mode every unadjudicated row actually was
+        prev_modes = dict(prev.get("modes", {}))
         # the previous record's own adjudicated medians ARE its idle
         # numbers -- prefer them if its queries map was left unpatched
         for row, a in prev.get("adjudicated", {}).items():
-            if isinstance(a, dict) and "idle_median" in a:
+            if isinstance(a, dict) and a.get("idle_median") is not None:
                 prev_q[row] = a["idle_median"]
+                prev_modes.setdefault(row, f"idle-median{a.get('runs', 3)}")
 
     suspects, new_rows = [], []
     for row, t in sorted(queries.items()):
@@ -132,6 +137,9 @@ def main():
 
     adjudicated = {}
     in_sweep_raw = {}
+    # per-row measurement mode (VERDICT r16 #4): every row starts as the
+    # sweep's shared-JVM single; adjudicated rows are overwritten below
+    modes = {row: "sweep-single" for row in queries}
     for row, t, prev_t, why in suspects:
         log(f"adjudicating {row}: {why}")
         median, load = rerun_row(row, args.runs, args.idle_max,
@@ -145,13 +153,28 @@ def main():
             continue
         in_sweep_raw[row] = t
         queries[row] = round(median, 3)
-        verdict = ("regression-confirmed" if prev_t is not None and
-                   prev_t >= 0 and
-                   median > args.drift_factor * prev_t + args.drift_abs
-                   else "noise-vanished")
+        modes[row] = f"idle-median{args.runs}"
+        prev_mode = prev_modes.get(row, "sweep-single")
+        if t < 0:
+            # an in-sweep FAILURE that a dedicated re-run then completed
+            # is failure-recovery, not co-load noise (ADVICE r16)
+            verdict = "rerun-recovered"
+        elif (prev_t is not None and prev_t >= 0 and
+                median > args.drift_factor * prev_t + args.drift_abs):
+            # a regression is CONFIRMED only like-to-like (VERDICT r16
+            # #4): our idle median vs a previous idle median. Against a
+            # previous shared-JVM sweep single the comparison is
+            # apples-to-oranges (JIT-warmup-sensitive rows measure
+            # SLOWER fresh than warm), so the verdict says so.
+            verdict = ("regression-confirmed"
+                       if prev_mode.startswith("idle-median")
+                       else "regression-vs-sweep-single")
+        else:
+            verdict = "noise-vanished"
         adjudicated[row] = {"in_sweep": t, "idle_median": round(median, 3),
                             "runs": args.runs, "load_avg": round(load, 2),
-                            "reason": why, "verdict": verdict}
+                            "reason": why, "prev_mode": prev_mode,
+                            "verdict": verdict}
         log(f"  {row}: in-sweep {t}s -> idle median {median:.3f}s "
             f"({verdict})")
 
@@ -168,6 +191,7 @@ def main():
             "`in_sweep_raw`); total is recomputed from the patched map"),
         "adjudicated": adjudicated,
         "in_sweep_raw": in_sweep_raw,
+        "modes": modes,
         "new_rows": new_rows,
         "previous_record": args.previous,
         "load_avg": cur.get("load_avg"),

@@ -19,7 +19,20 @@ cd "$(dirname "$0")/.."
 OUT="${1:?usage: tools/sweep.sh <out.json> [prev_record.json]}"
 PREV="${2:-}"
 
-# --- 1. disk hygiene -------------------------------------------------
+# --- 1. idle gate -----------------------------------------------------
+# Runs BEFORE the scratch purge (ADVICE r16): if another Spark job is
+# still live — exactly what this gate detects — purging first would rip
+# its shuffle/block-manager dirs out from under it and fail that job
+# even though the sweep aborts anyway.
+IDLE_MAX="${SWEEP_IDLE_MAX:-4.0}"
+load="$(cut -d' ' -f1 /proc/loadavg)"
+if ! awk -v l="$load" -v m="$IDLE_MAX" 'BEGIN{exit !(l <= m)}'; then
+  echo "[sweep] ABORT: load_avg $load > $IDLE_MAX (MIGRATION idle rule)" >&2
+  exit 1
+fi
+echo "[sweep] idle ok (load_avg $load <= $IDLE_MAX)" >&2
+
+# --- 2. disk hygiene -------------------------------------------------
 rm -rf /tmp/blockmgr-* /tmp/spark-* target/tmp/* target/verify_* 2>/dev/null || true
 MIN_FREE_GB="${SWEEP_MIN_FREE_GB:-40}"
 for d in /tmp target; do
@@ -30,15 +43,6 @@ for d in /tmp target; do
   fi
   echo "[sweep] $d: ${free_gb}G free (>= ${MIN_FREE_GB}G ok)" >&2
 done
-
-# --- 2. idle gate -----------------------------------------------------
-IDLE_MAX="${SWEEP_IDLE_MAX:-4.0}"
-load="$(cut -d' ' -f1 /proc/loadavg)"
-if ! awk -v l="$load" -v m="$IDLE_MAX" 'BEGIN{exit !(l <= m)}'; then
-  echo "[sweep] ABORT: load_avg $load > $IDLE_MAX (MIGRATION idle rule)" >&2
-  exit 1
-fi
-echo "[sweep] idle ok (load_avg $load <= $IDLE_MAX)" >&2
 
 # --- 3. timed sweep ---------------------------------------------------
 ts="$(date +%Y%m%d_%H%M%S)"
