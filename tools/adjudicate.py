@@ -138,8 +138,12 @@ def main():
     adjudicated = {}
     in_sweep_raw = {}
     # per-row measurement mode (VERDICT r16 #4): every row starts as the
-    # sweep's shared-JVM single; adjudicated rows are overwritten below
-    modes = {row: "sweep-single" for row in queries}
+    # sweep's own shared-JVM mode (single run or median-of-N, read off
+    # the bench record's `runs`); adjudicated rows are overwritten below
+    sweep_runs = cur.get("runs", 1)
+    sweep_mode = ("sweep-single" if sweep_runs == 1
+                  else f"sweep-median{sweep_runs}")
+    modes = {row: sweep_mode for row in queries}
     for row, t, prev_t, why in suspects:
         log(f"adjudicating {row}: {why}")
         median, load = rerun_row(row, args.runs, args.idle_max,
