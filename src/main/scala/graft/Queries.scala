@@ -1431,9 +1431,19 @@ object Queries {
       "doc_id", "text", k = ShingleK, m = MinhashM, bands = MinhashBands)
     val n = Tables.embeddings(s, dir)
       .select(col("vec_id"), VF.l2Normalize(col("embedding")).as("nemb"))
+    // The verify stage is the SERVING re-attach shape (MIGRATION "LSH
+    // serving joins"): candidates are 24-byte scalar id pairs; a default
+    // join would sort-merge them against the vector table — exchanging
+    // the CANDIDATE volume by a_id and then again, vector attached
+    // (~25M pairs × 536 B at sf10), by b_id. Broadcast each prepared
+    // (id, vector) side while it fits the same 256 MB ceiling the
+    // multiband joins use; above it the shuffled form returns, and the
+    // candidate stage still never shuffles embeddings.
+    val reattach = VectorSearch.reattachSide(_: DataFrame,
+      embCount(s, dir), EmbeddingDim)
     cand
-      .join(n.select(col("vec_id").as("a_id"), col("nemb").as("a_emb")), "a_id")
-      .join(n.select(col("vec_id").as("b_id"), col("nemb").as("b_emb")), "b_id")
+      .join(reattach(n.select(col("vec_id").as("a_id"), col("nemb").as("a_emb"))), "a_id")
+      .join(reattach(n.select(col("vec_id").as("b_id"), col("nemb").as("b_emb"))), "b_id")
       .withColumn("score", VF.dot(col("a_emb"), col("b_emb")))
       .select("a_id", "b_id", "n_bands", "score")
       .orderBy("a_id", "b_id")

@@ -891,7 +891,7 @@ object VectorSearch {
 
   /** Wrap a prepared vector table for re-attach: explicit broadcast
     * when the measured row count says it fits [[ReattachBroadcastMaxBytes]]. */
-  private def reattachSide(vecs: DataFrame, rows: Long, dim: Int): DataFrame =
+  private[graft] def reattachSide(vecs: DataFrame, rows: Long, dim: Int): DataFrame =
     if (vecTableBytes(rows, dim) <= ReattachBroadcastMaxBytes) broadcast(vecs)
     else vecs
 

@@ -341,4 +341,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"shuffle join in the DSIR scoring path:\n$p")
   }
+
+  test("q_neardup_pairs: the embedding re-attach broadcasts under the ceiling (r17)") {
+    val p = planOf("q_neardup_pairs")
+    // verify-stage shape (MIGRATION "LSH serving joins"): candidate id
+    // pairs stream past broadcast (id, vector) hash tables — a
+    // sort-merge re-attach would exchange the CANDIDATE volume with a
+    // vector column riding every row
+    assert(p.contains("BroadcastHashJoin"), s"re-attach no longer broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"candidates sort-merge-joined against the vector table:\n$p")
+  }
+
+  test("reattachSide: broadcasts while the table fits the ceiling, not above it") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val vecs = spark.range(4).selectExpr("id", "array(0.1d, 0.2d) as v")
+    val under = operators.VectorSearch.reattachSide(vecs, rows = 4, dim = 2)
+    val overCeiling = operators.VectorSearch.reattachSide(
+      vecs, rows = Long.MaxValue / 1024, dim = 2)
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.logical.collect { case h: ResolvedHint => h }.nonEmpty ||
+        df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.nonEmpty
+    assert(hinted(under), "under-ceiling re-attach side not broadcast-hinted")
+    assert(!hinted(overCeiling),
+      "over-ceiling re-attach side must stay shuffled (executor memory)")
+  }
 }
