@@ -3744,6 +3744,13 @@ object Queries {
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     Sketches.fingerprint(Tables.documents(s, dir), "doc_id", "text",
       WinnowK, WinnowW)
+      // The r17 in-array winnowing form has NO exchange between the
+      // md5 chain and this ORDER BY, so the range partitioner's sample
+      // pass would re-run the whole chain (pre-r17 it re-read the
+      // distinct's shuffle files instead). Materialize the 24-byte
+      // sketch rows once — in-query, recomputed every run, the
+      // minhashCandidates precedent.
+      .localCheckpoint()
       .orderBy("doc_id", "fp_pos")
 
   private val qFingerprintSql: String = {

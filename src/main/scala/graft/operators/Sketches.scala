@@ -210,33 +210,42 @@ object Sketches {
     * included (deterministic, mirrored in the oracle).
     *
     * Engine shape: the min-with-rightmost-tie-break rides ONE packed
-    * BIGINT — `hm·2²⁰ + (2²⁰−1−pos)` — so a plain `min` window frame
-    * (PARTITION BY doc ORDER BY pos ROWS w−1 FOLLOWING) computes it in
-    * any SQL engine; one shuffle by doc id, per-row O(w) frame scan.
+    * BIGINT — `hm·2²⁰ + (2²⁰−1−pos)` — and since r17 the sliding min is
+    * computed INSIDE the document's own array domain (every gram of a
+    * doc is born colocated and in position order from one text cell, so
+    * a `Window(PARTITION BY doc ORDER BY pos)` would exchange and sort
+    * the full gram volume only to re-establish an order the array
+    * already has — guide §2.4, remove the shuffle outright):
+    * `transform` packs the positioned gram hashes, a second `transform`
+    * takes `array_min(slice(...))` per window (the same per-row O(w)
+    * scan the window frame did), and `array_distinct` dedups per doc —
+    * which IS the global distinct, because `key ↔ (fp_hash, fp_pos)` is
+    * a bijection and fingerprints never cross documents. ZERO exchanges
+    * where the r1–r16 shape had two (window hash + distinct hash); the
+    * oracle mirrors the window form of the same math.
     * Output: (idCol, fp_pos, fp_hash) distinct, the winnowed sketch. */
   def fingerprint(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 8): DataFrame = {
     val text = col(textCol)
-    val grams = Partitioning.spread(docs).select(
-      col(idCol),
-      posexplode(transform(
-        sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-        i => text.substr(i, lit(k)))).as(Seq("pos0", "gram")))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy("pos")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
-    grams
-      .withColumn("pos", (col("pos0") + 1).cast("long"))
-      .withColumn("hm", shingleHash(col("gram")))
-      .withColumn("key",
-        min(col("hm") * WinnowPosRange + (lit(WinnowPosRange - 1) - col("pos")))
-          .over(win))
+    // hm_i·R + (R−1−i) for 1-based gram position i — one md5 per
+    // positioned gram, exactly the window form's hash count
+    val hmk = transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => shingleHash(text.substr(i, lit(k))) * WinnowPosRange
+        + (lit(WinnowPosRange - 1) - i.cast("long")))
+    Partitioning.spread(docs)
+      // two selects: materialize the packed-hash array once, then the
+      // sliding-min transform references the BOUND column — inlining it
+      // would re-evaluate the md5 chain per window
+      .select(col(idCol), hmk.as("__hmk"))
+      .select(col(idCol), explode(array_distinct(transform(
+        sequence(lit(1), size(col("__hmk"))),
+        i => array_min(slice(col("__hmk"), i, lit(w)))))).as("key"))
       .select(col(idCol),
         (col("key") / WinnowPosRange).cast("long").as("fp_hash"),
         (lit(WinnowPosRange - 1) - pmod(col("key"), lit(WinnowPosRange)))
           .cast("long").as("fp_pos"))
-      .distinct()
   }
 
   /** SimHash (32-bit) over whitespace tokens: bit b of the sketch is the
