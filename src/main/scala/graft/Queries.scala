@@ -3427,9 +3427,11 @@ object Queries {
 
   // ------------------------------------------------------------ sketches ---
 
-  private val ShingleK = 8
-  private val MinhashM = 16
-  private val MinhashBands = 4
+  // private[graft]: SaltDiag replays the band build at scale with the
+  // declared constants for its salted-vs-naive differential
+  private[graft] val ShingleK = 8
+  private[graft] val MinhashM = 16
+  private[graft] val MinhashBands = 4
 
   /** Oracle CTE `mh(doc_id, mh_0..mh_15)` mirroring
     * [[Sketches.minhashSignature]]: one md5 per shingle, first 15 hex
@@ -3749,8 +3751,11 @@ object Queries {
       // pass would re-run the whole chain (pre-r17 it re-read the
       // distinct's shuffle files instead). Materialize the 24-byte
       // sketch rows once — in-query, recomputed every run, the
-      // minhashCandidates precedent.
-      .localCheckpoint()
+      // minhashCandidates precedent. eager=false (ADVICE r17): merely
+      // CONSTRUCTING/explaining this frame (plan dumps, the all-queries
+      // plan sweep in tests) must not execute the full winnowing job;
+      // the checkpoint materializes when the query actually runs.
+      .localCheckpoint(eager = false)
       .orderBy("doc_id", "fp_pos")
 
   private val qFingerprintSql: String = {
@@ -4587,25 +4592,36 @@ object Queries {
       .localCheckpoint()
     val allBands = Sketches.minhashBands(sig, "doc_id", MinhashBands,
       MinhashM / MinhashBands, carry = Seq("n_shingles"))
-    val bk = maxBucket.fold(allBands) { cap =>
-      val bucketSize = org.apache.spark.sql.expressions.Window
-        .partitionBy("band", "band_key")
-      allBands.withColumn("__bsz", count(lit(1)).over(bucketSize))
-        .filter(col("__bsz") <= cap)
-        .drop("__bsz")
-    }
-    val a = bk.select(col("doc_id").as("a_id"), col("band"), col("band_key"),
-      col("n_shingles").as("na"))
-    val b = bk.select(col("doc_id").as("b_id"), col("band"), col("band_key"),
-      col("n_shingles").as("nb"))
     // cand feeds BOTH the semi-join prune and the final intersection join;
     // sh feeds both sides of the self-intersection. Materialize each once
     // (collision-bounded, small) or the band join / shingle explode runs
     // twice per consumer — the plan-dedup analog of staging the candidate
     // table between pipeline steps at real scale.
-    val cand = a.join(b, Seq("band", "band_key"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "na", "nb")
+    //
+    // UNCAPPED pair generation goes through Sketches.bandSelfPairs so a
+    // pathological clique bucket skew-splits across salted grid cells
+    // (identical pair multiset — see its scaladoc); the CAPPED path keeps
+    // the plain self-join, whose buckets are ≤ cap by construction.
+    val pairs = maxBucket match {
+      case None =>
+        Sketches.bandSelfPairs(allBands, "doc_id", carry = Seq("n_shingles"))
+          .select(col("a_id"), col("b_id"),
+            col("a_n_shingles").as("na"), col("b_n_shingles").as("nb"))
+      case Some(cap) =>
+        val bucketSize = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "band_key")
+        val bk = allBands.withColumn("__bsz", count(lit(1)).over(bucketSize))
+          .filter(col("__bsz") <= cap)
+          .drop("__bsz")
+        val a = bk.select(col("doc_id").as("a_id"), col("band"), col("band_key"),
+          col("n_shingles").as("na"))
+        val b = bk.select(col("doc_id").as("b_id"), col("band"), col("band_key"),
+          col("n_shingles").as("nb"))
+        a.join(b, Seq("band", "band_key"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id", "na", "nb")
+    }
+    val cand = pairs
       .distinct()
       .localCheckpoint()
     // exact intersection only needs the CANDIDATE docs' shingles — a

@@ -22,6 +22,15 @@ object StreamDiag {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       case other => System.err.println(s"[diag] unknown provider '$other', using default")
     }
+    // A/B knob #2 (VERDICT r17 #4): SPARK_GRAFT_JOIN_STATE_FORMAT=1|2|3
+    // swaps the stream-stream join STATE FORMAT (1 = legacy two-store
+    // layout, 2 = default KeyWithIndexToValue layout, 3 = single store
+    // with virtual column families — RocksDB only), so the state-
+    // insertion bottleneck can be attributed between provider and
+    // format. Diagnosis-only: the declared query keeps Spark's default.
+    sys.env.get("SPARK_GRAFT_JOIN_STATE_FORMAT").foreach { v =>
+      builder.config("spark.sql.streaming.join.stateFormatVersion", v)
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {

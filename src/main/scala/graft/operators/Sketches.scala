@@ -102,10 +102,90 @@ object Sketches {
         :+ col("bk.band_key").as("band_key"): _*)
   }
 
+  /** Hot-bucket threshold AND salted sub-group size for the UNCAPPED
+    * band self-join ([[bandSelfPairs]]). 1024 rows ≙ ~0.5M generated
+    * pairs per grid cell — far below a task's memory but big enough
+    * that the fixtures' organic buckets (≤ ~64 at sf0.1) never salt and
+    * the salted machinery only engages on genuinely pathological
+    * cliques (the sf10 fixture grows multi-thousand-id boilerplate
+    * buckets whose single-task pair generation was the top sweep row).
+    * Scale-adaptive by construction: the threshold is a bucket ROW
+    * count, never a core count. */
+  private[graft] val SaltBucketRows = 1024L
+
+  /** Self-join of a banded key table, emitting each unordered id pair
+    * exactly once per shared (band, band_key) — the pair-generation
+    * stage of every uncapped near-dup candidate query — with hot
+    * buckets SKEW-SPLIT (guide §2.5: AQE's skew-join splitter keys on
+    * shuffle-input bytes and cannot split one giant key, but a clique
+    * bucket's cost is its QUADRATIC output, invisible to AQE — a
+    * 6400-id bucket is ~300 KB of input and ~20M generated pairs in a
+    * single task).
+    *
+    * Mechanism (triangle grid): every id gets a deterministic salt
+    * `s = xxhash64(id) mod G` where `G = ceil(bucket_size / S)` (1 for
+    * buckets ≤ S, so cold buckets reduce to the plain self-join). The
+    * G×G pair grid's upper triangle is enumerated as cells (i ≤ j);
+    * a row salted `s` replicates as the LEFT side of cells (s, j≥s) and
+    * the RIGHT side of cells (i≤s, s) — G+1 copies, negligible next to
+    * the G² cells' quadratic output — and the join key becomes
+    * (band, band_key, i, j), so one clique bucket's pair generation
+    * hash-spreads over G(G+1)/2 independent shuffle cells. Diagonal
+    * cells keep `a < b`; off-diagonal cells are disjoint groups (all
+    * pairs, ordered by least/greatest on output). Each unordered pair
+    * lands in exactly one cell — (min(s_a,s_b), max(s_a,s_b)) — so the
+    * emitted multiset is IDENTICAL to the naive `a < b` self-join
+    * (SketchesSpec pins the equality on a skewed fixture), and the
+    * salt never reaches the output: results are bit-for-bit those of
+    * the unsalted plan, oracle unchanged.
+    *
+    * `carry` columns ride both sides and come back aligned to the
+    * ordered ids as `a_<c>` / `b_<c>`. Bucket sizes come from one
+    * aggregation over the 16-byte band keys plus a broadcast of the
+    * (tiny) hot-bucket list — never a corpus exchange. */
+  private[graft] def bandSelfPairs(
+      bk: DataFrame, idCol: String, carry: Seq[String] = Nil): DataFrame = {
+    // lazy checkpoint: the hot list (a handful of rows) feeds BOTH join
+    // sides' broadcast — without it each side re-runs the bucket-size
+    // aggregation over the full band table (the plan showed the
+    // HashAggregate+Exchange subtree twice)
+    val hot = bk.groupBy("band", "band_key").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > SaltBucketRows)
+      .localCheckpoint(eager = false)
+    val salted = bk.join(broadcast(hot), Seq("band", "band_key"), "left")
+      .withColumn("__g", coalesce(
+        ((col("__n") + lit(SaltBucketRows - 1L)) / lit(SaltBucketRows))
+          .cast("int"), lit(1)))
+      .withColumn("__s", pmod(xxhash64(col(idCol)), col("__g")).cast("int"))
+    val aSide = salted.select(
+      col(idCol).as("__a") +: carry.map(c => col(c).as(s"__a_$c")) :+
+        col("band") :+ col("band_key") :+ col("__s").as("__i") :+
+        explode(sequence(col("__s"), col("__g") - 1)).as("__j"): _*)
+    val bSide = salted.select(
+      col(idCol).as("__b") +: carry.map(c => col(c).as(s"__b_$c")) :+
+        col("band") :+ col("band_key") :+
+        explode(sequence(lit(0), col("__s"))).as("__i") :+
+        col("__s").as("__j"): _*)
+    val joined = aSide.join(bSide, Seq("band", "band_key", "__i", "__j"))
+      .filter(col("__i") =!= col("__j") || col("__a") < col("__b"))
+    val ordered = col("__a") < col("__b")
+    val outCols =
+      when(ordered, col("__a")).otherwise(col("__b")).as("a_id") +:
+        when(ordered, col("__b")).otherwise(col("__a")).as("b_id") +:
+        carry.flatMap(c => Seq(
+          when(ordered, col(s"__a_$c")).otherwise(col(s"__b_$c")).as(s"a_$c"),
+          when(ordered, col(s"__b_$c")).otherwise(col(s"__a_$c")).as(s"b_$c")))
+    joined.select(outCols: _*)
+  }
+
   /** Candidate near-dup pairs: ids sharing ≥1 minhash band, with the
     * number of shared bands. The equi-join on (band, band_key) is the
     * scale path — only hash keys shuffle, and the pair set is bounded by
-    * actual collisions, never N². */
+    * actual collisions, never N². Pair generation runs through
+    * [[bandSelfPairs]], so pathological clique buckets skew-split
+    * instead of serializing one task (the capped twin
+    * [[minhashCandidatesCapped]] bounds buckets by construction and
+    * keeps the plain join). */
   def minhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, m: Int = 16, bands: Int = 4): DataFrame = {
@@ -116,10 +196,7 @@ object Sketches {
     // persisting the signature table as a pipeline stage at real scale.
     val sig = minhashSignature(docs, idCol, textCol, k, m).localCheckpoint()
     val bk = minhashBands(sig, idCol, bands, m / bands)
-    val a = bk.select(col(idCol).as("a_id"), col("band"), col("band_key"))
-    val b = bk.select(col(idCol).as("b_id"), col("band"), col("band_key"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("a_id") < col("b_id"))
+    bandSelfPairs(bk, idCol)
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_bands"))
   }
@@ -234,6 +311,24 @@ object Sketches {
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => shingleHash(text.substr(i, lit(k))) * WinnowPosRange
         + (lit(WinnowPosRange - 1) - i.cast("long")))
+    // Per-doc memory bound (ADVICE r17): the whole document's sketch
+    // evaluates in ONE projection row — the packed-hash array, the n
+    // sliding-min results, and the array_distinct output are three
+    // transient O(n_grams) arrays with no spill path. WinnowPosRange
+    // already caps positions at 2²⁰ grams ≙ ~8 MB per array — a 1M-char
+    // document peaks around 24 MB of row-transient buffers, fine for a
+    // task; feed multi-GB blobs through a chunking pass first.
+    //
+    // Sliding min as a LEAST chain over w direct lookups rather than
+    // array_min(slice(...)): slice allocates a w-element array per gram
+    // (r17's "not yet optimized #6"); try_element_at returns null past
+    // the array end — exactly the window frame's clamp — and least
+    // ignores nulls, so the semantics are bit-identical (the w ≥ 1
+    // offset-0 element is always present). Measured at sf10 (r18,
+    // dedicated idle medians): 32.7s → 17.8s on q_fingerprint — the
+    // per-gram array allocation was ~half the sketch's runtime.
+    def slidingMin(i: Column): Column =
+      least((0 until w).map(o => try_element_at(col("__hmk"), i + lit(o))): _*)
     Partitioning.spread(docs)
       // two selects: materialize the packed-hash array once, then the
       // sliding-min transform references the BOUND column — inlining it
@@ -241,7 +336,7 @@ object Sketches {
       .select(col(idCol), hmk.as("__hmk"))
       .select(col(idCol), explode(array_distinct(transform(
         sequence(lit(1), size(col("__hmk"))),
-        i => array_min(slice(col("__hmk"), i, lit(w)))))).as("key"))
+        i => slidingMin(i)))).as("key"))
       .select(col(idCol),
         (col("key") / WinnowPosRange).cast("long").as("fp_hash"),
         (lit(WinnowPosRange - 1) - pmod(col("key"), lit(WinnowPosRange)))

@@ -875,7 +875,15 @@ object VectorSearch {
     * tens of GB of vectors) the re-attach is inherently a shuffle and
     * the scalar-candidates design keeps it `bands`-independent. 256 MB
     * stays well inside a production executor heap while covering any
-    * single-node corpus this engine will meet. */
+    * single-node corpus this engine will meet.
+    *
+    * This is the TOTAL broadcast budget of a serving join, not a
+    * per-side gate (ADVICE r17): every re-attach site broadcasts TWO
+    * prepared (id, vector) relations — query side + neighbor side, or
+    * a_emb + b_emb in the near-dup verify — so [[reattachSide]] gates
+    * each side against HALF this ceiling, pinning at most 256 MB of
+    * broadcast relations per executor however many sides a join
+    * attaches. */
   private[graft] val ReattachBroadcastMaxBytes: Long = 256L << 20
 
   /** Estimated serialized bytes of an (id, Array[Double] vector)
@@ -890,9 +898,13 @@ object VectorSearch {
     rows * (8L * dim + 24L)
 
   /** Wrap a prepared vector table for re-attach: explicit broadcast
-    * when the measured row count says it fits [[ReattachBroadcastMaxBytes]]. */
+    * when the measured row count says it fits HALF of
+    * [[ReattachBroadcastMaxBytes]] — every serving join attaches two
+    * sides, so the per-side gate is ceiling/2 (see the ceiling's
+    * scaladoc). The sf10 fixture's 104 MB table still broadcasts
+    * (< 128 MB); plan choice on every gated fixture is unchanged. */
   private[graft] def reattachSide(vecs: DataFrame, rows: Long, dim: Int): DataFrame =
-    if (vecTableBytes(rows, dim) <= ReattachBroadcastMaxBytes) broadcast(vecs)
+    if (vecTableBytes(rows, dim) <= ReattachBroadcastMaxBytes / 2) broadcast(vecs)
     else vecs
 
   def multibandKnnJoin(
@@ -1094,12 +1106,25 @@ object VectorSearch {
       if (flips == 1) array(col("__bucket"), col("__bucket").bitwiseXOR(col("__bv1")))
       else array(col("__bucket"), col("__bucket").bitwiseXOR(col("__bv1")),
         col("__bucket").bitwiseXOR(col("__bv2")))
-    val qi = s5.select(col("query_id"), explode(probes).as("bucket"))
+    // array_distinct: the flip probes are distinct single-bit XORs of the
+    // home bucket, so for any non-degenerate vector the probe list is
+    // already duplicate-free; the per-row dedup only guards degenerate
+    // rows (a null/zero vector makes every margin comparison fall to the
+    // 0 branch and all probes collapse to bucket 0) at O(flips) cost.
+    val qi = s5.select(col("query_id"), explode(array_distinct(probes)).as("bucket"))
     val joined = qi.join(di, Seq("bucket"))
     val nonSelf =
       if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
       else joined
-    val candidates = nonSelf.select("query_id", "neighbor_id").distinct()
+    // No OR-dedup needed, unlike multibandKnnJoin: the single-band index
+    // holds each neighbor in exactly ONE bucket and a query's probe
+    // buckets are pairwise distinct (home ≠ home^bv1 ≠ home^bv2 — bv1 and
+    // bv2 are distinct nonzero single bits; degenerate rows are deduped
+    // by the array_distinct above), so (query_id, neighbor_id) pairs are
+    // unique BY CONSTRUCTION and the old `.distinct()` was a full
+    // exchange + two hash aggregates over the candidate volume for
+    // nothing (guide §2.4: a distinct on data that is already unique).
+    val candidates = nonSelf.select("query_id", "neighbor_id")
     // re-attach sizing pass (the multiband shape): hints first, else
     // count once per distinct side; broadcast while the table fits
     val nD = dataCountHint.getOrElse(data.count())

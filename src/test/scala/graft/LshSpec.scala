@@ -120,6 +120,24 @@ class LshSpec extends SparkSpec {
       f"recall not monotone in probes: sp=${r(sp)}%.3f f1=${r(f1)}%.3f f2=${r(f2)}%.3f")
   }
 
+  test("multi-probe emits each (query, neighbor) candidate at most once " +
+      "— no OR-dedup distinct needed, even for degenerate vectors") {
+    // r18: multiProbeKnnJoin dropped its candidate `.distinct()` because
+    // the single-band index holds each neighbor in exactly one bucket and
+    // a query's probe buckets are pairwise distinct. A zero vector is the
+    // degenerate case (every margin comparison falls to the 0 branch, all
+    // probes collapse to bucket 0) — array_distinct must dedup its probes
+    // so no candidate pair ranks twice.
+    import spark.implicits._
+    val degenerate = Seq((900001L, Array.fill(Dim)(0.0))).toDF("vec_id", "embedding")
+    val withZero = emb.union(degenerate)
+    val out = VectorSearch.multiProbeKnnJoin(withZero, withZero, "embedding",
+      "vec_id", Metric.Cosine, k = K, dim = Dim, bits = 4, flips = 2)
+    val dup = out.groupBy("query_id", "neighbor_id")
+      .count().filter(col("count") > 1).count()
+    assert(dup == 0, s"$dup duplicated (query, neighbor) rows in multiprobe top-k")
+  }
+
   test("multiband: band 0 reproduces the single-band bucketing") {
     val a = emb.select(col("vec_id"),
       VectorSearch.lshBucket(col("embedding"), Dim, 8).as("b")).collect()

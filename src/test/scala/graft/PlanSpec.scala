@@ -347,10 +347,21 @@ class PlanSpec extends SparkSpec {
     // verify-stage shape (MIGRATION "LSH serving joins"): candidate id
     // pairs stream past broadcast (id, vector) hash tables — a
     // sort-merge re-attach would exchange the CANDIDATE volume with a
-    // vector column riding every row
+    // vector column riding every row. Scoped to the RE-ATTACH joins
+    // (ADVICE r17: a plan-wide !SortMergeJoin only held because sf0.001
+    // stats broadcast the band self-join too — which r18's salted
+    // skew-split legitimately plans as SMJ): no SMJ section may join on
+    // the re-attach keys a_id / b_id.
     assert(p.contains("BroadcastHashJoin"), s"re-attach no longer broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"candidates sort-merge-joined against the vector table:\n$p")
+    // formatted-mode SMJ details print their equi-keys as
+    // "Left/Right keys [n]: [col#id, ...]" — a sort-merge re-attach
+    // would list a_id/b_id there
+    val smjBlocks = p.split(raw"\(\d+\) ").filter(_.startsWith("SortMergeJoin"))
+    val onReattachKeys = smjBlocks.filter(b =>
+      raw"keys \[\d+\]: \[(a_id|b_id)#".r.findFirstIn(b).isDefined)
+    assert(onReattachKeys.isEmpty,
+      s"candidates sort-merge-joined against the vector table:\n" +
+        s"${onReattachKeys.mkString("\n---\n")}")
   }
 
   test("reattachSide: broadcasts while the table fits the ceiling, not above it") {

@@ -57,6 +57,38 @@ class SketchesSpec extends SparkSpec {
     assert(wide == uncapped, "permissive cap must be a no-op")
   }
 
+  test("bandSelfPairs skew-split emits exactly the naive self-join multiset " +
+      "(hot bucket above SaltBucketRows, carry columns aligned)") {
+    // synthetic band-key table: one HOT bucket (1100 ids > SaltBucketRows
+    // = 1024 → G = 2, exercising a diagonal cell AND an off-diagonal
+    // cell), two organic buckets, and a second band re-bucketing the hot
+    // ids so some pairs share 2 bands (multiplicity must survive).
+    val hot = (0L until 1100L).map(i => (i, 0, "hot"))
+    val organic = Seq((1L, 1, "x"), (2L, 1, "x"), (3L, 1, "x"),
+      (200L, 1, "y"), (201L, 1, "y"))
+    val second = (0L until 64L).map(i => (i, 1, "z"))
+    val bk = (hot ++ organic ++ second)
+      .toDF("doc_id", "band", "band_key")
+      // carry column derived from the id so swaps are detectable
+      .withColumn("n_shingles", col("doc_id") * 10 + 7)
+    def counted(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("a_id", "b_id").agg(count(lit(1)).as("n"))
+    val naive = counted(
+      bk.select(col("doc_id").as("a_id"), col("band"), col("band_key"))
+        .join(bk.select(col("doc_id").as("b_id"), col("band"), col("band_key")),
+          Seq("band", "band_key"))
+        .filter(col("a_id") < col("b_id")))
+    val salted = Sketches.bandSelfPairs(bk, "doc_id", carry = Seq("n_shingles"))
+    // multiset equality of (a_id, b_id) with per-pair band counts
+    val saltedCounted = counted(salted)
+    assert(naive.except(saltedCounted).isEmpty && saltedCounted.except(naive).isEmpty,
+      "salted pair multiset differs from the naive self-join")
+    // ordering and carry alignment: a < b always, carries follow their id
+    assert(salted.filter(col("a_id") >= col("b_id")).count() == 0)
+    assert(salted.filter(col("a_n_shingles") =!= col("a_id") * 10 + 7).count() == 0)
+    assert(salted.filter(col("b_n_shingles") =!= col("b_id") * 10 + 7).count() == 0)
+  }
+
   test("minhash signature is invariant to shingle order/partitioning") {
     val s1 = Sketches.minhashSignature(corpus, "doc_id", "text", 8, 16)
       .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
