@@ -28,6 +28,50 @@ object SaltDiag {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Spill profile (VERDICT r17 #6): per-job-description totals of
+    // task time, spill, shuffle, and the max/median task-time skew of
+    // the heaviest stage — printed as SPILL lines at exit.
+    import org.apache.spark.scheduler._
+    import scala.collection.mutable
+    val jobOfStage = mutable.Map.empty[Int, String]
+    case class Acc(var taskMs: Long = 0, var memSpill: Long = 0,
+      var diskSpill: Long = 0, var shufWrite: Long = 0,
+      var stageMax: mutable.Map[Int, (Long, mutable.ArrayBuffer[Long])] =
+        mutable.Map.empty)
+    val accs = mutable.LinkedHashMap.empty[String, Acc]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("unlabeled")
+        j.stageIds.foreach(s => jobOfStage(s) = desc)
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+        val desc = jobOfStage.getOrElse(t.stageId, "unlabeled")
+        val a = accs.getOrElseUpdate(desc, Acc())
+        val m = t.taskMetrics
+        if (m != null) {
+          a.taskMs += m.executorRunTime
+          a.memSpill += m.memoryBytesSpilled
+          a.diskSpill += m.diskBytesSpilled
+          a.shufWrite += m.shuffleWriteMetrics.bytesWritten
+          val (_, buf) = a.stageMax.getOrElseUpdate(t.stageId,
+            (0L, mutable.ArrayBuffer.empty[Long]))
+          buf += m.executorRunTime
+        }
+      }
+    })
+    def report(): Unit = accs.foreach { case (desc, a) =>
+      val worst = a.stageMax.values.map(_._2).filter(_.nonEmpty)
+        .maxByOption(_.sum)
+      val skew = worst.map { b =>
+        val s = b.sorted; f"max/med=${s.last.toDouble / math.max(1, s(s.length / 2))}%.1f"
+      }.getOrElse("")
+      println(f"SPILL $desc%-12s taskTime=${a.taskMs / 1000.0}%8.1fs " +
+        f"memSpill=${a.memSpill / 1e9}%6.2fGB diskSpill=${a.diskSpill / 1e9}%6.2fGB " +
+        f"shufWrite=${a.shufWrite / 1e9}%6.2fGB $skew")
+    }
+
     val docs = Tables.documents(spark, sfDir)
     val sig = Sketches.minhashSignature(docs, "doc_id", "text",
       Queries.ShingleK, Queries.MinhashM).localCheckpoint()
@@ -55,9 +99,21 @@ object SaltDiag {
           Seq("band", "band_key"))
         .filter(col("a_id") < col("b_id")))
     val salted = counted(Sketches.bandSelfPairs(bk, "doc_id"))
-    val nN = naive.count(); val nS = salted.count()
+    def timedCount(label: String, df: org.apache.spark.sql.DataFrame): Long = {
+      spark.sparkContext.setJobDescription(label)
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"TIME $label%-8s ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      spark.sparkContext.setJobDescription(null)
+      n
+    }
+    val nN = timedCount("naive", naive)
+    val nS = timedCount("salted", salted)
+    spark.sparkContext.setJobDescription("except")
     val d1 = naive.except(salted).count()
     val d2 = salted.except(naive).count()
+    spark.sparkContext.setJobDescription(null)
+    report()
     println(s"PAIRS naive=$nN salted=$nS naive_minus_salted=$d1 salted_minus_naive=$d2")
     println(if (d1 == 0 && d2 == 0 && nN == nS) "SALT DIFFERENTIAL PASS"
       else "SALT DIFFERENTIAL FAIL")
